@@ -1,0 +1,80 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference sizes work statically: 50 KB input partitions
+(pubsub/types.go:6), a fixed N=5 hash-partitioned shuffle
+(redis/initClient.go:13, shuffle.go:84-91).  Spark replaces both with
+dynamic policies: ``spark.sql.files.maxPartitionBytes`` for input splits and
+AQE for shuffle-partition coalescing / skew-join handling, which is what
+actually survives a 100 TB scale-up (static N never does).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime (dynamic) SQL confs that every entry point applies even to a
+# SparkSession it did not build — e.g. the driver-owned session passed to
+# __spark_entry__.entry().  All of these are documented dynamic SQLConfs.
+RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet is written with TIMESTAMP(NANOS), which Spark's parquet
+    # reader rejects by default; read as long and convert (tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic temporal formatting across engines (DuckDB oracle
+    # compares formatted strings; the fixtures' epochs are naive/UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # Adaptive execution: runtime shuffle-partition coalescing, skew-join
+    # splitting, and dynamic join-strategy switching.  At 100 TB this is the
+    # difference between a plan that works and one that OOMs on a hot key.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-UDF path (vector ops, multimodal plumbing).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply dynamic confs to an externally-owned session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf may be static in some deployments; never fail the query
+            # path over a tuning knob.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "gcp-serverless-mapreduce-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or get) a tuned local session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (fallback
+    ``local[*]``); tests and bench.py share this factory.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        # ~128 MB input splits — the scale analogue of the reference's 50 KB
+        # Pub/Sub partitions (split.go:137-161): size-bounded map tasks.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Broadcast threshold: dims (region/nation/supplier) always fit.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return apply_runtime_confs(spark)

@@ -1,0 +1,111 @@
+"""Local simulation of the driver's correctness gate.
+
+Runs ``__spark_entry__.entry`` (smoke) and every ``queries()`` entry against
+its ``oracle_sql()`` twin via DuckDB at the given sf dir, comparing
+row-count, column names, and an order-insensitive value multiset (columns
+sorted by name, rows canonicalized to strings — floats rounded to 9
+significant digits to absorb engine-formatting differences, matching the
+spirit of the driver's value-hash).
+
+Usage: python tools/check_parity.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v) -> str:
+    import datetime
+    import math
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def row_multiset(cols: list[str], rows) -> Counter:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from gcp_serverless_mapreduce_spark.session import get_spark
+
+    spark = get_spark("parity-check")
+
+    print("== smoke: entry(spark)")
+    flag = e.entry(spark)
+    n = flag.count()
+    print(f"   entry rows={n} schema={flag.schema.simpleString()}")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {ex}")
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only check, rows={len(srows)} (no oracle)")
+            continue
+        try:
+            orel = con.sql(oracles[name])
+            ocols, orows = orel.columns, orel.fetchall()
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {ex}")
+            continue
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if not problems:
+            sm, om = row_multiset(scols, srows), row_multiset(ocols, orows)
+            if sm != om:
+                diff = list((sm - om).items())[:3] + list((om - sm).items())[:3]
+                problems.append(f"values differ; sample {diff}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: " + " | ".join(problems))
+        else:
+            print(f"PASS {name}: rows={len(srows)}")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass at {sf_dir}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
