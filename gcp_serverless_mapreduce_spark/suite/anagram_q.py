@@ -1,55 +1,15 @@
-"""Query suite: the registry behind ``__spark_entry__.queries()`` /
-``oracle_sql()``.
-
-Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with the
-ANSI-SQL twin DuckDB runs over the same parquet fixtures — the driver's
-correctness gate (row-count + schema + order-insensitive value-hash).
-
-Conventions that keep the two engines hash-identical:
-- every computed column aliased identically on both sides;
-- set-valued results emitted as sorted, space-joined STRINGs;
-- counts cast to BIGINT on both sides;
-- money aggregates computed in DECIMAL (exact, order-independent) and cast
-  to DOUBLE at the end — never raw double summation, whose value depends on
-  partition order;
-- temporal outputs formatted to strings (engine-native rendering differs).
-"""
+"""Anagram-pipeline queries (the reference's one real query) over
+``documents`` — flagship of the suite (SURVEY §3.1)."""
 
 from __future__ import annotations
-
-from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.text import STOPWORDS
-from .operators import anagram
-from .tables import load_table
-
-SparkQuery = Callable[[SparkSession, str], DataFrame]
-
-# name -> (spark_fn, oracle_sql | None)
-_REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {}
-
-
-def register(name: str, oracle: str | None):
-    def deco(fn: SparkQuery) -> SparkQuery:
-        _REGISTRY[name] = (fn, oracle)
-        return fn
-    return deco
-
-
-def queries() -> dict[str, SparkQuery]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
-
-
-def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
-
-
-# --------------------------------------------------------------------------
-# Anagram pipeline (the reference's one real query) over `documents`
-# --------------------------------------------------------------------------
+from ..functions.text import STOPWORDS
+from ..operators import anagram
+from ..registry import register
+from ..tables import load_table
 
 def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
