@@ -1,0 +1,151 @@
+"""Deduplication operators over the ``documents`` table — the LLM-corpus
+workload the 100 TB deployment exists for (exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup).
+
+Generalizes the reference's only dedup ops — per-book distinct
+(split.go:119-133) and set-union aggregation (reduce.go:102-115) — to
+corpus-scale document identity.
+
+Cross-engine determinism: all hashing is md5 (shared with the DuckDB
+oracle); MinHash permutations are salts, a permutation's value is the
+lexicographic min of md5 hex strings (valid min-hash over a uniform hash).
+
+Scale design:
+- everything is expression-level (codegen'd, no Python);
+- LSH candidate generation is a self-equi-join on (band, band_hash) — a
+  shuffle keyed on the band hash, never an O(n^2) cross join;
+- exact Jaccard runs only on pairs sharing >= 1 shingle (inverted-index
+  join), the standard sparse-similarity plan;
+- at 100 TB you'd salt hot band-hashes (boilerplate/empty docs) before the
+  pair join and cap per-bucket fan-out; AQE skew-join covers moderate skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def tokens_col(text_col: str = "text"):
+    """Lowered whitespace tokens as array<string> (P2+P3 generalized)."""
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def word_shingles(docs: DataFrame, k: int = 3,
+                  doc_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """-> (doc, shingle) distinct: k-word shingles (set semantics, like the
+    reference's per-book distinct P4).
+
+    Guard: Spark's sequence(1, n) DESCENDS when n < 1, so short docs must
+    produce an empty array explicitly (DuckDB's generate_series is empty
+    there — a real cross-engine semantic difference).
+    """
+    toks = tokens_col(text_col)
+    shingles = F.when(
+        F.size(toks) >= k,
+        F.expr(
+            f"transform(sequence(1, size({_toks_sql(text_col)}) - {k - 1}), "
+            f"i -> concat_ws(' ', slice({_toks_sql(text_col)}, i, {k})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(doc_col).alias("doc"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def _toks_sql(text_col: str) -> str:
+    return f"split(trim(lower({text_col})), '\\\\s+')"
+
+
+def minhash_signatures(shingles: DataFrame, num_perm: int = 8) -> DataFrame:
+    """-> (doc, mh_0..mh_{num_perm-1}): per-doc MinHash signature; each
+    permutation is min(md5(seed || '|' || shingle)) as a hex string."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"mh_{s}")
+        for s in range(num_perm)
+    ]
+    return shingles.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
+                        rows_per_band: int = 2) -> DataFrame:
+    """-> (doc_a, doc_b, n_shared_bands): docs whose signatures collide in
+    >= 1 band.  Band hash = md5 of the band's concatenated minhashes; the
+    pair join shuffles on (band index, band hash) — sparse, never O(n^2)."""
+    band_cols = F.array(*[
+        F.md5(F.concat_ws("|", *[
+            F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]))
+        for b in range(bands)
+    ])
+    banded = signatures.select(
+        "doc", F.posexplode(band_cols).alias("band", "band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
+    """-> (doc_a, doc_b, jaccard) for pairs with Jaccard >= threshold.
+
+    Inverted-index plan: join only on shared shingles, count intersections,
+    then |A u B| = |A| + |B| - |A n B| from per-doc set sizes.  Jaccard is
+    a ratio of exact integers — deterministic across engines.
+    """
+    sizes = shingles.groupBy("doc").agg(F.count("*").alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc": "doc_a", "n": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "n": "n_b"}), "doc_b")
+        .withColumn("jaccard", F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash16(docs: DataFrame, doc_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """-> (doc, simhash): 16-bit SimHash over the doc's distinct tokens.
+
+    Bit b of a token = bit (b % 4) of hex nibble (b // 4) of md5(token);
+    document bit b is the sign of sum(+-1) over tokens.  Pure integer
+    expressions, mirrored verbatim in the DuckDB oracle.
+    """
+    toks = (
+        docs.select(F.col(doc_col).alias("doc"),
+                    F.explode(tokens_col(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+        .withColumn("m", F.md5("tok"))
+    )
+    bit_sums = [
+        F.sum(F.expr(
+            f"(((instr('{HEX}', substring(m, {b // 4 + 1}, 1)) - 1) "
+            f"div {2 ** (b % 4)}) % 2) * 2 - 1"
+        )).alias(f"s_{b}")
+        for b in range(16)
+    ]
+    sums = toks.groupBy("doc").agg(*bit_sums)
+    simhash = None
+    for b in range(16):
+        bit = F.when(F.col(f"s_{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    return sums.select("doc", simhash.cast("long").alias("simhash"))

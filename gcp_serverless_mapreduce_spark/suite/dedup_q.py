@@ -1,0 +1,172 @@
+"""Dedup queries over ``documents``/``embeddings`` with DuckDB oracle twins.
+
+The SQL mirrors operators/dedup.py stage for stage; all hashing is md5 so
+hex strings agree byte-for-byte across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+from ..operators import dedup
+from ..registry import register
+from ..tables import load_table
+
+NUM_PERM = 8
+BANDS = 4
+ROWS_PER_BAND = 2
+JACCARD_THRESHOLD = 0.8
+COSINE_THRESHOLD = 0.40  # fixture embeddings are random; max within-label pair cos ~0.47
+
+# ---- shared SQL fragments -------------------------------------------------
+
+# (doc, shingle) distinct 3-word shingles; [i:i+2] is DuckDB's 1-based
+# inclusive slice = 3 elements = Spark's slice(t, i, 3).
+_SH_CTE = """
+WITH toks AS (
+    SELECT doc_id AS doc, string_split_regex(trim(lower(text)), '\\s+') AS t
+    FROM documents),
+sh AS (
+    SELECT DISTINCT doc,
+           unnest(list_transform(generate_series(1, len(t) - 2),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS shingle
+    FROM toks)
+"""
+
+_MH_COLS = ", ".join(
+    f"min(md5('{s}|' || shingle)) AS mh_{s}" for s in range(NUM_PERM))
+_SIG_CTE = _SH_CTE + f""",
+sig AS (SELECT doc, {_MH_COLS} FROM sh GROUP BY doc)
+"""
+
+_BANDED_SELECTS = " UNION ALL ".join(
+    f"SELECT doc, {b} AS band, "
+    f"md5(mh_{b * ROWS_PER_BAND} || '|' || mh_{b * ROWS_PER_BAND + 1}) AS band_hash "
+    f"FROM sig"
+    for b in range(BANDS))
+
+
+@register("exact_dedup_groups", """
+SELECT md5(text) AS content_hash,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS canonical_doc_id
+FROM documents
+GROUP BY md5(text)
+""")
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content; canonical = min doc_id.
+    At 100 TB: one shuffle on the 128-bit hash, near-uniform keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.count("*").alias("n_docs"),
+             F.min("doc_id").alias("canonical_doc_id"))
+    )
+
+
+@register("minhash_signatures", _SIG_CTE + f"""
+SELECT doc AS doc_id, {', '.join(f'mh_{s}' for s in range(NUM_PERM))}
+FROM sig
+""")
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature (md5-salted permutations, hex-string min).
+    Pins the shingle->signature computation cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(dedup.word_shingles(docs), NUM_PERM)
+    return sig.withColumnRenamed("doc", "doc_id")
+
+
+@register("minhash_lsh_candidates", _SIG_CTE + f""",
+banded AS ({_BANDED_SELECTS})
+SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_shared_bands
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc < b.doc
+GROUP BY 1, 2
+""")
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: band-hash equi-join (shuffle on the
+    band hash; sparse — never O(n^2))."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(dedup.word_shingles(docs), NUM_PERM)
+    return dedup.lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND)
+
+
+@register("ngram_jaccard_dups", _SH_CTE + f""",
+sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       n_common / (ca.n + cb.n - n_common) AS jaccard
+FROM inter JOIN sizes ca ON ca.doc = doc_a
+           JOIN sizes cb ON cb.doc = doc_b
+WHERE n_common / (ca.n + cb.n - n_common) >= {JACCARD_THRESHOLD}
+""")
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard >= 0.8 via inverted-index join (ratio of exact
+    integers — deterministic cross-engine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(dedup.word_shingles(docs), JACCARD_THRESHOLD)
+
+
+_SIMHASH_SUMS = ", ".join(
+    f"SUM((((strpos('{dedup.HEX}', substr(m, {b // 4 + 1}, 1)) - 1) "
+    f"// {2 ** (b % 4)}) % 2) * 2 - 1) AS s_{b}"
+    for b in range(16))
+_SIMHASH_VALUE = " + ".join(
+    f"(CASE WHEN s_{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16))
+
+
+@register("simhash_fingerprints", f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id AS doc,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+    FROM documents),
+m AS (SELECT doc, md5(tok) AS m FROM toks WHERE tok <> ''),
+sums AS (SELECT doc, {_SIMHASH_SUMS} FROM m GROUP BY doc)
+SELECT doc, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM sums
+""")
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (sign of per-bit +-1 sums over token
+    md5 bits) — near-dup docs land on nearby fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash16(docs)
+
+
+# ---- embedding near-dup ---------------------------------------------------
+
+_DOT_AB = ("list_sum(list_transform(generate_series(1, 64), "
+           "i -> a.v[i] * b.v[i]))")
+_NORM_SQL = ("sqrt(list_sum(list_transform(generate_series(1, 64), "
+             "i -> v[i] * v[i])))")
+
+
+@register("embedding_near_dup_pairs", f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, label, v, {_NORM_SQL} AS nrm FROM e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_DOT_AB} / (a.nrm * b.nrm), 4) AS sim
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_DOT_AB} / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+""")
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, blocked by label (the blocking key stands
+    in for an IVF/LSH bucket at scale — pair join only within blocks).
+    sim rounded to 4dp: double accumulation order may differ across
+    engines by ~1e-15; rounding absorbs it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("_sim", sim)
+        .filter(F.col("_sim") >= COSINE_THRESHOLD)
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round("_sim", 4).alias("sim"))
+    )
