@@ -1,0 +1,62 @@
+"""Benchmark harness — the driver runs this per-round and records the JSON.
+
+Times every registered query (the full SURVEY §2 + LLM-pipeline suite) at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, materializing each result with ``collect()``
+(results are aggregates — small), and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Context vs BASELINE.md: the reference's only published number is the 43 MB
+anagram job in <20 s (≈2.15 MB/s).  ``anagram_groups``/``anagram_pairs``
+below are that same pipeline (tokenize → per-doc distinct → normalize →
+signature → set-agg → having) over the fixture corpus, so their per-query
+seconds are the direct comparable; the rest of the suite is the added
+relational/dedup surface the reference lacks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as e
+    from gcp_serverless_mapreduce_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    for name, fn in e.queries().items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as ex:  # a failed query must not hide the rest
+            print(f"bench: {name} FAILED: {ex}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(json.dumps({
+        "metric": "suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    return 1 if any(t < 0 for t in timings.values()) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
