@@ -1,0 +1,126 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``).
+
+Two plans, both pure built-in expressions (JVM codegen, no Python):
+
+- **Brute-force top-k**: query set × corpus via a *broadcast* nested-loop
+  join (the query side is small by construction), exact cosine, per-query
+  ``row_number``.  The O(|Q|·N) baseline — correct at any scale where |Q|
+  is bounded, because the corpus side streams and never shuffles.
+- **SRP-LSH ANN**: signed-random-projection signatures (Charikar 2002) —
+  bit p = sign(v · h_p) for fixed ±1 hyperplanes — bucket on the signature,
+  re-rank exactly within buckets.  The pair join shuffles on the bucket id
+  only; expected bucket size N/2^P keeps it near-linear.  This is the IVF
+  stand-in the 100 TB path needs (at that scale: train real centroids, or
+  raise P and probe neighboring buckets for recall).
+
+Determinism across engines: hyperplanes are ±1 literals derived from md5
+in Python and embedded in BOTH the Spark plan and the oracle SQL; dot
+products fold left-to-right in double on both engines, so even ranking on
+the raw (unrounded) similarity is stable; ties broken by vec_id.
+
+Generalizes the reference's key-equality grouping (shuffle.go:84-91 hashes
+exact keys) to similarity-space grouping; no counterpart exists there.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import dot, l2_norm
+
+
+def srp_planes(num_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes: sign(p,d) from md5(f"{p}|{d}") parity.
+
+    Rademacher entries are a valid random projection (Achlioptas 2003);
+    md5 gives both engines the exact same literals.
+    """
+    return [
+        [1 if hashlib.md5(f"{p}|{d}".encode()).digest()[0] % 2 == 0 else -1
+         for d in range(dim)]
+        for p in range(num_planes)
+    ]
+
+
+def unit_vectors(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Normalize once, before any pair join — the pair join then computes
+    ONE fold (the dot product) instead of three (dot + two norms).
+    Zero vectors normalize to NULL and drop out of similarity joins."""
+    nrm = l2_norm(F.col(vec_col))
+    unit = F.when(nrm != 0, F.transform(
+        F.col(vec_col).cast("array<double>"), lambda x: x / nrm))
+    return emb.withColumn("unit", unit)
+
+
+def srp_signature(vec_col: Column, planes: list[list[int]]) -> Column:
+    """Bit string signature, e.g. '10110100' for 8 planes (sign >= 0 → '1')."""
+    bits = [
+        F.when(dot(vec_col, F.array(*[F.lit(s) for s in plane])) >= 0,
+               F.lit("1")).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def topk_per_query(pairs: DataFrame, k: int,
+                   query_col: str = "query_id",
+                   sim_col: str = "sim",
+                   neighbor_col: str = "neighbor_id") -> DataFrame:
+    """Exact per-query top-k: row_number over (sim desc, neighbor asc)."""
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(sim_col).desc(), F.col(neighbor_col).asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def brute_force_topk(emb: DataFrame, k: int, num_queries: int,
+                     id_col: str = "vec_id") -> DataFrame:
+    """-> (query_id, neighbor_id, rank, sim): exact cosine top-k of each of
+    the first ``num_queries`` ids against the whole corpus.  The query side
+    is broadcast; the corpus side never moves."""
+    units = (unit_vectors(emb).select(F.col(id_col), F.col("unit"))
+             .filter(F.col("unit").isNotNull()))
+    q = (units.filter(F.col(id_col) < num_queries)
+         .select(F.col(id_col).alias("query_id"), F.col("unit").alias("qv")))
+    c = units.select(F.col(id_col).alias("neighbor_id"),
+                     F.col("unit").alias("cv"))
+    pairs = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dot(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    return (
+        topk_per_query(pairs, k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
+def srp_ann_topk(emb: DataFrame, k: int, planes: list[list[int]],
+                 id_col: str = "vec_id") -> DataFrame:
+    """-> (query_id, neighbor_id, rank, sim): per-vector top-k among the
+    vectors sharing its SRP bucket (every vector is a query).  One shuffle
+    keyed on the bucket id; exact cosine re-rank inside buckets."""
+    units = (
+        unit_vectors(emb)
+        .filter(F.col("unit").isNotNull())
+        .select(F.col(id_col), "unit",
+                srp_signature(F.col("unit"), planes).alias("bucket"))
+    )
+    a = units.select(F.col(id_col).alias("query_id"),
+                     F.col("unit").alias("qv"), "bucket")
+    b = units.select(F.col(id_col).alias("neighbor_id"),
+                     F.col("unit").alias("cv"), "bucket")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dot(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    return (
+        topk_per_query(pairs, k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )

@@ -15,6 +15,8 @@ from ..registry import oracle_sql, queries, register  # noqa: F401
 from . import anagram_q  # noqa: F401, E402
 from . import relational_q  # noqa: F401, E402
 from . import dedup_q  # noqa: F401, E402
+from . import similarity_q  # noqa: F401, E402
+from . import textstats_q  # noqa: F401, E402
 
 # Re-export the flagship for __spark_entry__.entry
 from .anagram_q import anagram_groups  # noqa: F401, E402

@@ -1,0 +1,105 @@
+"""Similarity-search queries over ``embeddings`` with DuckDB oracle twins.
+
+The SQL mirrors operators/similarity.py fold for fold: every dot product /
+norm is an explicit left-to-right ``list_reduce`` seeded 0.0 (= Spark's
+``F.aggregate``), so similarities agree bit-for-bit and even the *ranking*
+(row_number over raw sim) is stable cross-engine; ties break on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity
+from ..registry import register
+from ..tables import load_table
+
+DIM = 64
+NUM_PLANES = 8
+K = 5
+NUM_QUERIES = 20
+PLANES = similarity.srp_planes(NUM_PLANES, DIM)
+
+
+def _fold_sum(terms: str) -> str:
+    return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {terms}), "
+            f"(acc, x) -> acc + x)")
+
+
+_NORM = "sqrt(" + _fold_sum("list_transform(v, x -> x * x)") + ")"
+
+# (vec_id, u): unit vectors, zero vectors dropped — shared CTE prefix.
+_UNIT_CTE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, {_NORM} AS nrm FROM e),
+u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+      FROM n WHERE nrm <> 0)
+"""
+
+
+def _dot(a: str, b: str) -> str:
+    return _fold_sum(
+        f"list_transform(generate_series(1, {DIM}), i -> {a}[i] * {b}[i])")
+
+
+def _plane_literal(plane: list[int]) -> str:
+    return "[" + ", ".join(f"{s}.0" for s in plane) + "]"
+
+
+_BUCKET = "||".join(
+    f"(CASE WHEN {_dot('u', _plane_literal(p))} >= 0 THEN '1' ELSE '0' END)"
+    for p in PLANES)
+
+_PAIR_DOT = _dot("a.u", "b.u")
+
+
+@register("cosine_topk_bruteforce", _UNIT_CTE + f"""
+SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       row_number() OVER (PARTITION BY a.vec_id
+                          ORDER BY {_PAIR_DOT} DESC, b.vec_id) AS rank,
+       round({_PAIR_DOT}, 4) AS sim
+FROM u a JOIN u b ON a.vec_id <> b.vec_id
+WHERE a.vec_id < {NUM_QUERIES}
+QUALIFY rank <= {K}
+""")
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{K} for the first {NUM_QUERIES} vectors: broadcast
+    query set × streamed corpus, per-query row_number."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, K, NUM_QUERIES)
+
+
+@register("srp_bucket_stats", _UNIT_CTE + f""",
+s AS (SELECT vec_id, {_BUCKET} AS bucket FROM u)
+SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+FROM s GROUP BY bucket
+""")
+def srp_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pins the SRP signature itself: vectors per 8-bit hyperplane bucket
+    (the ANN partitioning a 100 TB corpus would shuffle on)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    units = (similarity.unit_vectors(emb)
+             .filter(F.col("unit").isNotNull()))
+    return (
+        units.select(similarity.srp_signature(F.col("unit"), PLANES)
+                     .alias("bucket"), "vec_id")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+@register("srp_ann_topk", _UNIT_CTE + f""",
+s AS (SELECT vec_id, u, {_BUCKET} AS bucket FROM u)
+SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       row_number() OVER (PARTITION BY a.vec_id
+                          ORDER BY {_PAIR_DOT} DESC, b.vec_id) AS rank,
+       round({_PAIR_DOT}, 4) AS sim
+FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+QUALIFY rank <= {K}
+""")
+def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-{K}: SRP-bucketed candidates, exact re-rank within buckets —
+    the shuffle is keyed on the bucket id, never all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.srp_ann_topk(emb, K, PLANES)

@@ -1,0 +1,184 @@
+"""Text-analysis queries over ``documents`` with DuckDB oracle twins.
+
+The SQL mirrors operators/textstats.py expression for expression; all
+ratios divide exact integers in double (identical IEEE result), rounded
+to 6dp for formatting safety; the fingerprint fold is pure bigint math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS
+from ..operators import dedup, textstats
+from ..registry import register
+from ..tables import load_table
+from .anagram_q import _sql_quote
+from .dedup_q import _SH_CTE
+
+_STOP_SQL = ", ".join(_sql_quote(w) for w in STOPWORDS)
+
+_TOKS = ("list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+         "x -> x <> '')")
+
+_T_CTE = f"""
+WITH t AS (
+    SELECT doc_id, lang, source, text, {_TOKS} AS toks FROM documents)
+"""
+
+
+def _in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(_sql_quote(w) for w in words)
+
+
+_HITS_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, lang, '{lang}' AS cand_lang, "
+    f"CAST(len(list_filter(toks, x -> x IN ({_in_list(markers)}))) AS BIGINT)"
+    f" AS n_hits FROM t"
+    for lang, markers in sorted(textstats.LANG_MARKERS.items()))
+
+# pred: argmax over candidate languages; zero hits everywhere -> 'und'.
+_PRED_CTE = _T_CTE + f""",
+hits AS ({_HITS_UNION}),
+pred AS (
+    SELECT doc_id, lang AS actual_lang,
+           CASE WHEN n_hits = 0 THEN 'und' ELSE cand_lang END AS pred_lang,
+           n_hits
+    FROM hits
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY n_hits DESC, cand_lang) = 1)
+"""
+
+
+def _pred_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scores = textstats.language_scores(docs)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("cand_lang").asc())
+    best = (scores.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1))
+    return (
+        best.join(docs.select("doc_id", F.col("lang").alias("actual_lang")),
+                  "doc_id")
+        .select(
+            "doc_id", "actual_lang",
+            F.when(F.col("n_hits") == 0, F.lit("und"))
+            .otherwise(F.col("cand_lang")).alias("pred_lang"),
+            "n_hits")
+    )
+
+
+@register("language_id", _PRED_CTE + """
+SELECT doc_id, actual_lang, pred_lang, n_hits FROM pred
+""")
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID per document: per-lang hit counts in one
+    scan, argmax via row_number (ties -> lexicographic lang)."""
+    return _pred_df(spark, sf_dir)
+
+
+@register("language_confusion", _PRED_CTE + """
+SELECT actual_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY actual_lang, pred_lang
+""")
+def language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-vs-predicted language confusion matrix."""
+    return (_pred_df(spark, sf_dir)
+            .groupBy("actual_lang", "pred_lang")
+            .agg(F.count("*").alias("n_docs")))
+
+
+@register("doc_quality_scores", _T_CTE + f"""
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+       round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+             / NULLIF(len(toks), 0), 6) AS avg_token_len,
+       round(CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / NULLIF(len(text), 0), 6) AS alpha_ratio,
+       round(CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+             / NULLIF(len(toks), 0), 6) AS stopword_ratio,
+       len(toks) BETWEEN 5 AND 1000 AS len_ok
+FROM t
+""")
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features (the pre-training filter columns): token
+    counts, mean token length, alpha ratio, stop-word ratio, length gate.
+    One scan, one projection — no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textstats.tokens(F.col("text"))
+    d = docs.withColumn("toks", toks)
+    n = F.size("toks")
+    nchars = F.length("text")
+    tok_chars = F.aggregate(
+        F.transform(F.col("toks"), lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    n_stop = F.size(F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS)))
+    n_alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    safe_n = F.nullif(n.cast("long"), F.lit(0).cast("long"))
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_uniq_tokens"),
+        F.round(tok_chars.cast("double") / safe_n, 6).alias("avg_token_len"),
+        F.round(n_alpha.cast("double")
+                / F.nullif(nchars.cast("long"), F.lit(0).cast("long")),
+                6).alias("alpha_ratio"),
+        F.round(n_stop.cast("double") / safe_n, 6).alias("stopword_ratio"),
+        n.between(5, 1000).alias("len_ok"),
+    )
+
+
+@register("token_count_by_source", _T_CTE + f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(toks)) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(lower(text),
+            '{textstats.BPE_PATTERN}'))) AS BIGINT) AS bpe_tokens,
+       round(CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*), 6) AS avg_ws_tokens
+FROM t GROUP BY source
+""")
+def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source: whitespace tokens vs BPE-ish
+    pre-tokens.  Map-side partial agg -> tiny shuffle on source."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("toks", textstats.tokens(F.col("text")))
+    ws = F.sum(F.size("toks").cast("long"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        ws.alias("ws_tokens"),
+        F.sum(textstats.bpe_token_count(F.col("text")).cast("long"))
+        .alias("bpe_tokens"),
+        F.round(ws.cast("double") / F.count("*"), 6).alias("avg_ws_tokens"),
+    )
+
+
+_FOLD = (f"list_reduce(list_prepend(CAST({textstats.FP_SEED} AS BIGINT), "
+         "list_transform(string_split({s}, ''), "
+         "c -> CAST(unicode(c) AS BIGINT))), "
+         f"(a, c) -> (a * {textstats.FP_MULT} + c) % {textstats.FP_MOD})")
+
+
+@register("doc_fingerprints", _SH_CTE + f""",
+fp AS (SELECT doc_id, {_FOLD.format(s='text')} AS content_fp FROM documents),
+shf AS (SELECT doc, MIN({_FOLD.format(s='shingle')}) AS winnow_min
+        FROM sh GROUP BY doc)
+SELECT f.doc_id, f.content_fp, s.winnow_min
+FROM fp f LEFT JOIN shf s ON s.doc = f.doc_id
+""")
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: whole-text rolling polynomial hash + the min
+    shingle hash (winnowing-lite).  At 100 TB the shingle hash would be
+    computed truly rolling per window; here each shingle folds
+    independently (same values, O(k) more work per doc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id", textstats.poly_fingerprint(F.col("text")).alias("content_fp"))
+    shf = (
+        dedup.word_shingles(docs)
+        .withColumn("h", textstats.poly_fingerprint(F.col("shingle")))
+        .groupBy("doc").agg(F.min("h").alias("winnow_min"))
+    )
+    return fps.join(shf, fps.doc_id == shf.doc, "left").select(
+        "doc_id", "content_fp", "winnow_min")
