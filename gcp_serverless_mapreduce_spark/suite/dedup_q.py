@@ -9,7 +9,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
 from ..operators import dedup
 from ..registry import register
 from ..tables import load_table
@@ -138,35 +137,43 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- embedding near-dup ---------------------------------------------------
 
-_DOT_AB = ("list_sum(list_transform(generate_series(1, 64), "
-           "i -> a.v[i] * b.v[i]))")
-_NORM_SQL = ("sqrt(list_sum(list_transform(generate_series(1, 64), "
-             "i -> v[i] * v[i])))")
+# Normalize BEFORE the pair join (similarity.unit_vectors): the join then
+# evaluates one fold (the dot product) per pair instead of three.  Both
+# engines fold left-to-right seeded 0.0, so sim agrees bit-for-bit.
+_FOLD0 = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {terms}), "
+          "(acc, x) -> acc + x)")
+_NORM_SQL = "sqrt(" + _FOLD0.format(terms="list_transform(v, x -> x * x)") + ")"
+_DOT_UNIT = _FOLD0.format(
+    terms="list_transform(generate_series(1, 64), i -> a.u[i] * b.u[i])")
 
 
 @register("embedding_near_dup_pairs", f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-n AS (SELECT vec_id, label, v, {_NORM_SQL} AS nrm FROM e)
+n AS (SELECT vec_id, label, v, {_NORM_SQL} AS nrm FROM e),
+u AS (SELECT vec_id, label, list_transform(v, x -> x / nrm) AS u
+      FROM n WHERE nrm <> 0)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({_DOT_AB} / (a.nrm * b.nrm), 4) AS sim
-FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {_DOT_AB} / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+       round({_DOT_UNIT}, 4) AS sim
+FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_DOT_UNIT} >= {COSINE_THRESHOLD}
 """)
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, blocked by label (the blocking key stands
-    in for an IVF/LSH bucket at scale — pair join only within blocks).
-    sim rounded to 4dp: double accumulation order may differ across
-    engines by ~1e-15; rounding absorbs it."""
+    in for an IVF/LSH bucket at scale — pair join only within blocks)."""
+    from ..operators.similarity import unit_vectors
+    from ..functions.vectors import dot
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    sim = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    units = (unit_vectors(emb).filter(F.col("unit").isNotNull())
+             .select("vec_id", "label", "unit"))
+    a = units.select(F.col("vec_id").alias("vec_a"), "label",
+                     F.col("unit").alias("ua"))
+    b = units.select(F.col("vec_id").alias("vec_b"), "label",
+                     F.col("unit").alias("ub"))
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .withColumn("_sim", sim)
+        a.join(b, ["label"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("_sim", dot(F.col("ua"), F.col("ub")))
         .filter(F.col("_sim") >= COSINE_THRESHOLD)
-        .select(F.col("a.vec_id").alias("vec_a"),
-                F.col("b.vec_id").alias("vec_b"),
-                F.round("_sim", 4).alias("sim"))
+        .select("vec_a", "vec_b", F.round("_sim", 4).alias("sim"))
     )
