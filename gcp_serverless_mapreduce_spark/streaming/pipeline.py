@@ -1,0 +1,75 @@
+"""Structured Streaming surface — the reference's event-driven topology
+re-expressed as readStream → transform → writeStream.
+
+The reference is "streaming" only in transport: Pub/Sub pushes batches
+through 7 functions with a Redis barrier deciding when the reduce phase
+may start (controller/controller.go:19-89).  Spark's analog of that
+barrier is the watermark + trigger: a window closes (its "barrier"
+lifts) when the watermark passes its end.  ``trigger(availableNow=True)``
+reproduces the reference's bounded-batch-with-completion semantics
+exactly — process everything that exists, then stop.
+
+The transforms below take a DataFrame and work UNCHANGED on a static or a
+streaming frame (the DataFrame API is the unified surface); tests assert
+stream-vs-batch equality on that same function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture.  Schema comes from the
+    batch reader (a stream source cannot infer), including the
+    nanos→timestamp normalization load_table applies."""
+    static = load_table(spark, sf_dir, "events")
+    # The fixture is a single file; the file stream source wants a
+    # directory, so stream the directory with a glob filter.
+    raw = (spark.readStream
+           .schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.select(*static.columns)
+
+
+def windowed_event_stats(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + exact value sum.
+
+    Works on static and streaming input alike.  The watermark bounds state
+    at scale (late rows beyond 1 h are dropped, closed windows evicted);
+    value sums accumulate in DECIMAL so the result is independent of
+    partition/arrival order.
+    """
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(14,2)")).alias("_total"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type", "n_events",
+            F.col("_total").cast("double").alias("total_value"))
+    )
+
+
+def run_available_now(result: DataFrame, name: str) -> DataFrame:
+    """Execute a streaming aggregate to completion (availableNow) into a
+    memory sink; return the materialized result as a static DataFrame."""
+    q = (result.writeStream
+         .format("memory")
+         .queryName(name)
+         .outputMode("complete")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    spark = result.sparkSession
+    out = spark.table(name).localCheckpoint()  # detach from the sink table
+    q.stop()
+    return out
