@@ -1,0 +1,103 @@
+"""Multimodal-plumbing queries with DuckDB oracle twins.
+
+The payload is UTF-8 of ASCII fixture text, so the oracle can recompute
+byte-level results from the text column (bytes == codepoints): the
+mapInPandas stages are held to a full value-hash gate even though the
+"decode" itself is a stub.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal
+from ..registry import register
+from ..tables import load_table
+
+_MEDIA_CTE = """
+WITH media AS (
+    SELECT doc_id AS media_id,
+           CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           text,
+           doc_id % 7 * 160 + 320 AS width,
+           doc_id % 5 * 90 + 180 AS height
+    FROM documents)
+"""
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_table(load_table(spark, sf_dir, "documents"))
+
+
+@register("media_decode_features", _MEDIA_CTE + """
+SELECT media_id, media_type,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       list_avg(list_transform(string_split(text, ''),
+                c -> CAST(unicode(c) AS BIGINT))) AS mean_byte,
+       CAST(list_min(list_transform(string_split(text, ''),
+                c -> unicode(c))) AS BIGINT) AS min_byte,
+       CAST(list_max(list_transform(string_split(text, ''),
+                c -> unicode(c))) AS BIGINT) AS max_byte
+FROM media
+""")
+def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed decode + feature extraction over binary payloads via
+    mapInPandas (Arrow batches, numpy per batch) — map-only, no shuffle."""
+    return multimodal.decode_media(_media(spark, sf_dir))
+
+
+@register("media_feature_summary", _MEDIA_CTE + """
+SELECT media_type,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+       round(CAST(SUM(strlen(text)) AS DOUBLE) / COUNT(*), 6) AS avg_bytes
+FROM media GROUP BY media_type
+""")
+def media_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas decode stage feeding a JVM hash-agg: the shuffle moves only
+    (media_type, n_bytes) rows — payload bytes never cross the exchange."""
+    decoded = multimodal.decode_media(_media(spark, sf_dir))
+    n = F.count("*")
+    total = F.sum("n_bytes")
+    return decoded.groupBy("media_type").agg(
+        n.alias("n_media"), total.alias("total_bytes"),
+        F.round(total.cast("double") / n, 6).alias("avg_bytes"))
+
+
+@register("video_frame_samples", _MEDIA_CTE + f""",
+v AS (SELECT media_id, text, (strlen(text) + {multimodal.FRAME_BYTES - 1})
+          // {multimodal.FRAME_BYTES} AS n_frames
+      FROM media WHERE media_type = 'video'),
+f AS (SELECT media_id, text,
+             unnest(generate_series(0, n_frames - 1,
+                    {multimodal.FRAME_SAMPLE_EVERY})) AS frame_idx
+      FROM v WHERE n_frames > 0)
+SELECT media_id, frame_idx,
+       CAST(strlen(substr(text, frame_idx * {multimodal.FRAME_BYTES} + 1,
+            {multimodal.FRAME_BYTES})) AS BIGINT) AS frame_len,
+       md5(substr(text, frame_idx * {multimodal.FRAME_BYTES} + 1,
+            {multimodal.FRAME_BYTES})) AS frame_md5
+FROM f
+""")
+def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: chunk video payloads into {multimodal.FRAME_BYTES}-
+    byte frames, keep every {multimodal.FRAME_SAMPLE_EVERY}th, md5 each —
+    one row per sampled frame out of the pandas stage."""
+    return multimodal.sample_frames(_media(spark, sf_dir))
+
+
+@register("image_resize_plan", _MEDIA_CTE + """
+SELECT media_id,
+       CAST(width AS BIGINT) AS orig_w,
+       CAST(height AS BIGINT) AS orig_h,
+       CAST(224 AS BIGINT) AS new_w,
+       CAST(height * 224 // width AS BIGINT) AS new_h,
+       CAST(224 * 1000000 // width AS BIGINT) AS scale_ppm
+FROM media WHERE media_type = 'image'
+""")
+def image_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-stub geometry (aspect-preserving, integer-exact); the pixel
+    pass is the clearly-marked stub in operators/multimodal.py."""
+    return multimodal.resize_images(_media(spark, sf_dir))
