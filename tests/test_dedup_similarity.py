@@ -1,0 +1,79 @@
+"""Unit goldens for the dedup + similarity operator families on tiny
+hand-built frames (the oracle gate covers the fixtures; these pin the
+operator semantics on cases small enough to verify by hand)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from gcp_serverless_mapreduce_spark.operators import dedup, similarity
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_word_shingles_and_short_doc(spark):
+    docs = _docs(spark, [(1, "a b c d"), (2, "a b")])
+    got = {(r["doc"], r["shingle"]) for r in dedup.word_shingles(docs, k=3).collect()}
+    # doc 2 is shorter than k -> zero shingles (not a descending sequence!)
+    assert got == {(1, "a b c"), (1, "b c d")}
+
+
+def test_identical_docs_collide_in_every_band(spark):
+    docs = _docs(spark, [(1, "x y z w v u"), (2, "x y z w v u"),
+                         (3, "totally different words here now ok")])
+    sig = dedup.minhash_signatures(dedup.word_shingles(docs))
+    pairs = dedup.lsh_candidate_pairs(sig).collect()
+    assert [(r["doc_a"], r["doc_b"], r["n_shared_bands"]) for r in pairs] == \
+        [(1, 2, 4)]
+
+
+def test_jaccard_exact_value(spark):
+    # shingle sets: doc1 {abc,bcd}, doc2 {abc,bce}; J = 1/3
+    docs = _docs(spark, [(1, "a b c d"), (2, "a b c e")])
+    rows = dedup.jaccard_pairs(dedup.word_shingles(docs), threshold=0.0).collect()
+    assert len(rows) == 1
+    assert math.isclose(rows[0]["jaccard"], 1 / 3)
+
+
+def test_simhash_identical_docs_equal(spark):
+    docs = _docs(spark, [(1, "alpha beta gamma"), (2, "gamma beta alpha"),
+                         (3, "other words entirely")])
+    fp = {r["doc"]: r["simhash"] for r in dedup.simhash16(docs).collect()}
+    assert fp[1] == fp[2]  # order-insensitive (set of tokens)
+    assert 0 <= fp[1] < 2 ** 16
+
+
+def test_unit_vectors_and_zero_vector(spark):
+    emb = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], ["vec_id", "embedding"])
+    rows = {r["vec_id"]: r["unit"] for r in similarity.unit_vectors(emb).collect()}
+    assert rows[1] == [0.6, 0.8]
+    assert rows[2] is None  # zero vector -> NULL, dropped by ANN paths
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
+        ["vec_id", "embedding"])
+    got = similarity.brute_force_topk(emb, k=3, num_queries=1).collect()
+    assert [r["neighbor_id"] for r in got] == [1, 2, 3]
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    assert got[0]["sim"] > 0.99 and got[2]["sim"] == -1.0
+
+
+def test_srp_signature_deterministic_and_bucketed(spark):
+    planes = similarity.srp_planes(4, 2)
+    assert all(s in (-1, 1) for p in planes for s in p)
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.5]), (2, [2.0, 1.0]), (3, [-1.0, -0.5])],
+        ["vec_id", "embedding"])
+    units = similarity.unit_vectors(emb)
+    sigs = {r["vec_id"]: r["b"] for r in units.select(
+        "vec_id", similarity.srp_signature(F.col("unit"), planes).alias("b")
+    ).collect()}
+    assert sigs[1] == sigs[2]          # colinear -> identical signature
+    assert len(sigs[1]) == 4 and set(sigs[1]) <= {"0", "1"}

@@ -1,0 +1,77 @@
+"""Unit goldens for text-analysis and multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from gcp_serverless_mapreduce_spark.operators import multimodal, textstats
+
+
+def test_language_scores_pick_marker_language(spark):
+    docs = spark.createDataFrame(
+        [(1, "der hund ist nicht da und der ball"),
+         (2, "the cat is in the hat and it"),
+         (3, "zzz qqq www")],
+        ["doc_id", "text"])
+    scores = textstats.language_scores(docs).collect()
+    best = {}
+    for r in scores:
+        cur = best.get(r["doc_id"])
+        if cur is None or (-r["n_hits"], r["cand_lang"]) < cur[0]:
+            best[r["doc_id"]] = ((-r["n_hits"], r["cand_lang"]), r["cand_lang"])
+    assert best[1][1] == "de"
+    assert best[2][1] == "en"
+    assert best[3][0][0] == 0  # no hits anywhere -> caller maps to 'und'
+
+
+def test_poly_fingerprint_golden(spark):
+    # fold over 'hi': ((7*31+104)*31+105) % 1e9+7 = 10056
+    df = spark.range(1).select(textstats.poly_fingerprint(F.lit("hi")).alias("fp"))
+    assert df.collect()[0]["fp"] == 10056
+
+
+def test_bpe_token_count(spark):
+    df = spark.range(1).select(
+        textstats.bpe_token_count(F.lit("Key-1 row!")).alias("n"))
+    assert df.collect()[0]["n"] == 5  # key | - | 1 | row | !
+
+
+def _media(spark):
+    docs = spark.createDataFrame(
+        [(0, "abcd" * 20), (1, "efgh" * 20), (2, "ij" * 40)],
+        ["doc_id", "text"])
+    return multimodal.media_table(docs)
+
+
+def test_media_table_types_and_payload(spark):
+    rows = {r["media_id"]: r for r in _media(spark).collect()}
+    assert [rows[i]["media_type"] for i in (0, 1, 2)] == \
+        ["image", "audio", "video"]
+    assert bytes(rows[0]["payload"]) == b"abcd" * 20
+
+
+def test_decode_media_byte_stats(spark):
+    decoded = {r["media_id"]: r for r in
+               multimodal.decode_media(_media(spark)).collect()}
+    r = decoded[0]  # 'abcd'*20: bytes 97,98,99,100
+    assert r["n_bytes"] == 80
+    assert r["min_byte"] == 97 and r["max_byte"] == 100
+    assert abs(r["mean_byte"] - 98.5) < 1e-12
+
+
+def test_sample_frames_stride_and_md5(spark):
+    frames = multimodal.sample_frames(_media(spark)).collect()
+    # only doc 2 is video: 80 bytes -> 3 frames of 32/32/16, keep idx 0
+    assert [(r["frame_idx"], r["frame_len"]) for r in frames] == [(0, 32)]
+    assert frames[0]["frame_md5"] == hashlib.md5(b"ij" * 16).hexdigest()
+
+
+def test_resize_geometry_integer_exact(spark):
+    rows = multimodal.resize_images(_media(spark)).collect()
+    assert len(rows) == 1  # only doc 0 is an image
+    r = rows[0]
+    assert (r["orig_w"], r["orig_h"]) == (320, 180)
+    assert (r["new_w"], r["new_h"]) == (224, 180 * 224 // 320)
+    assert r["scale_ppm"] == 224 * 1_000_000 // 320
