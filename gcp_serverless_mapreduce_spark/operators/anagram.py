@@ -38,16 +38,16 @@ def tokenize_documents(docs: DataFrame,
 
     Per-document distinct scope matters: the reference dedups within one
     book only (split.go:119-133), not globally — two documents both emit a
-    shared word.  ``distinct()`` here runs over (doc, word) pairs.
+    shared word.  Because the scope is one row's array, the dedup is
+    ``array_distinct`` *inside the row* before the explode: zero shuffle,
+    where an explode-then-``distinct()`` plan would exchange every token.
+    The pipeline's only shuffle stays the signature groupBy.
     """
     text = F.col(text_col)
     if gutenberg:
         text = strip_gutenberg(text)
-    return (
-        docs.select(F.col(doc_col), F.explode(tokenize(text)).alias("word"))
-        .select(F.col(doc_col), F.lower("word").alias("word"))
-        .distinct()
-    )
+    words = F.array_distinct(F.transform(tokenize(text), F.lower))
+    return docs.select(F.col(doc_col), F.explode(words).alias("word"))
 
 
 def map_words(tokens: DataFrame) -> DataFrame:

@@ -33,42 +33,59 @@ def tokens_col(text_col: str = "text"):
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
 
-def word_shingles(docs: DataFrame, k: int = 3,
-                  doc_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
-    """-> (doc, shingle) distinct: k-word shingles (set semantics, like the
-    reference's per-book distinct P4).
+def shingle_array(k: int = 3, text_col: str = "text"):
+    """Distinct k-word shingles of one document as an array column.
+
+    The per-doc set semantics (the reference's per-book distinct P4) is
+    ``array_distinct`` *inside the row* — no shuffle ever happens for
+    dedup scoped to a document.
 
     Guard: Spark's sequence(1, n) DESCENDS when n < 1, so short docs must
     produce an empty array explicitly (DuckDB's generate_series is empty
     there — a real cross-engine semantic difference).
     """
-    toks = tokens_col(text_col)
     shingles = F.when(
-        F.size(toks) >= k,
+        F.size(tokens_col(text_col)) >= k,
         F.expr(
             f"transform(sequence(1, size({_toks_sql(text_col)}) - {k - 1}), "
             f"i -> concat_ws(' ', slice({_toks_sql(text_col)}, i, {k})))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(F.col(doc_col).alias("doc"), F.explode(shingles).alias("shingle"))
-        .distinct()
-    )
+    return F.array_distinct(shingles)
+
+
+def word_shingles(docs: DataFrame, k: int = 3,
+                  doc_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """-> (doc, shingle) rows, distinct per doc (exploded shingle_array)."""
+    return docs.select(F.col(doc_col).alias("doc"),
+                       F.explode(shingle_array(k, text_col)).alias("shingle"))
 
 
 def _toks_sql(text_col: str) -> str:
     return f"split(trim(lower({text_col})), '\\\\s+')"
 
 
-def minhash_signatures(shingles: DataFrame, num_perm: int = 8) -> DataFrame:
+def minhash_signatures(docs: DataFrame, num_perm: int = 8, k: int = 3,
+                       doc_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
     """-> (doc, mh_0..mh_{num_perm-1}): per-doc MinHash signature; each
-    permutation is min(md5(seed || '|' || shingle)) as a hex string."""
+    permutation is min(md5(seed || '|' || shingle)) as a hex string.
+
+    Plan choice, measured at sf0.1: explode → groupBy(doc).agg(min(...))
+    with ONE shuffle beats the zero-shuffle pure-expression form
+    (array_min of md5 transforms per row) ~2×: CollapseProject inlines
+    the shingle-array expression into every signature column (num_perm
+    recomputations per row), while the aggregation boundary materializes
+    shingle rows once AND gives downstream consumers (LSH banding, the
+    self-join) a reusable exchange.  Docs with < k tokens → no row.
+    """
+    sh = word_shingles(docs, k, doc_col, text_col)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"mh_{s}")
         for s in range(num_perm)
     ]
-    return shingles.groupBy("doc").agg(*aggs)
+    return sh.groupBy("doc").agg(*aggs)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
@@ -95,13 +112,26 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
     )
 
 
-def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
+def jaccard_pairs(docs: DataFrame, threshold: float, k: int = 3,
+                  doc_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
     """-> (doc_a, doc_b, jaccard) for pairs with Jaccard >= threshold.
 
     Inverted-index plan: join only on shared shingles, count intersections,
-    then |A u B| = |A| + |B| - |A n B| from per-doc set sizes.  Jaccard is
-    a ratio of exact integers — deterministic across engines.
+    then |A u B| = |A| + |B| - |A n B| from per-doc set sizes.  Set sizes
+    are ``size(shingle_array)`` per row — no aggregate.  The size joins
+    are left to AQE: at fixture scale they broadcast; at corpus scale
+    (one row per doc — NOT broadcastable) they shuffle on the doc id the
+    intersection side is already partitioned by.  Jaccard is a ratio of
+    exact integers — deterministic across engines.
     """
+    # One explicit exchange on the join key: the tokenize+shingle explode
+    # is computed exactly once — ReuseExchange feeds both self-join sides
+    # (whose distribution it already satisfies) and the size aggregate.
+    # Without it each consumer would re-scan and re-shingle the corpus
+    # (measured +40% at sf0.1).
+    shingles = (word_shingles(docs, k, doc_col, text_col)
+                .repartition(F.col("shingle")))
     sizes = shingles.groupBy("doc").agg(F.count("*").alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -129,11 +159,11 @@ def simhash16(docs: DataFrame, doc_col: str = "doc_id",
     document bit b is the sign of sum(+-1) over tokens.  Pure integer
     expressions, mirrored verbatim in the DuckDB oracle.
     """
+    uniq = F.array_distinct(
+        F.filter(tokens_col(text_col), lambda t: t != ""))
     toks = (
         docs.select(F.col(doc_col).alias("doc"),
-                    F.explode(tokens_col(text_col)).alias("tok"))
-        .filter(F.col("tok") != "")
-        .distinct()
+                    F.explode(uniq).alias("tok"))
         .withColumn("m", F.md5("tok"))
     )
     bit_sums = [

@@ -73,7 +73,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature (md5-salted permutations, hex-string min).
     Pins the shingle->signature computation cross-engine."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(dedup.word_shingles(docs), NUM_PERM)
+    sig = dedup.minhash_signatures(docs, NUM_PERM)
     return sig.withColumnRenamed("doc", "doc_id")
 
 
@@ -88,7 +88,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates: band-hash equi-join (shuffle on the
     band hash; sparse — never O(n^2))."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(dedup.word_shingles(docs), NUM_PERM)
+    sig = dedup.minhash_signatures(docs, NUM_PERM)
     return dedup.lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND)
 
 
@@ -108,7 +108,7 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard >= 0.8 via inverted-index join (ratio of exact
     integers — deterministic cross-engine)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(dedup.word_shingles(docs), JACCARD_THRESHOLD)
+    return dedup.jaccard_pairs(docs, JACCARD_THRESHOLD)
 
 
 _SIMHASH_SUMS = ", ".join(

@@ -25,7 +25,7 @@ def test_word_shingles_and_short_doc(spark):
 def test_identical_docs_collide_in_every_band(spark):
     docs = _docs(spark, [(1, "x y z w v u"), (2, "x y z w v u"),
                          (3, "totally different words here now ok")])
-    sig = dedup.minhash_signatures(dedup.word_shingles(docs))
+    sig = dedup.minhash_signatures(docs)
     pairs = dedup.lsh_candidate_pairs(sig).collect()
     assert [(r["doc_a"], r["doc_b"], r["n_shared_bands"]) for r in pairs] == \
         [(1, 2, 4)]
@@ -34,7 +34,7 @@ def test_identical_docs_collide_in_every_band(spark):
 def test_jaccard_exact_value(spark):
     # shingle sets: doc1 {abc,bcd}, doc2 {abc,bce}; J = 1/3
     docs = _docs(spark, [(1, "a b c d"), (2, "a b c e")])
-    rows = dedup.jaccard_pairs(dedup.word_shingles(docs), threshold=0.0).collect()
+    rows = dedup.jaccard_pairs(docs, threshold=0.0).collect()
     assert len(rows) == 1
     assert math.isclose(rows[0]["jaccard"], 1 / 3)
 
