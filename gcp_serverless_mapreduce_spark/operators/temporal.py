@@ -1,0 +1,115 @@
+"""Temporal join operators Spark has no native form of: as-of join and
+range join — composed from built-in ops so Catalyst/AQE still drive the
+physical plan (SURVEY §2.6: the reference has no joins at all; these are
+the time-series additions a 100 TB event store needs).
+
+**As-of join** (most recent right row at or before each left row, per
+key): the union + window plan — tag both inputs, sort within key by
+(ts, tag), carry the last seen right value forward with
+``last(..., ignorenulls)``.  ONE shuffle on the key, no range explosion,
+no per-key driver loop; skewed keys are AQE's problem like any window.
+
+**Range join** (left row × right rows with ts in [left.ts+lo, left.ts+hi]):
+the bin-bucketed plan — both sides bucket time into ceil((hi-lo)) wide
+bins, equi-join on (key, bin) with each left row probing the two bins its
+window can touch, then filter exactly.  Turns an O(n·m) theta join into a
+sparse equi-join whose fan-out is bounded by events-per-bin — the standard
+interval-join strategy streaming engines use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              value_cols: list[str] | None = None,
+              suffix: str = "_asof") -> DataFrame:
+    """Left as-of join: every left row + the latest right values whose
+    timestamp is <= the left timestamp, matched on ``on``.
+
+    Right-side duplicates at the same (key, ts) must be pre-aggregated by
+    the caller if tie-breaking matters.
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, right_ts)]
+
+    lhs = left.withColumn("_tag", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    rhs = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_tag"),
+        *[F.col(c) for c in value_cols],
+    ).withColumn(f"{right_ts}{suffix}", F.col("_ats"))
+
+    missing_in_rhs = [c for c in lhs.columns if c not in rhs.columns]
+    missing_in_lhs = [c for c in rhs.columns if c not in lhs.columns]
+    for c in missing_in_rhs:
+        rhs = rhs.withColumn(c, F.lit(None))
+    for c in missing_in_lhs:
+        lhs = lhs.withColumn(c, F.lit(None))
+    unioned = lhs.unionByName(rhs)
+
+    # right rows (tag 0) sort before left rows at the same timestamp, so
+    # "at or before" includes exact ts matches
+    w = (Window.partitionBy(on)
+         .orderBy(F.col("_ats").asc(), F.col("_tag").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = [F.last(c, ignorenulls=True).over(w).alias(f"{c}{suffix}")
+               for c in value_cols] + [
+        F.last(f"{right_ts}{suffix}", ignorenulls=True).over(w)
+        .alias(f"_{right_ts}{suffix}")]
+    out = (unioned.select("*", *carried)
+           .filter(F.col("_tag") == 1))
+    keep = [c for c in left.columns]
+    renames = [F.col(f"{c}{suffix}") for c in value_cols] + [
+        F.col(f"_{right_ts}{suffix}").alias(f"{right_ts}{suffix}")]
+    return out.select(*keep, *renames)
+
+
+def range_join_binned(left: DataFrame, right: DataFrame, on: str,
+                      left_ts: str = "ts", right_ts: str = "ts",
+                      lo_s: int = 0, hi_s: int = 300,
+                      right_cols: list[str] | None = None) -> DataFrame:
+    """Rows of ``right`` whose ts lies in [left.ts + lo_s, left.ts + hi_s]
+    (seconds), per key — as a sparse equi-join on (key, time bin).
+
+    Bin width = window span: each left row's window touches at most two
+    bins, so the left side explodes ×2 (bounded), the right side not at
+    all, and the join is a plain shuffle/broadcast equi-join Catalyst can
+    plan normally — never an O(n·m) BroadcastNestedLoopJoin.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, right_ts)]
+    span = max(hi_s - lo_s, 1)
+
+    l_epoch = F.col(left_ts).cast("long")
+    r_epoch = F.col(right_ts).cast("long")
+    lbins = F.array_distinct(F.array(
+        ((l_epoch + lo_s) / span).cast("long"),
+        ((l_epoch + hi_s) / span).cast("long"),
+    ))
+    lhs = left.withColumn("_bin", F.explode(lbins))
+    rhs = right.select(
+        F.col(on).alias("_rk"),
+        (r_epoch / span).cast("long").alias("_bin"),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    # exact filter on full-precision timestamps (epoch casts above are
+    # second-truncated — fine for conservative binning, wrong for the
+    # comparison itself)
+    joined = lhs.join(
+        rhs,
+        (F.col(on) == F.col("_rk")) & (lhs["_bin"] == rhs["_bin"]),
+    ).filter(
+        (F.col("_rts") >= F.col(left_ts) + F.expr(f"INTERVAL {lo_s} SECOND"))
+        & (F.col("_rts") <= F.col(left_ts) + F.expr(f"INTERVAL {hi_s} SECOND"))
+    )
+    return joined.select(
+        *[F.col(c) for c in left.columns],
+        F.col("_rts").alias(f"{right_ts}_right"),
+        *[F.col(f"_r_{c}").alias(c) for c in right_cols],
+    )

@@ -19,6 +19,7 @@ from . import similarity_q  # noqa: F401, E402
 from . import textstats_q  # noqa: F401, E402
 from . import streaming_q  # noqa: F401, E402
 from . import multimodal_q  # noqa: F401, E402
+from . import temporal_q  # noqa: F401, E402
 
 # Re-export the flagship for __spark_entry__.entry
 from .anagram_q import anagram_groups  # noqa: F401, E402
