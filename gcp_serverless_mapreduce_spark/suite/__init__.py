@@ -6,8 +6,11 @@ LLM-pipeline extensions):
 - ``anagram_q``    : the reference's pipeline (P1-P9, A1-A4)
 - ``relational_q`` : joins/aggs/windows/setops/date/json (SURVEY §2.6)
 - ``dedup_q``      : exact + MinHash-LSH + SimHash + Jaccard + embedding
-- ``similarity_q`` : cosine top-k / ANN
+- ``similarity_q`` : brute-force cosine top-k + SRP-LSH ANN
 - ``textstats_q``  : language-ID, quality, token counts, fingerprints
+- ``streaming_q``  : Structured Streaming windowed stats + sessionization
+- ``multimodal_q`` : binary payloads through pandas decode/frame/resize
+- ``temporal_q``   : as-of join + binned range join
 """
 
 from ..registry import oracle_sql, queries, register  # noqa: F401

@@ -486,3 +486,43 @@ def bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(((n1 * 16 + n2) % 10).cast("long").alias("bucket"))
         .groupBy("bucket").agg(F.count("*").alias("n"))
     )
+
+
+@register("price_quantiles_by_flag", """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.50) AS p50,
+       quantile_cont(l_extendedprice, 0.75) AS p75,
+       quantile_cont(l_extendedprice, 0.99) AS p99
+FROM lineitem GROUP BY l_returnflag
+""")
+def price_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, verified identical to the bit).  Exact
+    percentile sorts within groups — at 100 TB switch to
+    ``approx_percentile`` (KLL-ish sketch, mergeable map-side); the
+    approx twin is ``approx_stats_parts`` below."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+        F.expr("percentile(l_extendedprice, 0.50)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+
+
+@register("approx_stats_parts", None)  # sketch outputs are engine-specific
+def approx_stats_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the mergeable-sketch path that replaces
+    exact distinct/percentile at 100 TB: HLL++ ``approx_count_distinct``
+    and ``approx_percentile``.  No SQL oracle (sketch estimates are
+    engine-specific); tests/test_relational_extras.py bounds the HLL
+    estimate within 5% of the exact count and the approx median within
+    1% of the exact median."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_p50"),
+    )
