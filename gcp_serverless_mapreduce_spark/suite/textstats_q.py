@@ -182,3 +182,25 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fps.join(shf, fps.doc_id == shf.doc, "left").select(
         "doc_id", "content_fp", "winnow_min")
+
+
+@register("docs_per_word_salted", _T_CTE + """
+SELECT u.word, CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs
+FROM t, unnest(list_distinct(toks)) AS u(word)
+GROUP BY u.word
+""")
+def docs_per_word_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency per token via the two-phase SALTED distinct
+    count (operators/skew.py): stop words appear in nearly every doc, the
+    textbook hot key — salting spreads each word's doc set over 16
+    buckets, then sums the disjoint bucket counts.  The oracle is the
+    plain one-phase COUNT(DISTINCT): same relation, skewless algorithm."""
+    from ..operators.skew import salted_distinct_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(textstats.tokens(F.col("text"))))
+        .alias("word"))
+    return salted_distinct_count(pairs, key="word", value="doc_id",
+                                 out_col="n_docs")

@@ -1,0 +1,33 @@
+"""Accuracy bounds for sketch aggregates and the salted distinct count."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcp_serverless_mapreduce_spark.operators.skew import salted_distinct_count
+from gcp_serverless_mapreduce_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_approx_sketches_within_bounds(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    r = li.agg(
+        F.approx_count_distinct("l_partkey").alias("apx"),
+        F.countDistinct("l_partkey").alias("exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("apx_p50"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+    ).collect()[0]
+    assert abs(r["apx"] - r["exact"]) / r["exact"] < 0.05
+    assert abs(r["apx_p50"] - r["p50"]) / r["p50"] < 0.01
+
+
+def test_salted_distinct_count_equals_plain(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    plain = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    salted = {r["event_type"]: r["n_distinct"] for r in
+              salted_distinct_count(ev, "event_type", "user_id",
+                                    buckets=7).collect()}
+    assert salted == plain
