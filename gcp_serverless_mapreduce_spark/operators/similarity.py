@@ -56,7 +56,12 @@ def unit_vectors(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 
 def srp_signature(vec_col: Column, planes: list[list[int]]) -> Column:
-    """Bit string signature, e.g. '10110100' for 8 planes (sign >= 0 → '1')."""
+    """Bit string signature, e.g. '10110100' for 8 planes (sign >= 0 → '1').
+
+    Feed the RAW vector, not the unit vector: sign(v·h) is scale-invariant,
+    and a unit-vector input would drag the norm fold into all |planes| dot
+    expressions when CollapseProject inlines it (measured 2× on bucketing).
+    """
     bits = [
         F.when(dot(vec_col, F.array(*[F.lit(s) for s in plane])) >= 0,
                F.lit("1")).otherwise(F.lit("0"))
@@ -82,9 +87,16 @@ def brute_force_topk(emb: DataFrame, k: int, num_queries: int,
                      id_col: str = "vec_id") -> DataFrame:
     """-> (query_id, neighbor_id, rank, sim): exact cosine top-k of each of
     the first ``num_queries`` ids against the whole corpus.  The query side
-    is broadcast; the corpus side never moves."""
+    is broadcast; the corpus side moves once.
+
+    The ``repartition()`` is a deliberate materialization barrier: without
+    it CollapseProject inlines the normalize expression into the
+    nested-loop join and every corpus vector is re-normalized once PER
+    QUERY (measured 30× slower at |Q|=20).  One extra corpus shuffle,
+    amortized over all queries, beats |Q| norm folds per vector."""
     units = (unit_vectors(emb).select(F.col(id_col), F.col("unit"))
-             .filter(F.col("unit").isNotNull()))
+             .filter(F.col("unit").isNotNull())
+             .repartition(F.col(id_col)))
     q = (units.filter(F.col(id_col) < num_queries)
          .select(F.col(id_col).alias("query_id"), F.col("unit").alias("qv")))
     c = units.select(F.col(id_col).alias("neighbor_id"),
@@ -101,15 +113,19 @@ def brute_force_topk(emb: DataFrame, k: int, num_queries: int,
 
 
 def srp_ann_topk(emb: DataFrame, k: int, planes: list[list[int]],
-                 id_col: str = "vec_id") -> DataFrame:
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
     """-> (query_id, neighbor_id, rank, sim): per-vector top-k among the
     vectors sharing its SRP bucket (every vector is a query).  One shuffle
-    keyed on the bucket id; exact cosine re-rank inside buckets."""
+    keyed on the bucket id; exact cosine re-rank inside buckets.  Buckets
+    come from the raw vector (sign is scale-invariant); the join exchange
+    materializes the unit vectors so the re-rank pays one fold per pair."""
     units = (
-        unit_vectors(emb)
+        unit_vectors(emb, vec_col)
         .filter(F.col("unit").isNotNull())
         .select(F.col(id_col), "unit",
-                srp_signature(F.col("unit"), planes).alias("bucket"))
+                srp_signature(F.col(vec_col).cast("array<double>"),
+                              planes).alias("bucket"))
     )
     a = units.select(F.col(id_col).alias("query_id"),
                      F.col("unit").alias("qv"), "bucket")

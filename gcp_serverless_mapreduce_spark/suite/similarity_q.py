@@ -29,11 +29,11 @@ def _fold_sum(terms: str) -> str:
 
 _NORM = "sqrt(" + _fold_sum("list_transform(v, x -> x * x)") + ")"
 
-# (vec_id, u): unit vectors, zero vectors dropped — shared CTE prefix.
+# (vec_id, v, u): raw + unit vectors, zero vectors dropped — shared prefix.
 _UNIT_CTE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 n AS (SELECT vec_id, v, {_NORM} AS nrm FROM e),
-u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+u AS (SELECT vec_id, v, list_transform(v, x -> x / nrm) AS u
       FROM n WHERE nrm <> 0)
 """
 
@@ -47,8 +47,10 @@ def _plane_literal(plane: list[int]) -> str:
     return "[" + ", ".join(f"{s}.0" for s in plane) + "]"
 
 
+# bucket from the RAW vector v: sign(v·h) is scale-invariant and skips
+# the norm fold (mirrors similarity.srp_signature exactly)
 _BUCKET = "||".join(
-    f"(CASE WHEN {_dot('u', _plane_literal(p))} >= 0 THEN '1' ELSE '0' END)"
+    f"(CASE WHEN {_dot('v', _plane_literal(p))} >= 0 THEN '1' ELSE '0' END)"
     for p in PLANES)
 
 _PAIR_DOT = _dot("a.u", "b.u")
@@ -77,13 +79,15 @@ FROM s GROUP BY bucket
 """)
 def srp_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pins the SRP signature itself: vectors per 8-bit hyperplane bucket
-    (the ANN partitioning a 100 TB corpus would shuffle on)."""
+    (the ANN partitioning a 100 TB corpus would shuffle on).  Map-only up
+    to the tiny bucket agg — 8 dot folds per row, no norm anywhere."""
     emb = load_table(spark, sf_dir, "embeddings")
-    units = (similarity.unit_vectors(emb)
-             .filter(F.col("unit").isNotNull()))
+    nonzero = emb.filter(F.exists("embedding", lambda x: x != 0))
     return (
-        units.select(similarity.srp_signature(F.col("unit"), PLANES)
-                     .alias("bucket"), "vec_id")
+        nonzero.select(
+            similarity.srp_signature(
+                F.col("embedding").cast("array<double>"), PLANES)
+            .alias("bucket"), "vec_id")
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
     )
