@@ -37,6 +37,11 @@ def main() -> int:
 
     spark = get_spark("bench")
 
+    # untimed warmup: JVM/codegen/parquet-footer costs land here, not on
+    # whichever query happens to run first
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").collect()
+
     timings: dict[str, float] = {}
     for name, fn in e.queries().items():
         t0 = time.perf_counter()
