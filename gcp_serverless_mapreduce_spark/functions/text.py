@@ -62,13 +62,22 @@ def strip_gutenberg(text: Column) -> Column:
     """P1: drop everything up to+incl the START marker (+1 char, matching
     ``text[index[1]+1:]`` at split.go:97) and everything from the first
     footer marker on.  Footer form 1 wins over form 2 when both exist
-    (split.go:100-114)."""
-    text = F.regexp_replace(text, r"[\s\S]*?" + _HEADER_RE + r"[\s\S]", "")
+    (split.go:100-114).
+
+    The header pattern MUST be ``\\A``-anchored: an unanchored leading
+    lazy ``[\\s\\S]*?`` makes the regex engine's find-loop over start
+    positions multiply with the lazy expansion loop — O(n²), which hung
+    book-sized (~430 KB) strings (the 43 MB corpus benchmark never
+    finished).  Anchoring kills the outer loop; same first-match
+    semantics, measured 10× faster than any extract variant.
+    """
+    after = F.regexp_replace(
+        text, r"\A[\s\S]*?" + _HEADER_RE + r"[\s\S]", "")
     return F.when(
-        text.rlike(_FOOTER1_RE),
-        F.regexp_replace(text, _FOOTER1_RE + r"[\s\S]*", ""),
+        after.rlike(_FOOTER1_RE),
+        F.regexp_replace(after, _FOOTER1_RE + r"[\s\S]*", ""),
     ).otherwise(
-        F.regexp_replace(text, _FOOTER2_RE + r"[\s\S]*", ""),
+        F.regexp_replace(after, _FOOTER2_RE + r"[\s\S]*", ""),
     )
 
 
