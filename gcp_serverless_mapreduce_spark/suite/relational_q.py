@@ -526,3 +526,59 @@ def approx_stats_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_p50"),
     )
+
+
+@register("pivot_priority_by_status", """
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+FROM orders GROUP BY o_orderpriority
+""")
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority, one column per status.  The
+    explicit values list matters at scale — without it Spark runs an
+    extra distinct pass over the pivot column to discover headers."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+        .select("o_orderpriority",
+                *[F.col(c).cast("long").alias(c) for c in ("F", "O", "P")])
+    )
+
+
+@register("daily_orders_gapfilled", """
+WITH bounds AS (
+    SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+           CAST(MAX(o_orderdate) AS DATE) AS hi FROM orders),
+cal AS (
+    SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+    FROM bounds),
+daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+    FROM orders GROUP BY 1)
+SELECT strftime(cal.d, '%Y-%m-%d') AS day,
+       CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_orders
+FROM cal LEFT JOIN daily ON cal.d = daily.d
+""")
+def daily_orders_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a generated calendar dimension left-joined
+    to daily counts, so zero-order days appear explicitly.  The calendar
+    is sequence()+explode from the data's own bounds — a few thousand
+    rows, broadcast side of the join at any fact-table scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d"))
+    daily = (orders.groupBy(F.to_date("o_orderdate").alias("d"))
+             .agg(F.count("*").alias("n")))
+    return (
+        F.broadcast(cal).join(daily, "d", "left")
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"))
+    )
