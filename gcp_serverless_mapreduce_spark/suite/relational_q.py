@@ -504,12 +504,16 @@ def price_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx_percentile`` (KLL-ish sketch, mergeable map-side); the
     approx twin is ``approx_stats_parts`` below."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
-        F.expr("percentile(l_extendedprice, 0.50)").alias("p50"),
-        F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    # ONE percentile aggregate with an array argument: four separate
+    # percentile() calls each buffer the whole group — 4x the agg state
+    qs = F.expr(
+        "percentile(l_extendedprice, array(0.25, 0.50, 0.75, 0.99))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), qs.alias("_q"))
+        .select("l_returnflag", "n",
+                *[F.element_at("_q", i + 1).alias(a)
+                  for i, a in enumerate(["p25", "p50", "p75", "p99"])])
     )
 
 
