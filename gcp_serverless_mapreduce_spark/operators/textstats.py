@@ -71,8 +71,14 @@ def poly_fingerprint(s: Column) -> Column:
     """Rolling polynomial hash of a string's codepoints:
     fold(h -> (h*31 + code) % 1e9+7, seed 7).  Exact integer arithmetic —
     identical in any engine; at 100 TB this is the cheap per-doc identity
-    a shuffle can key on (vs md5: no binary/hex handling needed)."""
+    a shuffle can key on (vs md5: no binary/hex handling needed).
+
+    fingerprint('') is pinned to the seed: split('','') yields [''] on
+    both engines but the empty char's code DIFFERS (Spark ascii('')=0,
+    DuckDB unicode('')=-1) — found by the fuzz oracle, never by fixtures.
+    """
     codes = F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long"))
-    return F.aggregate(
+    fold = F.aggregate(
         codes, F.lit(FP_SEED).cast("long"),
         lambda acc, c: (acc * FP_MULT + c) % FP_MOD)
+    return F.when(F.length(s) > 0, fold).otherwise(F.lit(FP_SEED).cast("long"))

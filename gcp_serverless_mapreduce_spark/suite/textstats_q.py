@@ -154,10 +154,13 @@ def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FOLD = (f"list_reduce(list_prepend(CAST({textstats.FP_SEED} AS BIGINT), "
+# CASE guard mirrors poly_fingerprint: fingerprint('') = seed (the
+# engines disagree on the empty char's codepoint)
+_FOLD = (f"CASE WHEN strlen({{s}}) = 0 THEN CAST({textstats.FP_SEED} AS BIGINT) "
+         f"ELSE list_reduce(list_prepend(CAST({textstats.FP_SEED} AS BIGINT), "
          "list_transform(string_split({s}, ''), "
          "c -> CAST(unicode(c) AS BIGINT))), "
-         f"(a, c) -> (a * {textstats.FP_MULT} + c) % {textstats.FP_MOD})")
+         f"(a, c) -> (a * {textstats.FP_MULT} + c) % {textstats.FP_MOD}) END")
 
 
 @register("doc_fingerprints", _SH_CTE + f""",

@@ -1,0 +1,129 @@
+"""Randomized cross-implementation checks: each Spark operator runs on
+seeded random data and must match an independent pure-Python oracle
+written straight from the reference's semantics.  One DataFrame pass per
+test covers hundreds of random cases (a per-example hypothesis loop would
+pay Spark job latency per case).
+"""
+
+from __future__ import annotations
+
+import bisect
+import datetime as dt
+import random
+import unicodedata
+
+from pyspark.sql import functions as F
+
+from gcp_serverless_mapreduce_spark.functions.text import STOPWORDS
+from gcp_serverless_mapreduce_spark.operators import temporal, textstats
+from gcp_serverless_mapreduce_spark.operators.anagram import map_words
+
+RNG = random.Random(20260813)
+BASE = dt.datetime(2024, 3, 1)
+
+
+# ---- P5-P9: normalize + signature vs a direct port of the Go semantics ----
+
+def _py_preprocess(word: str) -> str | None:
+    """Reference preProcessWord (map.go:82-115): edge-trim non-letters,
+    drop stop words and words with any interior non-letter."""
+    w = word
+    while w and not unicodedata.category(w[0]).startswith("L"):
+        w = w[1:]
+    while w and not unicodedata.category(w[-1]).startswith("L"):
+        w = w[:-1]
+    if not w or w in STOPWORDS:
+        return None
+    if not all(unicodedata.category(c).startswith("L") for c in w):
+        return None
+    return w
+
+
+def test_normalize_and_signature_fuzz(spark):
+    alphabet = "abcdeé'ç1.-ßπ!" + "xyz"
+    words = ["".join(RNG.choices(alphabet, k=RNG.randint(1, 10)))
+             for _ in range(400)] + list(STOPWORDS[:20]) + ["", "...", "a1a"]
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(words)],
+                               ["doc_id", "word"])
+    got = {(r["word"], r["sorted_word"]) for r in map_words(df).collect()}
+    expect = set()
+    for w in words:
+        p = _py_preprocess(w)
+        if p is not None:
+            expect.add((p, "".join(sorted(p))))
+    assert got == expect
+
+
+# ---- as-of join vs bisect oracle --------------------------------------
+
+def test_asof_join_fuzz(spark):
+    left = [(i, RNG.randint(0, 9), BASE + dt.timedelta(seconds=RNG.randint(0, 5000)))
+            for i in range(300)]
+    right_raw = [(RNG.randint(0, 9), BASE + dt.timedelta(seconds=RNG.randint(0, 5000)),
+                  round(RNG.uniform(0, 100), 2)) for _ in range(300)]
+    # pre-dedupe (key, ts) like the suite query does, keeping max value
+    best: dict = {}
+    for k, ts, v in right_raw:
+        best[(k, ts)] = max(best.get((k, ts), -1.0), v)
+    right = [(k, ts, v) for (k, ts), v in best.items()]
+
+    ldf = spark.createDataFrame(left, ["event_id", "user_id", "ts"])
+    rdf = spark.createDataFrame(right, ["user_id", "ts", "v"])
+    got = {r["event_id"]: (r["v_asof"], r["ts_asof"])
+           for r in temporal.asof_join(ldf, rdf, on="user_id").collect()}
+
+    by_key: dict = {}
+    for k, ts, v in right:
+        by_key.setdefault(k, []).append((ts, v))
+    for k in by_key:
+        by_key[k].sort()
+    for eid, k, ts in left:
+        rows = by_key.get(k, [])
+        i = bisect.bisect_right([t for t, _ in rows], ts)
+        expect = rows[i - 1] if i else (None, None)
+        assert got[eid] == (expect[1], expect[0])
+
+
+# ---- binned range join vs brute force ---------------------------------
+
+def test_range_join_fuzz(spark):
+    lo_s, hi_s = 30, 450  # non-zero lo, span 420 (not a divisor of anything)
+    left = [(i, RNG.randint(0, 5), BASE + dt.timedelta(
+        seconds=RNG.randint(0, 3000), microseconds=RNG.randint(0, 999999)))
+        for i in range(150)]
+    right = [(RNG.randint(0, 5), BASE + dt.timedelta(
+        seconds=RNG.randint(0, 3000), microseconds=RNG.randint(0, 999999)),
+        float(i)) for i in range(150)]
+    ldf = spark.createDataFrame(left, ["event_id", "user_id", "ts"])
+    rdf = spark.createDataFrame(right, ["user_id", "ts", "value"])
+    got = {(r["event_id"], r["value"]) for r in temporal.range_join_binned(
+        ldf, rdf, on="user_id", lo_s=lo_s, hi_s=hi_s).collect()}
+    expect = {
+        (eid, v)
+        for eid, lk, lts in left
+        for rk, rts, v in right
+        if lk == rk
+        and lts + dt.timedelta(seconds=lo_s) <= rts
+        and rts <= lts + dt.timedelta(seconds=hi_s)
+    }
+    assert got == expect
+
+
+# ---- rolling fingerprint vs python fold -------------------------------
+
+def test_poly_fingerprint_fuzz(spark):
+    texts = ["".join(RNG.choices("abc XYZ09!? ", k=RNG.randint(0, 60)))
+             for _ in range(200)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["i", "t"])
+    got = {r["i"]: r["fp"] for r in df.select(
+        "i", textstats.poly_fingerprint(F.col("t")).alias("fp")).collect()}
+
+    def py_fp(s: str) -> int:
+        h = textstats.FP_SEED
+        for c in s:
+            h = (h * textstats.FP_MULT + ord(c)) % textstats.FP_MOD
+        return h
+
+    for i, t in enumerate(texts):
+        assert got[i] == py_fp(t), repr(t)
