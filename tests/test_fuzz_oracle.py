@@ -127,3 +127,47 @@ def test_poly_fingerprint_fuzz(spark):
 
     for i, t in enumerate(texts):
         assert got[i] == py_fp(t), repr(t)
+
+
+# ---- n-gram jaccard + minhash vs python set oracle --------------------
+
+def _py_shingles(text: str, k: int = 3) -> set:
+    toks = text.strip().lower().split()
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_jaccard_and_minhash_fuzz(spark):
+    from gcp_serverless_mapreduce_spark.operators import dedup
+
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    docs = [(i, " ".join(RNG.choices(vocab, k=RNG.randint(0, 12))))
+            for i in range(60)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.jaccard_pairs(df, threshold=0.0).collect()}
+    expect = {}
+    for i, ta in docs:
+        for j, tb in docs:
+            if i >= j:
+                continue
+            sa, sb = _py_shingles(ta), _py_shingles(tb)
+            inter = len(sa & sb)
+            if inter:  # inverted-index plan only emits sharing pairs
+                expect[(i, j)] = inter / len(sa | sb)
+    assert got.keys() == expect.keys()
+    for pair, jac in expect.items():
+        assert abs(got[pair] - jac) < 1e-12, pair
+
+    # minhash signature: permutation 0 must equal the python min over
+    # md5('0|' + shingle) hex digests
+    import hashlib
+    sig = {r["doc"]: r["mh_0"]
+           for r in dedup.minhash_signatures(df).collect()}
+    for i, t in docs:
+        sh = _py_shingles(t)
+        if not sh:
+            assert i not in sig
+        else:
+            assert sig[i] == min(
+                hashlib.md5(f"0|{s}".encode()).hexdigest() for s in sh)
