@@ -207,3 +207,101 @@ def docs_per_word_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("word"))
     return salted_distinct_count(pairs, key="word", value="doc_id",
                                  out_col="n_docs")
+
+
+# char-bigram profiles for the n-gram language heuristic (the char-level
+# counterpart of the marker-word language_id above)
+CHARGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("ch", "ei", "ie", "en", "de"),
+    "en": ("th", "he", "an", "in", "er"),
+    "es": ("os", "la", "el", "ue", "ar"),
+    "fr": ("le", "es", "on", "ou", "ai"),
+}
+
+
+def _chargram_count_sql(grams: tuple[str, ...]) -> str:
+    return " + ".join(
+        f"CAST((strlen(text) - strlen(replace(text, '{g}', ''))) / 2 AS BIGINT)"
+        for g in grams)
+
+
+_CHARGRAM_HITS = " UNION ALL ".join(
+    f"SELECT doc_id, lang, '{lang}' AS cand_lang, "
+    f"{_chargram_count_sql(grams)} AS n_hits FROM documents"
+    for lang, grams in sorted(CHARGRAM_PROFILES.items()))
+
+
+@register("language_id_chargram", f"""
+WITH hits AS ({_CHARGRAM_HITS}),
+pred AS (
+    SELECT doc_id, lang AS actual_lang,
+           CASE WHEN n_hits = 0 THEN 'und' ELSE cand_lang END AS pred_lang,
+           n_hits
+    FROM hits
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY n_hits DESC, cand_lang) = 1)
+SELECT doc_id, actual_lang, pred_lang, n_hits FROM pred
+""")
+def language_id_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language ID: per-lang char-bigram occurrence
+    counts (substring counting — pure string expressions, one scan),
+    argmax with the same tie rules as the marker-word variant."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def count_grams(grams: tuple[str, ...]):
+        parts = [
+            ((F.length("text") - F.length(F.replace(F.col("text"), F.lit(g),
+                                                    F.lit("")))) / 2)
+            .cast("long")
+            for g in grams
+        ]
+        total = parts[0]
+        for p in parts[1:]:
+            total = total + p
+        return total
+
+    cands = F.array(*[
+        F.struct(F.lit(lang).alias("cand_lang"),
+                 count_grams(grams).alias("n_hits"))
+        for lang, grams in sorted(CHARGRAM_PROFILES.items())
+    ])
+    scores = (docs.select("doc_id", F.col("lang").alias("actual_lang"),
+                          F.explode(cands).alias("c"))
+              .select("doc_id", "actual_lang", "c.cand_lang", "c.n_hits"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("cand_lang").asc())
+    return (
+        scores.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "actual_lang",
+                F.when(F.col("n_hits") == 0, F.lit("und"))
+                .otherwise(F.col("cand_lang")).alias("pred_lang"),
+                "n_hits")
+    )
+
+
+@register("word_bigram_freq_udtf", """
+WITH toks AS (
+    SELECT string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+bg AS (
+    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i + 1])) AS bigram
+    FROM toks WHERE len(t) >= 2)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM bg GROUP BY bigram
+""")
+def word_bigram_freq_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies via a Python UDTF (LATERAL table
+    function) — the user-defined row→rows surface; the oracle recomputes
+    with pure SQL.  UDTFs are the slow path by design (see
+    functions/udtfs.py); this pins the API's correctness, not its speed."""
+    from ..functions.udtfs import register_udtfs
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_udtf_src")
+    register_udtfs(spark)
+    return spark.sql("""
+        SELECT b.bigram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents_udtf_src, LATERAL word_bigrams(text) AS b
+        GROUP BY b.bigram
+    """)
