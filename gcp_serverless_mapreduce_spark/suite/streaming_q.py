@@ -79,3 +79,55 @@ def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.max("ts").cast("long") - F.min("ts").cast("long"))
              .alias("duration_s"))
     )
+
+
+@register("multires_event_rollup", """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS b, event_type,
+           COUNT(*) AS n, SUM(CAST(value AS DECIMAL(14,2))) AS v
+    FROM events GROUP BY 1, 2),
+daily AS (
+    SELECT date_trunc('day', b) AS b, event_type, SUM(n) AS n, SUM(v) AS v
+    FROM hourly GROUP BY 1, 2),
+monthly AS (
+    SELECT date_trunc('month', b) AS b, event_type, SUM(n) AS n, SUM(v) AS v
+    FROM daily GROUP BY 1, 2)
+SELECT 'hour' AS level, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       event_type, CAST(n AS BIGINT) AS n_events,
+       CAST(v AS DOUBLE) AS total_value FROM hourly
+UNION ALL
+SELECT 'day', strftime(b, '%Y-%m-%d %H:%M:%S'), event_type,
+       CAST(n AS BIGINT), CAST(v AS DOUBLE) FROM daily
+UNION ALL
+SELECT 'month', strftime(b, '%Y-%m-%d %H:%M:%S'), event_type,
+       CAST(n AS BIGINT), CAST(v AS DOUBLE) FROM monthly
+""")
+def multires_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hourly from raw, daily
+    from HOURLY, monthly from DAILY — each coarser level re-aggregates
+    ~24-30× fewer rows instead of rescanning the fact table (counts and
+    DECIMAL sums compose losslessly).  At 100 TB this hierarchy is the
+    difference between one fact-table scan and three."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (events
+              .groupBy(F.date_trunc("hour", "ts").alias("b"), "event_type")
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.col("value").cast("decimal(14,2)")).alias("v")))
+    daily = (hourly
+             .groupBy(F.date_trunc("day", "b").alias("b"), "event_type")
+             .agg(F.sum("n").alias("n"), F.sum("v").alias("v")))
+    monthly = (daily
+               .groupBy(F.date_trunc("month", "b").alias("b"), "event_type")
+               .agg(F.sum("n").alias("n"), F.sum("v").alias("v")))
+
+    def fmt(df: DataFrame, level: str) -> DataFrame:
+        return df.select(
+            F.lit(level).alias("level"),
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.col("v").cast("double").alias("total_value"))
+
+    return (fmt(hourly, "hour")
+            .unionByName(fmt(daily, "day"))
+            .unionByName(fmt(monthly, "month")))
