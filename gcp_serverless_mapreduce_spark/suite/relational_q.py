@@ -586,3 +586,58 @@ def daily_orders_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
                 F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"))
     )
+
+
+@register("q6_revenue_forecast", """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global agg — every predicate reaches
+    the parquet scan (PushedFilters), zero shuffle beyond the final
+    single-row reduce.  Revenue multiplies in DECIMAL so the sum is
+    partition-order independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                   * F.col("l_discount").cast("decimal(4,2)"))
+             .cast("double").alias("revenue"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+@register("q4_order_priority_check", """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""")
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a LEFT SEMI join (no row duplication from
+    multi-line matches), then a tiny agg on priority.  The semi join
+    shuffles only the two key columns of lineitem."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01"))
+    semi = o.join(
+        li, (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate), "left_semi")
+    return semi.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"))
