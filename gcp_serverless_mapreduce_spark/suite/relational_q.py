@@ -641,3 +641,65 @@ def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (li.l_shipdate > o.o_orderdate), "left_semi")
     return semi.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"))
+
+
+@register("q13_customer_order_distribution", """
+WITH per_cust AS (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+""")
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER fact join (zero-order customers kept,
+    COUNT of the nullable side counts only matches) feeding a second-level
+    histogram agg — two shuffles, both on shrinking data."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register("q2_min_cost_supplier", """
+WITH costs AS (
+    SELECT l_partkey, l_suppkey,
+           MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price
+    FROM lineitem GROUP BY l_partkey, l_suppkey),
+best AS (SELECT l_partkey, MIN(min_price) AS best_price
+         FROM costs GROUP BY l_partkey)
+SELECT c.l_partkey AS partkey, c.l_suppkey AS suppkey,
+       CAST(c.min_price AS DOUBLE) AS price
+FROM costs c JOIN best b
+  ON c.l_partkey = b.l_partkey AND c.min_price = b.best_price
+QUALIFY row_number() OVER (PARTITION BY c.l_partkey
+                           ORDER BY c.l_suppkey) = 1
+""")
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: 'the supplier with the minimum price per part' —
+    the correlated-scalar-subquery pattern, decorrelated by hand into
+    agg + self-join (what Catalyst's RewriteCorrelatedScalarSubquery does
+    internally); tie on price broken by lowest suppkey.  Both shuffles
+    share the l_partkey key, so the second agg and the join reuse the
+    first exchange's partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    costs = (li.groupBy("l_partkey", "l_suppkey")
+             .agg(F.min(_dec("l_extendedprice")).alias("min_price"))
+             .alias("c"))
+    best = (costs.groupBy("l_partkey")
+            .agg(F.min("min_price").alias("best_price")).alias("b"))
+    return (
+        costs.join(best, (F.col("c.l_partkey") == F.col("b.l_partkey"))
+                   & (F.col("c.min_price") == F.col("b.best_price")))
+        .select(F.col("c.l_partkey").alias("partkey"),
+                F.col("c.l_suppkey").alias("suppkey"),
+                F.col("c.min_price").cast("double").alias("price"))
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("partkey").orderBy(F.col("suppkey").asc())))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
