@@ -26,8 +26,11 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..functions.vectors import dot, l2_norm
 
@@ -139,4 +142,61 @@ def srp_ann_topk(emb: DataFrame, k: int, planes: list[list[int]],
     return (
         topk_per_query(pairs, k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
+def ivf_topk(emb: DataFrame, k: int, n_cells: int = 16, n_probe: int = 2,
+             seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans cells + multi-probe exact re-rank.
+
+    -> (query_id, neighbor_id, rank, sim): per-vector top-k among the
+    vectors in its ``n_probe`` nearest cells.
+
+    The real-index counterpart of the SRP buckets: cells come from the
+    data's own distribution (Spark ML KMeans, fixed seed), so recall
+    tracks cluster structure instead of random hyperplanes.  Plan shape
+    is identical to srp_ann_topk — corpus shuffles ONCE on cell id,
+    queries explode ×n_probe — so the 100 TB properties carry over; the
+    KMeans fit itself samples/aggregates, never collects raw vectors
+    beyond k centers.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("arr"),
+    ).withColumn("features", array_to_vector("arr"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feats)
+    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+
+    @pandas_udf("array<int>")
+    def probe_cells(arrs: pd.Series) -> pd.Series:
+        m = np.vstack(arrs.to_numpy())                     # batch × dim
+        d = ((m[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1)[:, :n_probe]
+        return pd.Series(list(order.astype("int32")))
+
+    units = (unit_vectors(emb, vec_col)
+             .filter(F.col("unit").isNotNull())
+             .select(F.col(id_col), "unit",
+                     F.col(vec_col).cast("array<double>").alias("arr")))
+    assigned = units.withColumn("cells", probe_cells("arr"))
+    corpus = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("cv"),
+        F.element_at("cells", 1).alias("cell"))  # corpus lives in 1 cell
+    queries = assigned.select(
+        F.col(id_col).alias("query_id"), F.col("unit").alias("qv"),
+        F.explode("cells").alias("cell"))        # queries probe n_probe
+    pairs = (
+        queries.join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                dot(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    return (
+        topk_per_query(pairs, k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("sim", 4).alias("sim"))
     )

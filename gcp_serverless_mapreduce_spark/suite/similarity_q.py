@@ -107,3 +107,14 @@ def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle is keyed on the bucket id, never all-pairs."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.srp_ann_topk(emb, K, PLANES)
+
+
+@register("ivf_ann_topk", None)  # KMeans cells aren't SQL-reproducible
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-{K}: Spark ML KMeans cells (fixed seed), probe-2
+    search, exact cosine re-rank — the trained-index scale path next to
+    the hash-based SRP variant.  Rows-only check (cell assignments come
+    from an iterative fit no SQL engine reproduces); recall vs the
+    brute-force baseline is asserted in tests/test_ivf.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, K, n_cells=16, n_probe=2)
