@@ -703,3 +703,29 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+@register("window_trailing_7d_spend", """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+            RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_7d_spend
+FROM orders
+""")
+def window_trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per customer, total spend over the trailing 7
+    days (value-based frame on epoch seconds — unlike a ROWS frame, ties
+    and gaps in time are handled by value distance).  DECIMAL sum keeps
+    the frame aggregation order-independent."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+         .rangeBetween(-7 * 24 * 3600, Window.currentRow))
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("trailing_7d_spend"),
+    )
