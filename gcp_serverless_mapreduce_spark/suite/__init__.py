@@ -17,6 +17,7 @@ from ..registry import oracle_sql, queries, register  # noqa: F401
 
 from . import anagram_q  # noqa: F401, E402
 from . import relational_q  # noqa: F401, E402
+from . import tpch_extra_q  # noqa: F401, E402
 from . import dedup_q  # noqa: F401, E402
 from . import similarity_q  # noqa: F401, E402
 from . import textstats_q  # noqa: F401, E402
