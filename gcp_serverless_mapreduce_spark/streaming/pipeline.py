@@ -59,13 +59,63 @@ def windowed_event_stats(events: DataFrame) -> DataFrame:
     )
 
 
-def run_available_now(result: DataFrame, name: str) -> DataFrame:
-    """Execute a streaming aggregate to completion (availableNow) into a
-    memory sink; return the materialized result as a static DataFrame."""
+def click_purchase_join(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join: each click matched to the same user's
+    purchases within the following hour.
+
+    Both sides carry a 1-hour watermark and the join condition bounds
+    purchase_ts to [click_ts, click_ts + 1h] — the time-interval condition
+    is what lets Spark evict join state (a click older than watermark - 1h
+    can never match again), so state stays bounded no matter how long the
+    streams run.  Inner-join matches emit immediately (no watermark wait).
+    Works unchanged on a static frame, where the same condition is just a
+    range-join predicate.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour"))
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour"))
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")))
+        .select(
+            F.col("c_user").alias("user_id"), "click_id", "purchase_id",
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"))
+    )
+
+
+def distinct_user_event_pairs(events: DataFrame) -> DataFrame:
+    """Streaming deduplication: the distinct (user_id, event_type) pairs
+    seen so far.  ``dropDuplicates`` on a stream keeps per-key state and
+    emits each key once, on first sight — the streaming form of the
+    reference's set-based dedup (SURVEY P4/A5).  Projecting only the key
+    columns before the dedup makes the result order-independent (no
+    arbitrary "first row wins" payload)."""
+    return events.select("user_id", "event_type").dropDuplicates()
+
+
+def run_available_now(result: DataFrame, name: str,
+                      mode: str = "complete") -> DataFrame:
+    """Execute a streaming query to completion (availableNow) into a
+    memory sink; return the materialized result as a static DataFrame.
+    ``mode="complete"`` for aggregates; ``mode="append"`` for
+    stream-stream joins and dedup (which don't support complete)."""
     q = (result.writeStream
          .format("memory")
          .queryName(name)
-         .outputMode("complete")
+         .outputMode(mode)
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()

@@ -33,6 +33,38 @@ def stream_windowed_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.run_available_now(stats, "windowed_event_stats_sink")
 
 
+@register("stream_click_purchase_join", """
+SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM events c JOIN events p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""")
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarked, time-bounded state
+    (clicks x same-user purchases within 1 h), executed through
+    readStream/writeStream and held to the same DuckDB oracle as the
+    batch range join."""
+    ev = pipeline.stream_events(spark, sf_dir)
+    return pipeline.run_available_now(
+        pipeline.click_purchase_join(ev), "click_purchase_join_sink",
+        mode="append")
+
+
+@register("stream_distinct_user_event_pairs", """
+SELECT DISTINCT user_id, event_type FROM events
+""")
+def stream_distinct_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: dropDuplicates over a stream (per-key state, each
+    key emitted on first sight) — the streaming form of the reference's
+    set-based dedup (SURVEY P4/A5)."""
+    ev = pipeline.stream_events(spark, sf_dir)
+    return pipeline.run_available_now(
+        pipeline.distinct_user_event_pairs(ev),
+        "distinct_user_event_pairs_sink", mode="append")
+
+
 @register("sessionize_user_events", f"""
 WITH g AS (
     SELECT user_id, event_id, ts, value,

@@ -66,3 +66,58 @@ def test_grouped_state_across_batches(spark, split_events_dir):
     for uid, (n, v) in batch.items():
         assert finals[uid][0] == n
         assert math.isclose(finals[uid][1], v, rel_tol=1e-9)
+
+
+@pytest.fixture()
+def ordered_events_dir(spark, tmp_path):
+    """Events split into N_FILES contiguous time ranges, one file each,
+    mtimes pinned so the stream source delivers them in event-time order
+    (the arrival pattern watermarked state is designed for — a round-robin
+    split would legitimately drop whole batches as late)."""
+    import os
+
+    from pyspark.sql import Window
+
+    out = str(tmp_path / "events_ordered")
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "_bucket", F.ntile(N_FILES).over(
+            Window.orderBy("ts", "event_id")))
+    for i in range(1, N_FILES + 1):
+        (ev.filter(F.col("_bucket") == i).drop("_bucket")
+         .coalesce(1).write.mode("append").parquet(out))
+        base = 1_700_000_000 + i * 10
+        for name in os.listdir(out):
+            p = os.path.join(out, name)
+            if name.endswith(".parquet") and os.path.getmtime(p) > base:
+                os.utime(p, (base, base))
+    return out
+
+
+def test_stream_stream_join_across_batches(spark, ordered_events_dir):
+    """Join state must pair a click from one micro-batch with a purchase
+    arriving in a LATER batch (maxFilesPerTrigger=1 forces the split);
+    result must equal the batch range join over the same data."""
+    streamed = pipeline.run_available_now(
+        pipeline.click_purchase_join(_stream(spark, ordered_events_dir)),
+        "multibatch_join_sink", mode="append")
+    batch = pipeline.click_purchase_join(
+        spark.read.parquet(ordered_events_dir))
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+    assert len(b) > 0
+
+
+def test_stream_dedup_across_batches(spark, split_events_dir):
+    """dropDuplicates state must suppress a key's re-appearance in later
+    batches: streamed distinct == batch distinct, each key exactly once."""
+    streamed = pipeline.run_available_now(
+        pipeline.distinct_user_event_pairs(_stream(spark, split_events_dir)),
+        "multibatch_dedup_sink", mode="append")
+    rows = streamed.collect()
+    keys = [(r["user_id"], r["event_type"]) for r in rows]
+    assert len(keys) == len(set(keys))  # no key emitted twice
+    batch = {(r["user_id"], r["event_type"]) for r in
+             spark.read.parquet(split_events_dir)
+             .select("user_id", "event_type").distinct().collect()}
+    assert set(keys) == batch
