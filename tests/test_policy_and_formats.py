@@ -48,3 +48,55 @@ def test_csv_and_json_source_roundtrip(spark, tmp_path):
     expect = [tuple(r) for r in orig.collect()]
     assert sorted(tuple(r) for r in csv_back.collect()) == expect
     assert sorted(tuple(r) for r in json_back.collect()) == expect
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    """A filter on the partition column must prune at planning time:
+    inputFiles() of the filtered read touches only that year's directory,
+    and the scan's plan carries it as a PartitionFilter (not a data
+    filter)."""
+    from gcp_serverless_mapreduce_spark.sources import partitioned
+    from gcp_serverless_mapreduce_spark.tables import load_table
+
+    path = str(tmp_path / "orders_by_year")
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "order_year", F.year("o_orderdate"))
+    partitioned.write_partitioned(orders, path, "order_year")
+
+    pruned = (partitioned.read_partition_pruned(spark, path)
+              .filter(F.col("order_year") == 1997))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the year predicate must land in PartitionFilters (directory pruning
+    # at planning time), NOT in PushedFilters/data Filter
+    assert "PartitionFilters: [" in plan
+    part_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "order_year" in part_filters and "1997" in part_filters
+
+    # pruned read equals the unpartitioned filter
+    expected = load_table(spark, SF_DIR, "orders").filter(
+        F.year("o_orderdate") == 1997).count()
+    assert pruned.count() == expected
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_year(spark, tmp_path):
+    """Dynamic overwrite with one year's data must leave other years
+    intact (per-partition idempotent re-runs)."""
+    from gcp_serverless_mapreduce_spark.sources import partitioned
+    from gcp_serverless_mapreduce_spark.tables import load_table
+
+    path = str(tmp_path / "orders_dyn")
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "order_year", F.year("o_orderdate"))
+    partitioned.write_partitioned(orders, path, "order_year")
+    before = spark.read.parquet(path).count()
+
+    # re-write ONLY 1997, halved
+    y97 = orders.filter(F.col("order_year") == 1997).limit(10)
+    partitioned.overwrite_partitions_dynamic(y97, path, "order_year")
+
+    after = spark.read.parquet(path)
+    n97 = after.filter(F.col("order_year") == 1997).count()
+    rest = after.filter(F.col("order_year") != 1997).count()
+    n97_orig = orders.filter(F.col("order_year") == 1997).count()
+    assert n97 == 10
+    assert rest == before - n97_orig  # untouched years survive
