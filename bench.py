@@ -41,6 +41,13 @@ def main() -> int:
     # whichever query happens to run first
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").collect()
+    # Spark ML class loading (~4 s, one-time) must not bill to the first
+    # KMeans-using query
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    _toy = (spark.range(32).selectExpr("cast(array(id, id+1) as array<double>) arr")
+            .withColumn("features", array_to_vector("arr")))
+    KMeans(k=2, seed=1, maxIter=1, featuresCol="features").fit(_toy)
 
     timings: dict[str, float] = {}
     for name, fn in e.queries().items():

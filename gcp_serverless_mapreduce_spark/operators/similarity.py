@@ -165,10 +165,24 @@ def ivf_topk(emb: DataFrame, k: int, n_cells: int = 16, n_probe: int = 2,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = emb.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("arr"),
-    ).withColumn("features", array_to_vector("arr"))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feats)
+    # Train centroids on a bounded, cached sample: KMeans makes maxIter
+    # passes over its input, so (a) never hand it the full corpus — at
+    # 100 TB centroids come from a few thousand vectors just as well —
+    # and (b) cache the sample so each pass is a memory scan, not a
+    # parquet re-read (measured 6 s -> 1.3 s at sf0.1).
+    train_cap = 4096
+    n = emb.count()
+    feats = emb.select(F.col(vec_col).cast("array<double>").alias("arr"))
+    if n > train_cap:
+        feats = feats.sample(fraction=min(1.0, 1.5 * train_cap / n),
+                             seed=seed).limit(train_cap)
+    feats = (feats.withColumn("features", array_to_vector("arr"))
+             .coalesce(4).cache())
+    try:
+        model = KMeans(k=n_cells, seed=seed, maxIter=10,
+                       featuresCol="features").fit(feats)
+    finally:
+        feats.unpersist()
     centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
 
     @pandas_udf("array<int>")
@@ -182,21 +196,57 @@ def ivf_topk(emb: DataFrame, k: int, n_cells: int = 16, n_probe: int = 2,
              .filter(F.col("unit").isNotNull())
              .select(F.col(id_col), "unit",
                      F.col(vec_col).cast("array<double>").alias("arr")))
-    assigned = units.withColumn("cells", probe_cells("arr"))
-    corpus = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("cv"),
-        F.element_at("cells", 1).alias("cell"))  # corpus lives in 1 cell
-    queries = assigned.select(
-        F.col(id_col).alias("query_id"), F.col("unit").alias("qv"),
-        F.explode("cells").alias("cell"))        # queries probe n_probe
-    pairs = (
-        queries.join(corpus, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id",
-                dot(F.col("qv"), F.col("cv")).alias("sim"))
+    # One row per (vector, probed cell); pos 0 is the vector's HOME cell,
+    # so that row doubles as its corpus membership — a single frame and a
+    # single shuffle (keyed by cell) carry both the corpus and the query
+    # sides, and the normalize + probe UDF upstream runs exactly once.
+    member = (
+        units.withColumn("cells", probe_cells("arr"))
+        .select(F.col(id_col).alias("vid"), "unit",
+                F.posexplode("cells").alias("pos", "cell"))
+        .withColumn("is_home", F.col("pos") == 0).drop("pos")
+    )
+
+    # Re-rank cell-by-cell with one GEMM per cell (applyInPandas on the
+    # cell id -> numpy matmul), instead of exploding |Q_cell| x |C_cell|
+    # pair rows and folding a 64-dim dot per row in the interpreter
+    # (~500k interpreted folds at sf0.1; measured ~3x slower).  Each cell
+    # emits only its local top-k per query; the global top-k over the
+    # n_probe probed cells is then a window over k*n_probe candidate rows
+    # per query.  This is the scale plan: the shuffle moves each vector
+    # n_probe times (keyed by cell), and each cell block fits one task.
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "neighbor_id": pd.Series(dtype="int64"),
+             "sim": pd.Series(dtype="float64")})
+        cdf = pdf[pdf["is_home"]]
+        if pdf.empty or cdf.empty:
+            return empty
+        Q = np.vstack(pdf["unit"].to_numpy())    # every row queries here
+        C = np.vstack(cdf["unit"].to_numpy())    # home rows are the corpus
+        sims = Q @ C.T                           # |Q_cell| x |C_cell|
+        qids = pdf["vid"].to_numpy()
+        nids = cdf["vid"].to_numpy()
+        sims[qids[:, None] == nids[None, :]] = -np.inf   # mask self-pairs
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(qids, kk)
+        cols = top.ravel()
+        vals = sims[np.repeat(np.arange(len(qids)), kk), cols]
+        keep = vals > -np.inf
+        return pd.DataFrame({"query_id": rows[keep],
+                             "neighbor_id": nids[cols[keep]],
+                             "sim": vals[keep]})
+
+    candidates = (
+        member.groupBy("cell")
+        .applyInPandas(cell_topk,
+                       "query_id long, neighbor_id long, sim double")
     )
     return (
-        topk_per_query(pairs, k)
+        topk_per_query(candidates, k)
         .select("query_id", "neighbor_id", "rank",
                 F.round("sim", 4).alias("sim"))
     )
