@@ -305,3 +305,58 @@ def word_bigram_freq_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents_udtf_src, LATERAL word_bigrams(text) AS b
         GROUP BY b.bigram
     """)
+
+
+@register("corpus_prep_pipeline", _T_CTE + """,
+gated AS (
+    SELECT * FROM t
+    WHERE len(toks) BETWEEN 20 AND 1000
+      AND CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+          / NULLIF(len(text), 0) >= 0.75
+      AND lang IN ('en', 'de', 'fr', 'es')),
+deduped AS (
+    SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) AS rn
+    FROM gated)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(toks)) AS BIGINT) AS ws_tokens,
+       round(CAST(SUM(list_sum(list_transform(toks, x -> len(x)))) AS DOUBLE)
+             / SUM(len(toks)), 6) AS avg_token_len
+FROM deduped WHERE rn = 1
+GROUP BY source, lang
+""")
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep: quality gate (length + alpha ratio)
+    -> language allowlist -> exact dedup (keep lowest doc_id per content
+    hash) -> per-(source, lang) corpus accounting.  The composition the
+    LLM-pipeline extensions exist for, as ONE declarative plan.
+
+    Scale shape: the gates are scan-side filters (no shuffle, pushdown-
+    friendly); dedup is one shuffle on the 128-bit content hash (near-
+    uniform keys — no skew); the final rollup is a partial+final agg on a
+    tiny key space.  Nothing in the chain materializes the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textstats.tokens(F.col("text"))
+    d = docs.withColumn("toks", toks)
+    n = F.size("toks")
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+        / F.nullif(F.length("text").cast("long"), F.lit(0).cast("long")))
+    gated = d.filter(
+        n.between(20, 1000) & (alpha_ratio >= 0.75)
+        & F.col("lang").isin("en", "de", "fr", "es"))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (gated.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1))
+    tok_chars = F.aggregate(
+        F.transform(F.col("toks"), lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    ws = F.sum(F.size("toks").cast("long"))
+    return (
+        deduped.groupBy("source", "lang")
+        .agg(F.count("*").alias("n_docs"),
+             ws.alias("ws_tokens"),
+             F.round(F.sum(tok_chars).cast("double") / ws, 6)
+             .alias("avg_token_len"))
+    )

@@ -100,3 +100,23 @@ def test_dynamic_partition_overwrite_replaces_only_touched_year(spark, tmp_path)
     n97_orig = orders.filter(F.col("order_year") == 1997).count()
     assert n97 == 10
     assert rest == before - n97_orig  # untouched years survive
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC round-trip (columnar alternative to parquet), and the same
+    predicate-pushdown contract: a filter on the ORC read must reach the
+    scan as a PushedFilter."""
+    orig = (load_table(spark, SF_DIR, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+    p = str(tmp_path / "orders_orc")
+    orig.write.mode("overwrite").orc(p)
+
+    back = spark.read.orc(p)
+    assert sorted(tuple(r) for r in back.collect()) == \
+        sorted(tuple(r) for r in orig.collect())
+
+    filtered = back.filter(F.col("o_totalprice") > 300000)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "o_totalprice" in pushed
