@@ -729,3 +729,104 @@ def window_trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
         .cast("double").alias("trailing_7d_spend"),
     )
+
+
+@register("udaf_geomean_by_status", """
+SELECT o_orderstatus,
+       round(exp(avg(ln(CAST(o_totalprice AS DOUBLE)))), 6) AS geomean_price,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderstatus
+""")
+def udaf_geomean_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE surface: a pandas GROUPED_AGG UDAF
+    (Arrow-batched, partial-agg-free — each group's values reach one
+    task).  Geometric mean = exp(mean(ln x)); the oracle recomputes it in
+    pure SQL.  At scale a log-sum built-in (`exp(avg(ln(x)))` as an
+    expression) is the faster plan — this entry pins the UDAF *API*; the
+    oracle shape doubles as the scale recipe."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType given explicitly: the module's postponed annotations
+    # (PEP 563) keep Spark from inferring GROUPED_AGG from the signature
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def ngroup(v):
+        # Spark disallows mixing pandas and JVM aggregates in one agg, so
+        # the count is a (trivial) pandas aggregate too
+        return len(v)
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(F.round(geomean("o_totalprice"), 6).alias("geomean_price"),
+             ngroup("o_orderkey").alias("n"))
+    )
+
+
+@register("locf_hourly_event_values", """
+WITH bounds AS (
+    SELECT date_trunc('hour', MIN(ts)) AS lo,
+           date_trunc('hour', MAX(ts)) AS hi FROM events),
+cal AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h,
+           round(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS v
+    FROM events GROUP BY 1, 2),
+grid AS (
+    SELECT t.event_type, c.h, hourly.v
+    FROM types t CROSS JOIN cal c
+    LEFT JOIN hourly ON hourly.event_type = t.event_type AND hourly.h = c.h)
+SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+       last_value(v IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+FROM grid
+""")
+def locf_hourly_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series LOCF (last-observation-carried-forward): hourly mean
+    value per event type on a gap-free calendar grid, gaps filled by the
+    most recent observed hour (``last(..., ignorenulls=True)`` running
+    window).  Hours before a type's first observation stay NULL.
+
+    Scale shape: the calendar×types grid is tiny and broadcast; the only
+    data-sized shuffle is the hourly pre-aggregation; the fill window
+    shuffles the GRID (not the events) by event_type."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"))
+    types = events.select("event_type").distinct()
+    hourly = (events.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.round(F.sum(F.col("value").cast("decimal(14,2)"))
+                           .cast("double") / F.count("*"), 6).alias("v")))
+    grid = (F.broadcast(types.crossJoin(cal))
+            .join(hourly, ["event_type", "h"], "left"))
+    w = (Window.partitionBy("event_type").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return grid.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"))
+
+
+@register("stratified_sample_by_lang", None)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (``sampleBy``): per-language sampling rates —
+    the training-data rebalancing op (e.g. downsample the dominant
+    language).  Seeded => deterministic per run; rows-only (Bernoulli
+    sampling is engine-specific, so no value oracle).  Scale shape: a
+    scan-side filter, no shuffle; rates are a tiny broadcast map.
+    `tests/test_relational_extras.py` asserts per-stratum proportions."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
+    return (docs.sampleBy("lang", fractions, seed=42)
+            .select("doc_id", "lang", "source"))

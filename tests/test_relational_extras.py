@@ -31,3 +31,28 @@ def test_salted_distinct_count_equals_plain(spark):
               salted_distinct_count(ev, "event_type", "user_id",
                                     buckets=7).collect()}
     assert salted == plain
+
+
+def test_stratified_sample_proportions_and_determinism(spark):
+    from gcp_serverless_mapreduce_spark.suite.relational_q import (
+        stratified_sample_by_lang,
+    )
+
+    base = {r["lang"]: r["n"] for r in
+            load_table(spark, SF_DIR, "documents").groupBy("lang")
+            .agg(F.count("*").alias("n")).collect()}
+    s1 = stratified_sample_by_lang(spark, SF_DIR).collect()
+    s2 = stratified_sample_by_lang(spark, SF_DIR).collect()
+    # seeded => identical across runs
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+
+    got = {}
+    for r in s1:
+        got[r["lang"]] = got.get(r["lang"], 0) + 1
+    # fraction-1.0 strata keep every row; the 0.5 stratum is Bernoulli
+    # around half (loose 3-sigma-ish bound for the small fixture)
+    for lang, n in base.items():
+        if lang == "en":
+            assert 0.25 * n <= got[lang] <= 0.75 * n
+        else:
+            assert got[lang] == n
