@@ -830,3 +830,59 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
     return (docs.sampleBy("lang", fractions, seed=42)
             .select("doc_id", "lang", "source"))
+
+
+@register("grouping_sets_order_stats", """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+           AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""")
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-status totals,
+    per-priority totals, and the grand total in ONE pass — Spark expands
+    the sets in a single Expand + hash-agg, reading the fact table once
+    instead of three times.  ``grouping_id`` disambiguates the NULLs of
+    each set from data NULLs."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_gsets_src")
+    return spark.sql("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                    AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total
+        FROM orders_gsets_src
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+@register("ntile_customer_value_quartiles", """
+WITH q AS (
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer)
+SELECT quartile, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+FROM q GROUP BY quartile, c_mktsegment
+""")
+def ntile_customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing: customers split into account-balance quartiles
+    (total order via the custkey tiebreak makes bucket assignment
+    deterministic), then segment mix per quartile.  Note the global
+    ORDER BY window is a single-partition sort — fine for a dimension
+    table, the wrong tool for a fact table (use range partitioning /
+    approx percentiles there)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.select("c_custkey", "c_mktsegment",
+                    F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile", "c_mktsegment")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
