@@ -121,3 +121,27 @@ def test_stream_dedup_across_batches(spark, split_events_dir):
              spark.read.parquet(split_events_dir)
              .select("user_id", "event_type").distinct().collect()}
     assert set(keys) == batch
+
+
+def test_foreach_batch_partitioned_sink_exactly_once(spark, split_events_dir, tmp_path):
+    """foreachBatch -> hive-partitioned parquet: all batches land, the
+    layout is date-partitioned, and a re-run from the same checkpoint
+    with no new input appends NOTHING (checkpoint = exactly-once)."""
+    import os
+    table = str(tmp_path / "events_table")
+    ckpt = str(tmp_path / "ckpt")
+    pipeline.stream_to_partitioned_table(
+        _stream(spark, split_events_dir), table, ckpt)
+
+    got = spark.read.parquet(table)
+    src = spark.read.parquet(split_events_dir)
+    assert got.count() == src.count()
+    assert any(d.startswith("event_date=") for d in os.listdir(table))
+    # distinct event ids survive intact (append, no partition clobbering)
+    assert got.select("event_id").distinct().count() == \
+        src.select("event_id").distinct().count()
+
+    # idempotent re-run: same checkpoint, no new files -> no new rows
+    pipeline.stream_to_partitioned_table(
+        _stream(spark, split_events_dir), table, ckpt)
+    assert spark.read.parquet(table).count() == src.count()
