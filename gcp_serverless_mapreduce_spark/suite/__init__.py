@@ -15,15 +15,21 @@ LLM-pipeline extensions):
 
 from ..registry import oracle_sql, queries, register  # noqa: F401
 
+# Registration order deliberately leads with the LLM-pipeline families
+# (dedup, similarity, textstats, streaming, multimodal, temporal): the
+# driver's correctness gate checks registry entries front-to-back, and in
+# round 1 these families sat past its horizon and were never oracle-checked
+# (VERDICT.md "Next round" #1).  The relational/TPC-H block — 47/47 green in
+# CORRECTNESS_r01.json — rotates to the back.
 from . import anagram_q  # noqa: F401, E402
-from . import relational_q  # noqa: F401, E402
-from . import tpch_extra_q  # noqa: F401, E402
 from . import dedup_q  # noqa: F401, E402
 from . import similarity_q  # noqa: F401, E402
 from . import textstats_q  # noqa: F401, E402
 from . import streaming_q  # noqa: F401, E402
 from . import multimodal_q  # noqa: F401, E402
 from . import temporal_q  # noqa: F401, E402
+from . import relational_q  # noqa: F401, E402
+from . import tpch_extra_q  # noqa: F401, E402
 
 # Re-export the flagship for __spark_entry__.entry
 from .anagram_q import anagram_groups  # noqa: F401, E402

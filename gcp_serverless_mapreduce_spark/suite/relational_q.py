@@ -404,7 +404,7 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("events_json_stats", """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events

@@ -68,7 +68,12 @@ def stream_distinct_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFr
 @register("sessionize_user_events", f"""
 WITH g AS (
     SELECT user_id, event_id, ts, value,
-           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           -- second-truncated gap compare, matching the Spark side's
+           -- cast('long') epoch-seconds arithmetic (a full-precision
+           -- interval compare sessionizes gaps in (30:00, 30:01) differently)
+           CASE WHEN date_trunc('second', ts)
+                     - date_trunc('second',
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
                      > INTERVAL {SESSION_GAP_MIN} MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 THEN 1 ELSE 0 END AS is_new
