@@ -60,13 +60,32 @@ def main() -> int:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(json.dumps({
-        "metric": "suite_wall_clock",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }))
+
+    # Full-precision per-query detail goes to a sidecar file; stdout gets
+    # ONE compact JSON line that must fit the driver's 2000-char tail
+    # capture WHOLE (round 1's full dict overflowed it -> "parsed": null).
+    # Slowest queries first, dict truncated to the budget; headline fields
+    # lead so the line is self-describing even in a narrower window.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as fh:
+        json.dump({"metric": "suite_wall_clock", "value": total,
+                   "unit": "sec", "sf": sf, "queries": timings}, fh, indent=1)
+
+    head = {"metric": "suite_wall_clock", "value": total, "unit": "sec",
+            "sf": sf, "n_queries": len(timings)}
+    budget = 1900 - len(json.dumps(head, separators=(",", ":")))
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    shown: dict[str, float] = {}
+    used = len('"queries":{},"queries_omitted":00')
+    for name, t in slowest:
+        entry = len(f'"{name}":{round(t, 2)},')
+        if used + entry > budget:
+            break
+        shown[name] = round(t, 2)
+        used += entry
+    head["queries"] = shown
+    head["queries_omitted"] = len(timings) - len(shown)
+    print(json.dumps(head, separators=(",", ":")))
     return 1 if any(t < 0 for t in timings.values()) else 0
 
 

@@ -16,8 +16,11 @@ Scale design:
   shuffle keyed on the band hash, never an O(n^2) cross join;
 - exact Jaccard runs only on pairs sharing >= 1 shingle (inverted-index
   join), the standard sparse-similarity plan;
-- at 100 TB you'd salt hot band-hashes (boilerplate/empty docs) before the
-  pair join and cap per-bucket fan-out; AQE skew-join covers moderate skew.
+- hot band-hashes (boilerplate/empty docs) are capped BEFORE the pair
+  join (``max_bucket``): a bucket of m identical docs otherwise emits
+  m^2/2 pair rows in one task — the one quadratic blow-up this plan
+  admits.  AQE skew-join covers moderate skew; the cap bounds the
+  degenerate case.
 """
 
 from __future__ import annotations
@@ -117,10 +120,22 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 8, k: int = 3,
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
-                        rows_per_band: int = 2) -> DataFrame:
+                        rows_per_band: int = 2,
+                        max_bucket: int | None = None) -> DataFrame:
     """-> (doc_a, doc_b, n_shared_bands): docs whose signatures collide in
     >= 1 band.  Band hash = md5 of the band's concatenated minhashes; the
-    pair join shuffles on (band index, band hash) — sparse, never O(n^2)."""
+    pair join shuffles on (band index, band hash) — sparse, never O(n^2).
+
+    ``max_bucket`` is the hot-bucket guard: only the ``max_bucket``
+    smallest doc ids of each (band, band_hash) bucket enter the pair join,
+    so a degenerate bucket (m near-identical boilerplate docs) contributes
+    O(max_bucket^2) pairs instead of O(m^2).  Deterministic (rank by doc
+    id) and hence mirrorable in the SQL oracle; docs past the cap are by
+    construction near-dups of the kept ones — exact dedup and the
+    retained pairs still transitively cover the group.  The row_number
+    partitions by the SAME key the join shuffles on, so the cap costs a
+    sort within the existing exchange, not a new shuffle.
+    """
     band_cols = F.array(*[
         F.md5(F.concat_ws("|", *[
             F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
@@ -129,6 +144,11 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
     ])
     banded = signatures.select(
         "doc", F.posexplode(band_cols).alias("band", "band_hash"))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("band", "band_hash").orderBy("doc")
+        banded = (banded.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= max_bucket).drop("_rn"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -117,12 +117,23 @@ def brute_force_topk(emb: DataFrame, k: int, num_queries: int,
 
 def srp_ann_topk(emb: DataFrame, k: int, planes: list[list[int]],
                  id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 max_bucket: int | None = None) -> DataFrame:
     """-> (query_id, neighbor_id, rank, sim): per-vector top-k among the
     vectors sharing its SRP bucket (every vector is a query).  One shuffle
     keyed on the bucket id; exact cosine re-rank inside buckets.  Buckets
     come from the raw vector (sign is scale-invariant); the join exchange
-    materializes the unit vectors so the re-rank pays one fold per pair."""
+    materializes the unit vectors so the re-rank pays one fold per pair.
+
+    ``max_bucket`` caps the NEIGHBOR side of a hot bucket: only the
+    ``max_bucket`` smallest vec_ids serve as candidates there, bounding a
+    degenerate bucket (boilerplate corpus → one bucket holds everything)
+    at O(n·max_bucket) pairs instead of O(n^2).  Every vector still
+    queries — capped buckets lose only candidate DIVERSITY, and the
+    dropped candidates are bucket-mates of the kept ones (near-identical
+    by construction).  Deterministic, so the SQL oracle mirrors it; the
+    row_number runs over the join's own bucket exchange (a sort, not a
+    new shuffle)."""
     units = (
         unit_vectors(emb, vec_col)
         .filter(F.col("unit").isNotNull())
@@ -134,6 +145,10 @@ def srp_ann_topk(emb: DataFrame, k: int, planes: list[list[int]],
                      F.col("unit").alias("qv"), "bucket")
     b = units.select(F.col(id_col).alias("neighbor_id"),
                      F.col("unit").alias("cv"), "bucket")
+    if max_bucket is not None:
+        wb = Window.partitionBy("bucket").orderBy("neighbor_id")
+        b = (b.withColumn("_rn", F.row_number().over(wb))
+             .filter(F.col("_rn") <= max_bucket).drop("_rn"))
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -170,12 +185,17 @@ def ivf_topk(emb: DataFrame, k: int, n_cells: int = 16, n_probe: int = 2,
     # 100 TB centroids come from a few thousand vectors just as well —
     # and (b) cache the sample so each pass is a memory scan, not a
     # parquet re-read (measured 6 s -> 1.3 s at sf0.1).
+    #
+    # The sample is count-free: limit(train_cap) early-stops the scan once
+    # the cap is reached, so building the index costs O(train_cap) rows
+    # read, never a full-corpus action (a corpus count at plan-build was
+    # round 1's one flagged eager action).  limit() draws from the leading
+    # partitions; acceptable for centroid seeding here — a deployment
+    # whose leading files are unrepresentative would pre-shuffle its
+    # manifest or pay one counted uniform sample per index build.
     train_cap = 4096
-    n = emb.count()
-    feats = emb.select(F.col(vec_col).cast("array<double>").alias("arr"))
-    if n > train_cap:
-        feats = feats.sample(fraction=min(1.0, 1.5 * train_cap / n),
-                             seed=seed).limit(train_cap)
+    feats = (emb.select(F.col(vec_col).cast("array<double>").alias("arr"))
+             .limit(train_cap))
     feats = (feats.withColumn("features", array_to_vector("arr"))
              .coalesce(4).cache())
     try:

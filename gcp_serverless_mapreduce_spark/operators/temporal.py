@@ -32,9 +32,20 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 
     Right-side duplicates at the same (key, ts) must be pre-aggregated by
     the caller if tie-breaking matters.
+
+    Right value columns must not collide with any left column: the union
+    plan null-pads each side's missing columns, and a shared name would
+    let a left row's OWN value be carried forward as the "as-of" value
+    for later left rows (silent corruption).  Rejected here rather than
+    auto-renamed so the output schema stays predictable.
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, right_ts)]
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: right value column(s) {sorted(clash)} collide with "
+            f"left columns; rename them before joining")
 
     lhs = left.withColumn("_tag", F.lit(1)).withColumn("_ats", F.col(left_ts))
     rhs = right.select(

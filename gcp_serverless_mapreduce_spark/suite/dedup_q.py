@@ -16,6 +16,11 @@ from ..tables import load_table
 NUM_PERM = 8
 BANDS = 4
 ROWS_PER_BAND = 2
+# Hot-bucket guard for the LSH pair join: at most this many docs per
+# (band, band_hash) bucket enter pair generation (smallest doc ids kept).
+# Far above any fixture bucket (results unchanged at sf<=0.1); bounds the
+# degenerate boilerplate-corpus bucket at O(cap^2) instead of O(m^2).
+MAX_BUCKET = 64
 JACCARD_THRESHOLD = 0.8
 COSINE_THRESHOLD = 0.40  # fixture embeddings are random; max within-label pair cos ~0.47
 
@@ -78,7 +83,11 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("minhash_lsh_candidates", _SIG_CTE + f""",
-banded AS ({_BANDED_SELECTS})
+banded_all AS ({_BANDED_SELECTS}),
+banded AS (
+    SELECT doc, band, band_hash FROM banded_all
+    QUALIFY row_number() OVER (PARTITION BY band, band_hash ORDER BY doc)
+            <= {MAX_BUCKET})
 SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_shared_bands
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc < b.doc
@@ -86,10 +95,12 @@ GROUP BY 1, 2
 """)
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates: band-hash equi-join (shuffle on the
-    band hash; sparse — never O(n^2))."""
+    band hash; sparse — never O(n^2)), hot buckets capped at {MAX_BUCKET}
+    members (mirrored in the oracle's QUALIFY)."""
     docs = load_table(spark, sf_dir, "documents")
     sig = dedup.minhash_signatures(docs, NUM_PERM)
-    return dedup.lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND)
+    return dedup.lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND,
+                                     max_bucket=MAX_BUCKET)
 
 
 @register("ngram_jaccard_dups", _SH_CTE + f""",

@@ -19,6 +19,11 @@ DIM = 64
 NUM_PLANES = 8
 K = 5
 NUM_QUERIES = 20
+# Neighbor-side hot-bucket cap for the SRP pair join (smallest vec_ids
+# kept as candidates).  Far above any fixture bucket (~20 avg at sf0.1,
+# so results are unchanged); bounds a degenerate single-bucket corpus at
+# O(n·cap) pairs instead of O(n^2).
+MAX_BUCKET = 256
 PLANES = similarity.srp_planes(NUM_PLANES, DIM)
 
 
@@ -94,19 +99,23 @@ def srp_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("srp_ann_topk", _UNIT_CTE + f""",
-s AS (SELECT vec_id, u, {_BUCKET} AS bucket FROM u)
+s AS (SELECT vec_id, u, {_BUCKET} AS bucket FROM u),
+nb AS (SELECT vec_id, u, bucket FROM s
+       QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
+               <= {MAX_BUCKET})
 SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        row_number() OVER (PARTITION BY a.vec_id
                           ORDER BY {_PAIR_DOT} DESC, b.vec_id) AS rank,
        round({_PAIR_DOT}, 4) AS sim
-FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+FROM s a JOIN nb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
 QUALIFY rank <= {K}
 """)
 def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-{K}: SRP-bucketed candidates, exact re-rank within buckets —
-    the shuffle is keyed on the bucket id, never all-pairs."""
+    the shuffle is keyed on the bucket id, never all-pairs; hot buckets'
+    neighbor side capped at {MAX_BUCKET} (mirrored in the oracle)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.srp_ann_topk(emb, K, PLANES)
+    return similarity.srp_ann_topk(emb, K, PLANES, max_bucket=MAX_BUCKET)
 
 
 @register("ivf_ann_topk", None)  # KMeans cells aren't SQL-reproducible

@@ -77,3 +77,41 @@ def test_srp_signature_deterministic_and_bucketed(spark):
     ).collect()}
     assert sigs[1] == sigs[2]          # colinear -> identical signature
     assert len(sigs[1]) == 4 and set(sigs[1]) <= {"0", "1"}
+
+
+def test_lsh_hot_bucket_cap_bounds_pairs(spark):
+    # adversarial corpus: 200 identical docs -> every band maps them all
+    # to ONE bucket; uncapped that is 200*199/2 pairs, capped it must be
+    # exactly C(cap,2) pairs over the cap smallest doc ids
+    docs = _docs(spark, [(i, "same boring boilerplate text here") for i in range(200)])
+    sig = dedup.minhash_signatures(docs)
+    cap = 8
+    pairs = dedup.lsh_candidate_pairs(sig, max_bucket=cap).collect()
+    assert len(pairs) == cap * (cap - 1) // 2
+    kept = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    assert kept == set(range(cap))          # smallest doc ids kept
+    assert all(r["n_shared_bands"] == 4 for r in pairs)
+    # uncapped semantics unchanged on a non-degenerate corpus
+    norm = _docs(spark, [(1, "x y z w v u"), (2, "x y z w v u"),
+                         (3, "something else entirely here now ok")])
+    got = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(norm), max_bucket=cap).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1, 2)]
+
+
+def test_srp_hot_bucket_cap_bounds_neighbors(spark):
+    # 100 colinear vectors share one bucket; neighbor side capped at 6
+    # means every query still answers, but only ids 0..5 serve as
+    # candidates (minus self)
+    emb = spark.createDataFrame(
+        [(i, [1.0 + i, 2.0 + i]) for i in range(100)], ["vec_id", "embedding"])
+    planes = similarity.srp_planes(4, 2)
+    cap = 6
+    got = similarity.srp_ann_topk(emb, k=50, planes=planes,
+                                  max_bucket=cap).collect()
+    per_query = {}
+    for r in got:
+        per_query.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(per_query) == set(range(100))   # every vector answered
+    for q, nbrs in per_query.items():
+        assert nbrs == set(range(cap)) - {q}   # candidates = capped prefix

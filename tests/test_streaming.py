@@ -25,3 +25,38 @@ def test_stream_matches_batch(spark):
 
 def test_stream_is_actually_streaming(spark):
     assert pipeline.stream_events(spark, SF_DIR).isStreaming
+
+
+def test_rate_source_matches_file_source(spark):
+    """C2 transport breadth: the same windowed-agg transform over a
+    rate-micro-batch (push/queue analog) delivery of the events fixture
+    must equal the file-source result — transforms are source-agnostic."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    static = load_table(spark, SF_DIR, "events")
+    expected_events = static.count()
+    file_result = _as_set(pipeline.run_available_now(
+        pipeline.windowed_event_stats(pipeline.stream_events(spark, SF_DIR)),
+        "rate_vs_file_file_sink"))
+
+    rate_stream = pipeline.stream_events_rate(spark, SF_DIR,
+                                              rows_per_batch=4000)
+    assert rate_stream.isStreaming
+    with pipeline.stream_state_partitions(spark):
+        q = (pipeline.windowed_event_stats(rate_stream)
+             .writeStream.format("memory").queryName("rate_vs_file_rate_sink")
+             .outputMode("complete").start())
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            done = (spark.table("rate_vs_file_rate_sink")
+                    .agg(F.sum("n_events")).collect()[0][0] or 0)
+            if done >= expected_events:
+                break
+            time.sleep(0.5)
+        got = _as_set(spark.table("rate_vs_file_rate_sink"))
+    finally:
+        q.stop()
+    assert got == file_result

@@ -145,3 +145,19 @@ def test_foreach_batch_partitioned_sink_exactly_once(spark, split_events_dir, tm
     pipeline.stream_to_partitioned_table(
         _stream(spark, split_events_dir), table, ckpt)
     assert spark.read.parquet(table).count() == src.count()
+
+
+def test_batch_replay_is_idempotent(spark, split_events_dir, tmp_path):
+    """Crash-replay: foreachBatch is at-least-once (a crash between the
+    sink write and the checkpoint commit re-runs the batch), so writing
+    the SAME batch twice must not duplicate rows — dynamic partition
+    overwrite keyed by (event_date, ingest_batch) rewrites in place."""
+    table = str(tmp_path / "replay_table")
+    batch = spark.read.parquet(split_events_dir)
+    pipeline.write_events_batch(batch, 7, table)
+    once = spark.read.parquet(table).count()
+    pipeline.write_events_batch(batch, 7, table)  # simulated replay
+    got = spark.read.parquet(table)
+    assert got.count() == once == batch.count()
+    assert got.select("event_id").distinct().count() == \
+        batch.select("event_id").distinct().count()

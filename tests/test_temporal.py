@@ -41,3 +41,15 @@ def test_range_join_binned_window_membership(spark):
     got = temporal.range_join_binned(
         left, right, on="user_id", lo_s=0, hi_s=300)
     assert sorted(r["value"] for r in got.collect()) == [1.0, 2.0]
+
+
+def test_asof_join_rejects_colliding_value_columns(spark):
+    import pytest
+    from gcp_serverless_mapreduce_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [(1, 10, 5.0)], ["k", "ts", "price"])
+    right = spark.createDataFrame(
+        [(1, 9, 7.0)], ["k", "ts", "price"])  # "price" collides
+    with pytest.raises(ValueError, match="price"):
+        temporal.asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
