@@ -818,17 +818,30 @@ def locf_hourly_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("v_filled"))
 
 
-@register("stratified_sample_by_lang", None)
+@register("stratified_sample_by_lang", """
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8)) AS BIGINT)
+      % 1000
+      < CASE lang WHEN 'en' THEN 500 ELSE 1000 END
+""")
 def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling (``sampleBy``): per-language sampling rates —
-    the training-data rebalancing op (e.g. downsample the dominant
-    language).  Seeded => deterministic per run; rows-only (Bernoulli
-    sampling is engine-specific, so no value oracle).  Scale shape: a
-    scan-side filter, no shuffle; rates are a tiny broadcast map.
-    `tests/test_relational_extras.py` asserts per-stratum proportions."""
+    """Stratified sampling: per-language sampling rates — the
+    training-data rebalancing op (e.g. downsample the dominant language).
+
+    The sampler is a deterministic md5 bucket on doc_id (keep a row when
+    bucket < rate*1000), not ``sampleBy``: identical keep-decisions from
+    any engine, any partitioning, any run — which (a) upgrades this
+    query's correctness check from rows-only to a full value-hash oracle
+    and (b) is the semantics a reproducible training pipeline wants
+    anyway (re-running the pipeline keeps the SAME documents).  Scale
+    shape unchanged: a scan-side filter, no shuffle, rates inline."""
     docs = load_table(spark, sf_dir, "documents")
-    fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
-    return (docs.sampleBy("lang", fractions, seed=42)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 25, 8),
+               16, 10).cast("long") % 1000)
+    rate = F.when(F.col("lang") == "en", F.lit(500)).otherwise(F.lit(1000))
+    return (docs.filter(bucket < rate)
             .select("doc_id", "lang", "source"))
 
 

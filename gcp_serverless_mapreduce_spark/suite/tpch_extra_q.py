@@ -514,3 +514,154 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("numcust"),
              F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"))
     )
+
+
+# --------------------------------------------------------------------------
+# Q16: supplier-relationship counting — distinct-agg after an anti-join
+# (no partsupp in the fixture; lineitem is the part-supplier bridge, and
+# the "customer complaints" exclusion becomes negative-balance suppliers)
+# --------------------------------------------------------------------------
+
+@register("q16_parts_supplier_relationship", """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""")
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: NOT IN (subquery) -> broadcast left-anti join, then a
+    COUNT(DISTINCT) grouped on dim attributes.  Part and the (tiny)
+    exclusion list both broadcast; the only shuffle is the final
+    distinct-aggregate on (brand, type, size)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").startswith("PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    bad_supp = (load_table(spark, sf_dir, "supplier")
+                .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(bad_supp),
+              li["l_suppkey"] == bad_supp["s_suppkey"], "left_anti")
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20: suppliers with above-average shipments of a part family — nested
+# semi-join on an aggregated, per-part-correlated threshold
+# (partsupp availqty becomes shipped quantity; "half the availqty"
+# becomes half the per-part mean pair quantity, decorrelated EXACTLY:
+# qty > avg/2  <=>  2*qty*n_pairs > total_qty, all-integer/decimal math)
+# --------------------------------------------------------------------------
+
+@register("q20_excess_shipments_suppliers", f"""
+WITH shipped AS (
+    SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+           SUM({_SQL_QTY}) AS qty
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'small%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2),
+per_part AS (
+    SELECT partkey, SUM(qty) AS total_qty, COUNT(*) AS n_pairs
+    FROM shipped GROUP BY 1)
+SELECT DISTINCT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM shipped
+JOIN per_part USING (partkey)
+JOIN supplier ON s_suppkey = suppkey
+WHERE 2 * qty * n_pairs > total_qty
+""")
+def q20_excess_shipments_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: semi-join through two stacked aggregations with a
+    correlated per-group threshold, decorrelated into agg + join (the
+    plan RewriteCorrelatedScalarSubquery would build).  The threshold
+    compare is exact decimal cross-multiplication — no division, so both
+    engines agree on boundary pairs bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("small"))
+    shipped = (
+        li.filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("l_suppkey").alias("suppkey"),
+                 F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+    )
+    per_part = shipped.groupBy("partkey").agg(
+        F.sum("qty").alias("total_qty"), F.count("*").alias("n_pairs"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        shipped.join(per_part, "partkey")
+        .filter(F.lit(2) * F.col("qty") * F.col("n_pairs") > F.col("total_qty"))
+        .join(supp, F.col("suppkey") == supp["s_suppkey"])
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21: suppliers who kept orders waiting — the EXISTS / NOT EXISTS
+# double-correlation, decorrelated into one per-order aggregate
+# (no receipt/commit dates in the fixture; "late" = shipped more than
+# 60 days after the order date)
+# --------------------------------------------------------------------------
+
+@register("q21_suppliers_kept_orders_waiting", """
+WITH fact AS (
+    SELECT l_orderkey AS okey, l_suppkey AS skey,
+           CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                THEN 1 ELSE 0 END AS late
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'F'),
+per_order AS (
+    SELECT okey, COUNT(DISTINCT skey) AS n_supp,
+           COUNT(DISTINCT CASE WHEN late = 1 THEN skey END) AS n_late_supp
+    FROM fact GROUP BY okey)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM fact
+JOIN per_order USING (okey)
+JOIN supplier ON s_suppkey = skey
+WHERE late = 1 AND n_supp >= 2 AND n_late_supp = 1
+GROUP BY s_name
+""")
+def q21_suppliers_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: EXISTS(other supplier in the order) AND NOT EXISTS(other
+    LATE supplier) — decorrelated into one per-order distinct-count
+    aggregate reused by the outer filter (n_supp >= 2 keeps multi-supplier
+    orders; n_late_supp = 1 plus "this line is late" pins the blame
+    uniquely).  One shuffle on orderkey feeds both the aggregate and the
+    re-join; supplier broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F")
+    fact = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("l_orderkey").alias("okey"),
+                F.col("l_suppkey").alias("skey"),
+                F.when(F.col("l_shipdate")
+                       > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+                       F.lit(1)).otherwise(F.lit(0)).alias("late"))
+    )
+    per_order = fact.groupBy("okey").agg(
+        F.count_distinct("skey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late") == 1, F.col("skey")))
+        .alias("n_late_supp"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        fact.join(per_order, "okey")
+        .filter((F.col("late") == 1) & (F.col("n_supp") >= 2)
+                & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supp), F.col("skey") == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
