@@ -227,3 +227,47 @@ def simhash16(docs: DataFrame, doc_col: str = "doc_id",
         bit = F.when(F.col(f"s_{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
         simhash = bit if simhash is None else simhash + bit
     return sums.select("doc", simhash.cast("long").alias("simhash"))
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over an undirected near-dup pair graph:
+    -> (doc_id, cluster_id) for every doc appearing in >= 1 pair, where
+    cluster_id = the smallest doc id reachable through shared buckets.
+
+    The canonicalization step a dedup pipeline needs after candidate
+    generation: LSH pairs say "a~b, b~c"; the cluster says "keep min(a),
+    drop the rest" transitively.
+
+    Hash-min label propagation (the standard large-scale CC): every doc
+    starts labeled min(self, neighbors), then each round propagates
+    labels one hop and keeps the min.  Rounds = graph diameter (near-dup
+    clusters are shallow — boilerplate families collapse in 2-3 hops),
+    each round ONE join + ONE aggregate, both shuffled on the doc id, on
+    a frame of |pairs| rows — never the corpus.  The driver-side loop is
+    inherent to any iterative fixpoint; each iteration localCheckpoints
+    to truncate lineage, and the convergence check (did any label drop?)
+    is an aggregate over the label frame, not a collect of it.
+    """
+    edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+             .unionByName(
+                 pairs.select(F.col("doc_b").alias("src"),
+                              F.col("doc_a").alias("dst")))
+             .localCheckpoint())  # materialize once; reused every round
+    labels = (edges.groupBy("src").agg(F.min("dst").alias("lbl"))
+              .select(F.col("src").alias("doc"),
+                      F.least("src", "lbl").alias("lbl"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        prop = (edges.join(labels, edges["dst"] == labels["doc"])
+                .select(edges["src"].alias("doc"), "lbl"))
+        new = (labels.unionByName(prop)
+               .groupBy("doc").agg(F.min("lbl").alias("lbl"))
+               .localCheckpoint())
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "doc")
+                   .filter(F.col("n.lbl") < F.col("o.lbl")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("doc").alias("doc_id"),
+                         F.col("lbl").alias("cluster_id"))

@@ -122,6 +122,48 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, JACCARD_THRESHOLD)
 
 
+# The LSH candidate-pair set as a reusable fragment (same text as the
+# minhash_lsh_candidates oracle, minus the final aggregate's aliasing).
+_PAIRS_CTE = _SIG_CTE + f""",
+banded_all AS ({_BANDED_SELECTS}),
+banded AS (
+    SELECT doc, band, band_hash FROM banded_all
+    QUALIFY row_number() OVER (PARTITION BY band, band_hash ORDER BY doc)
+            <= {MAX_BUCKET}),
+pairs AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc < b.doc)
+"""
+
+
+@register("dup_clusters", "WITH RECURSIVE "
+          + _PAIRS_CTE.lstrip().removeprefix("WITH ") + """,
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach(doc, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.doc)
+SELECT doc AS doc_id, MIN(r) AS cluster_id
+FROM reach GROUP BY doc
+""")
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the LSH candidate
+    graph (hash-min label propagation; cluster_id = min reachable doc id
+    — the doc a dedup pipeline keeps).  The oracle computes the same
+    components with a recursive transitive closure; the Spark side is the
+    iterative join/agg fixpoint that scales (see operators/dedup.py:
+    dup_clusters)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, NUM_PERM)
+    pairs = dedup.lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND,
+                                      max_bucket=MAX_BUCKET)
+    return dedup.dup_clusters(pairs)
+
+
 _SIMHASH_SUMS = ", ".join(
     f"SUM((((strpos('{dedup.HEX}', substr(m, {b // 4 + 1}, 1)) - 1) "
     f"// {2 ** (b % 4)}) % 2) * 2 - 1) AS s_{b}"

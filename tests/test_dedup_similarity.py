@@ -115,3 +115,15 @@ def test_srp_hot_bucket_cap_bounds_neighbors(spark):
     assert set(per_query) == set(range(100))   # every vector answered
     for q, nbrs in per_query.items():
         assert nbrs == set(range(cap)) - {q}   # candidates = capped prefix
+
+
+def test_dup_clusters_transitive_min_label(spark):
+    # chain 1-2-3, pair 10-11, chain 20-21-22-23 (path graph: needs
+    # multiple propagation rounds), singleton docs absent from output
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
