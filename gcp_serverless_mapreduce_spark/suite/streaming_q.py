@@ -118,6 +118,55 @@ def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stream_session_stats", f"""
+WITH g AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL {SESSION_GAP_MIN} MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events),
+s AS (
+    SELECT user_id, ts, value,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+    FROM g)
+SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, sid
+""")
+def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming sessionization: ``session_window`` (dynamic-gap
+    merging windows in the state store) per user, executed through
+    readStream/writeStream — the stateful-operator form of
+    ``sessionize_user_events``'s two-window batch plan.
+
+    Boundary semantics pinned by probe: Spark merges events EXACTLY gap
+    apart (new session only when diff > gap, full-precision timestamps),
+    so the oracle's lag-compare uses strict > with no truncation;
+    session_end = last event + gap on both sides.
+    """
+    ev = pipeline.stream_events(spark, sf_dir)
+    agg = (ev.withWatermark("ts", "1 hour")
+           .groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes")
+                    .alias("w"), "user_id")
+           .agg(F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(14,2)")).alias("_total"))
+           .select(
+               F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+               .alias("session_start"),
+               F.date_format("w.end", "yyyy-MM-dd HH:mm:ss")
+               .alias("session_end"),
+               "user_id", "n_events",
+               F.col("_total").cast("double").alias("total_value")))
+    return pipeline.run_available_now(agg, "session_stats_sink")
+
+
 @register("multires_event_rollup", """
 WITH hourly AS (
     SELECT date_trunc('hour', ts) AS b, event_type,

@@ -161,3 +161,28 @@ def test_batch_replay_is_idempotent(spark, split_events_dir, tmp_path):
     assert got.count() == once == batch.count()
     assert got.select("event_id").distinct().count() == \
         batch.select("event_id").distinct().count()
+
+
+def test_session_window_state_across_batches(spark, ordered_events_dir):
+    """A session whose events span micro-batches must come out merged:
+    session_window state (merging windows) survives batch boundaries.
+    Compared against the same aggregation over the static frame."""
+    def sessions(df):
+        return (df.withWatermark("ts", "1 hour")
+                .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                         "user_id")
+                .agg(F.count("*").alias("n_events"))
+                .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                        .alias("session_start"),
+                        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss")
+                        .alias("session_end"),
+                        "user_id", "n_events"))
+
+    streamed = pipeline.run_available_now(
+        sessions(_stream(spark, ordered_events_dir)),
+        "multibatch_session_sink")
+    static = spark.read.parquet(ordered_events_dir)
+    # watermark is a no-op on a batch frame; drop it via the same helper
+    batch = sessions(static)
+    assert {tuple(r) for r in streamed.collect()} == \
+        {tuple(r) for r in batch.collect()}
