@@ -199,14 +199,18 @@ def jaccard_pairs(docs: DataFrame, threshold: float, k: int = 3,
     )
 
 
-def simhash16(docs: DataFrame, doc_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
-    """-> (doc, simhash): 16-bit SimHash over the doc's distinct tokens.
+def simhash_bits(docs: DataFrame, n_bits: int, doc_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """-> (doc, simhash): ``n_bits``-bit SimHash over the doc's distinct
+    tokens (n_bits <= 60: md5 has 32 nibbles -> 128 derivable bits, and 60
+    keeps ``sum(bit * 2^b)`` comfortably inside a signed 64-bit long).
 
     Bit b of a token = bit (b % 4) of hex nibble (b // 4) of md5(token);
     document bit b is the sign of sum(+-1) over tokens.  Pure integer
     expressions, mirrored verbatim in the DuckDB oracle.
     """
+    if not 1 <= n_bits <= 60:
+        raise ValueError(f"n_bits must be in [1, 60], got {n_bits}")
     uniq = F.array_distinct(
         F.filter(tokens_col(text_col), lambda t: t != ""))
     toks = (
@@ -219,14 +223,75 @@ def simhash16(docs: DataFrame, doc_col: str = "doc_id",
             f"(((instr('{HEX}', substring(m, {b // 4 + 1}, 1)) - 1) "
             f"div {2 ** (b % 4)}) % 2) * 2 - 1"
         )).alias(f"s_{b}")
-        for b in range(16)
+        for b in range(n_bits)
     ]
     sums = toks.groupBy("doc").agg(*bit_sums)
     simhash = None
-    for b in range(16):
+    for b in range(n_bits):
         bit = F.when(F.col(f"s_{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
         simhash = bit if simhash is None else simhash + bit
     return sums.select("doc", simhash.cast("long").alias("simhash"))
+
+
+def simhash16(docs: DataFrame, doc_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """16-bit SimHash (see simhash_bits) — the compact fingerprint query."""
+    return simhash_bits(docs, 16, doc_col, text_col)
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
+                      n_bits: int = 60, bands: int = 4,
+                      doc_col: str = "doc_id", text_col: str = "text",
+                      max_bucket: int | None = None) -> DataFrame:
+    """-> (doc_a, doc_b, hamming): doc pairs whose ``n_bits``-bit SimHashes
+    differ in <= ``max_hamming`` bits.
+
+    Banded pigeonhole join (the standard simhash index): split the hash
+    into ``bands`` contiguous bit-bands; any pair within hamming distance
+    ``bands - 1`` shares at least one *exact* band value, so candidates
+    come from ``bands`` equi-joins on (band, band_value) — a shuffle keyed
+    on a 15-bit band value (2^15 buckets per band at the defaults), never
+    an O(n^2) cross join.  Exact hamming (bit_count of xor) then filters
+    candidates; both sides carry their hash through the join so no second
+    join is needed.  ``max_bucket`` caps degenerate bands exactly like the
+    LSH pair join (same row_number-in-exchange trick, no extra shuffle).
+
+    Requires max_hamming <= bands - 1 for the pigeonhole guarantee.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"pigeonhole needs max_hamming <= bands - 1 "
+            f"(got {max_hamming} > {bands - 1})")
+    if n_bits % bands != 0:
+        raise ValueError(f"n_bits {n_bits} not divisible by bands {bands}")
+    width = n_bits // bands
+    mask = (1 << width) - 1
+    sim = simhash_bits(docs, n_bits, doc_col, text_col)
+    band_vals = F.array(*[
+        F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+        for b in range(bands)
+    ])
+    banded = sim.select(
+        "doc", "simhash", F.posexplode(band_vals).alias("band", "bv"))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("band", "bv").orderBy("doc")
+        banded = (banded.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= max_bucket).drop("_rn"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bv") == F.col("b.bv"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+                F.col("a.simhash").alias("ha"), F.col("b.simhash").alias("hb"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    return (cand.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))
 
 
 def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:

@@ -188,6 +188,52 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash16(docs)
 
 
+# ---- simhash banded near-dup ---------------------------------------------
+
+NEAR_BITS = 60      # fits sum(bit * 2^b) in a signed long; 15 md5 nibbles
+NEAR_BANDS = 4      # 15-bit bands -> 2^15 buckets per band
+MAX_HAMMING = 3     # pigeonhole-guaranteed at bands - 1
+
+_W = NEAR_BITS // NEAR_BANDS
+_NEAR_SUMS = ", ".join(
+    f"SUM((((strpos('{dedup.HEX}', substr(m, {b // 4 + 1}, 1)) - 1) "
+    f"// {2 ** (b % 4)}) % 2) * 2 - 1) AS s_{b}"
+    for b in range(NEAR_BITS))
+_NEAR_VALUE = " + ".join(
+    f"(CASE WHEN s_{b} > 0 THEN {2 ** b}::BIGINT ELSE 0::BIGINT END)"
+    for b in range(NEAR_BITS))
+_NEAR_BANDED = " UNION ALL ".join(
+    f"SELECT doc, h, {b} AS band, (h >> {b * _W}) & {(1 << _W) - 1} AS bv "
+    f"FROM fp"
+    for b in range(NEAR_BANDS))
+
+
+@register("simhash_near_dups", f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id AS doc,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+    FROM documents),
+m AS (SELECT doc, md5(tok) AS m FROM toks WHERE tok <> ''),
+sums AS (SELECT doc, {_NEAR_SUMS} FROM m GROUP BY doc),
+fp AS (SELECT doc, CAST({_NEAR_VALUE} AS BIGINT) AS h FROM sums),
+banded AS ({_NEAR_BANDED}),
+cand AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.h AS ha, b.h AS hb
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bv = b.bv AND a.doc < b.doc)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {MAX_HAMMING}
+""")
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 60-bit fingerprints, banded pigeonhole join
+    (4 x 15-bit bands; any pair within hamming {MAX_HAMMING} shares an
+    exact band), exact bit_count(xor) re-check.  Shuffles only on the
+    band value — the simhash analog of the MinHash-LSH candidate plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(docs, MAX_HAMMING, NEAR_BITS, NEAR_BANDS)
+
+
 # ---- embedding near-dup ---------------------------------------------------
 
 # Normalize BEFORE the pair join (similarity.unit_vectors): the join then

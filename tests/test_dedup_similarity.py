@@ -127,3 +127,23 @@ def test_dup_clusters_transitive_min_label(spark):
            for r in dedup.dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_simhash_near_dups_pigeonhole_and_cap(spark):
+    # Identical token sets -> hamming 0; one swapped token -> small
+    # hamming; unrelated vocabulary -> far beyond max_hamming.
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(spark, [
+        (1, base),
+        (2, base + " alpha"),                       # same token SET -> h=0
+        (3, "totally different words everywhere now and then again more"),
+    ])
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash_near_dups(docs, max_hamming=3).collect()}
+    assert pairs == {(1, 2): 0}
+
+    # Hot-bucket cap bounds candidates: 6 identical docs, cap 2 -> the
+    # banded join only pairs the 2 smallest ids per bucket.
+    clones = _docs(spark, [(i, base) for i in range(6)])
+    capped = dedup.simhash_near_dups(clones, max_hamming=3, max_bucket=2)
+    assert {(r["doc_a"], r["doc_b"]) for r in capped.collect()} == {(0, 1)}
