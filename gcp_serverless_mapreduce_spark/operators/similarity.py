@@ -160,6 +160,134 @@ def srp_ann_topk(emb: DataFrame, k: int, planes: list[list[int]],
     )
 
 
+def fixed_centroids(n_cells: int, dim: int) -> list[list[float]]:
+    """Deterministic IVF centroids: entry (c,d) = (md5 byte - 128)/64.
+
+    Every value is an exact binary fraction in [-2, 2), so the literal
+    renders identically into the Spark plan and the DuckDB oracle — the
+    same trick as :func:`srp_planes`.  Gives the IVF *plan shape* (cell
+    membership, multi-probe, per-cell re-rank) a full hash-matchable twin
+    while the trained KMeans variant keeps its recall test."""
+    return [
+        [(hashlib.md5(f"cell{c}|{d}".encode()).digest()[0] - 128) / 64.0
+         for d in range(dim)]
+        for c in range(n_cells)
+    ]
+
+
+def _ivf_search(emb: DataFrame, k: int, centers: list[list[float]],
+                n_probe: int, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Shared IVF search given centroids: assign each vector to its
+    ``n_probe`` nearest cells, re-rank exactly within cells, global top-k.
+
+    Cross-engine determinism: the oracle twin scores cells as
+    ``|c|^2 - 2·(v·c)`` (the ``|v|^2`` term is constant per row, so the
+    argmin is unchanged) with the dot a left-to-right ``list_reduce``
+    fold.  The numpy kernels below accumulate DIMENSION BY DIMENSION —
+    the exact same IEEE-754 op sequence as that fold — instead of
+    GEMM/pairwise summation, so scores, similarities, and therefore every
+    rank tie-break agree with DuckDB bit-for-bit.  ~dim vectorized ops
+    per batch, still far cheaper than per-pair interpreted folds.
+    """
+    import numpy as np
+
+    cent = np.asarray(centers, dtype=np.float64)           # n_cells × dim
+    n_cells, dim = cent.shape
+    # |c|^2 as a left-to-right Python fold — embedded verbatim in the
+    # oracle, reused verbatim here.
+    sqs = []
+    for row in centers:
+        acc = 0.0
+        for x in row:
+            acc += x * x
+        sqs.append(acc)
+    sq_arr = np.asarray(sqs, dtype=np.float64)
+
+    @pandas_udf("array<int>")
+    def probe_cells(arrs: pd.Series) -> pd.Series:
+        m = np.vstack(arrs.to_numpy())                     # batch × dim
+        acc = np.zeros((m.shape[0], n_cells))
+        for i in range(dim):                               # fold order = oracle
+            acc += m[:, i:i + 1] * cent[None, :, i]
+        scores = sq_arr[None, :] - 2.0 * acc
+        # stable sort on ascending cell index = ORDER BY score, cell
+        order = np.argsort(scores, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype("int32")))
+
+    units = (unit_vectors(emb, vec_col)
+             .filter(F.col("unit").isNotNull())
+             .select(F.col(id_col), "unit",
+                     F.col(vec_col).cast("array<double>").alias("arr")))
+    # One row per (vector, probed cell); pos 0 is the vector's HOME cell,
+    # so that row doubles as its corpus membership — a single frame and a
+    # single shuffle (keyed by cell) carry both the corpus and the query
+    # sides, and the normalize + probe UDF upstream runs exactly once.
+    member = (
+        units.withColumn("cells", probe_cells("arr"))
+        .select(F.col(id_col).alias("vid"), "unit",
+                F.posexplode("cells").alias("pos", "cell"))
+        .withColumn("is_home", F.col("pos") == 0).drop("pos")
+    )
+
+    # Re-rank cell-by-cell with one vectorized pass per cell
+    # (applyInPandas on the cell id), instead of exploding
+    # |Q_cell| x |C_cell| pair rows and folding a 64-dim dot per row in
+    # the interpreter (~500k interpreted folds at sf0.1; measured ~3x
+    # slower).  Each cell emits only its local top-k per query; the
+    # global top-k over the n_probe probed cells is then a window over
+    # k*n_probe candidate rows per query.  This is the scale plan: the
+    # shuffle moves each vector n_probe times (keyed by cell), and each
+    # cell block fits one task.
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "neighbor_id": pd.Series(dtype="int64"),
+             "sim": pd.Series(dtype="float64")})
+        cdf = pdf[pdf["is_home"]].sort_values("vid")   # nid-asc tie order
+        if pdf.empty or cdf.empty:
+            return empty
+        Q = np.vstack(pdf["unit"].to_numpy())    # every row queries here
+        C = np.vstack(cdf["unit"].to_numpy())    # home rows are the corpus
+        sims = np.zeros((Q.shape[0], C.shape[0]))
+        for i in range(dim):                     # fold order = oracle
+            sims += Q[:, i:i + 1] * C[None, :, i]
+        qids = pdf["vid"].to_numpy()
+        nids = cdf["vid"].to_numpy()
+        sims[qids[:, None] == nids[None, :]] = -np.inf   # mask self-pairs
+        kk = min(k, sims.shape[1])
+        # stable argsort of -sims: sim desc, ties in nid-asc (C is sorted)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(qids, kk)
+        cols = top.ravel()
+        vals = sims[np.repeat(np.arange(len(qids)), kk), cols]
+        keep = vals > -np.inf
+        return pd.DataFrame({"query_id": rows[keep],
+                             "neighbor_id": nids[cols[keep]],
+                             "sim": vals[keep]})
+
+    candidates = (
+        member.groupBy("cell")
+        .applyInPandas(cell_topk,
+                       "query_id long, neighbor_id long, sim double")
+    )
+    return (
+        topk_per_query(candidates, k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("sim", 4).alias("sim"))
+    )
+
+
+def ivf_fixed_topk(emb: DataFrame, k: int, centers: list[list[float]],
+                   n_probe: int = 2, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """IVF search over FIXED deterministic centroids — the
+    oracle-checkable twin of :func:`ivf_topk` (same membership/probe/
+    re-rank plan, no iterative fit), hash-matched against a DuckDB twin
+    that mirrors the scoring fold exactly."""
+    return _ivf_search(emb, k, centers, n_probe, id_col, vec_col)
+
+
 def ivf_topk(emb: DataFrame, k: int, n_cells: int = 16, n_probe: int = 2,
              seed: int = 42, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
@@ -203,70 +331,6 @@ def ivf_topk(emb: DataFrame, k: int, n_cells: int = 16, n_probe: int = 2,
                        featuresCol="features").fit(feats)
     finally:
         feats.unpersist()
-    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
-
-    @pandas_udf("array<int>")
-    def probe_cells(arrs: pd.Series) -> pd.Series:
-        m = np.vstack(arrs.to_numpy())                     # batch × dim
-        d = ((m[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d, axis=1)[:, :n_probe]
-        return pd.Series(list(order.astype("int32")))
-
-    units = (unit_vectors(emb, vec_col)
-             .filter(F.col("unit").isNotNull())
-             .select(F.col(id_col), "unit",
-                     F.col(vec_col).cast("array<double>").alias("arr")))
-    # One row per (vector, probed cell); pos 0 is the vector's HOME cell,
-    # so that row doubles as its corpus membership — a single frame and a
-    # single shuffle (keyed by cell) carry both the corpus and the query
-    # sides, and the normalize + probe UDF upstream runs exactly once.
-    member = (
-        units.withColumn("cells", probe_cells("arr"))
-        .select(F.col(id_col).alias("vid"), "unit",
-                F.posexplode("cells").alias("pos", "cell"))
-        .withColumn("is_home", F.col("pos") == 0).drop("pos")
-    )
-
-    # Re-rank cell-by-cell with one GEMM per cell (applyInPandas on the
-    # cell id -> numpy matmul), instead of exploding |Q_cell| x |C_cell|
-    # pair rows and folding a 64-dim dot per row in the interpreter
-    # (~500k interpreted folds at sf0.1; measured ~3x slower).  Each cell
-    # emits only its local top-k per query; the global top-k over the
-    # n_probe probed cells is then a window over k*n_probe candidate rows
-    # per query.  This is the scale plan: the shuffle moves each vector
-    # n_probe times (keyed by cell), and each cell block fits one task.
-    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-        empty = pd.DataFrame(
-            {"query_id": pd.Series(dtype="int64"),
-             "neighbor_id": pd.Series(dtype="int64"),
-             "sim": pd.Series(dtype="float64")})
-        cdf = pdf[pdf["is_home"]]
-        if pdf.empty or cdf.empty:
-            return empty
-        Q = np.vstack(pdf["unit"].to_numpy())    # every row queries here
-        C = np.vstack(cdf["unit"].to_numpy())    # home rows are the corpus
-        sims = Q @ C.T                           # |Q_cell| x |C_cell|
-        qids = pdf["vid"].to_numpy()
-        nids = cdf["vid"].to_numpy()
-        sims[qids[:, None] == nids[None, :]] = -np.inf   # mask self-pairs
-        kk = min(k, sims.shape[1])
-        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows = np.repeat(qids, kk)
-        cols = top.ravel()
-        vals = sims[np.repeat(np.arange(len(qids)), kk), cols]
-        keep = vals > -np.inf
-        return pd.DataFrame({"query_id": rows[keep],
-                             "neighbor_id": nids[cols[keep]],
-                             "sim": vals[keep]})
-
-    candidates = (
-        member.groupBy("cell")
-        .applyInPandas(cell_topk,
-                       "query_id long, neighbor_id long, sim double")
-    )
-    return (
-        topk_per_query(candidates, k)
-        .select("query_id", "neighbor_id", "rank",
-                F.round("sim", 4).alias("sim"))
-    )
+    centers = [[float(x) for x in np.asarray(c)]
+               for c in model.clusterCenters()]
+    return _ivf_search(emb, k, centers, n_probe, id_col, vec_col)

@@ -40,6 +40,24 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+def promote(names: list[str]) -> None:
+    """Reorder the registry so ``names`` (in the given order) come first.
+
+    The round driver's correctness gate checks registry entries
+    front-to-back within a bounded window, so promotion rotates
+    never-yet-verified or newly-changed queries into the window without
+    reshuffling module import order.  Raises on unknown names so a typo
+    can't silently leave a query outside the window."""
+    missing = [n for n in names if n not in _REGISTRY]
+    if missing:
+        raise KeyError(f"promote: unknown queries {missing}")
+    front = {n: _REGISTRY[n] for n in names}
+    rest = {n: v for n, v in _REGISTRY.items() if n not in front}
+    _REGISTRY.clear()
+    _REGISTRY.update(front)
+    _REGISTRY.update(rest)
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 

@@ -118,6 +118,61 @@ def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_ann_topk(emb, K, PLANES, max_bucket=MAX_BUCKET)
 
 
+N_CELLS = 16
+N_PROBE = 2
+CENTROIDS = similarity.fixed_centroids(N_CELLS, DIM)
+
+
+def _cent_literal(c: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in c) + "]"
+
+
+def _sq_fold(c: list[float]) -> float:
+    acc = 0.0
+    for x in c:
+        acc += x * x
+    return acc
+
+
+# Cell score = |c|^2 - 2·(v·c): the |v|^2 term is constant per row, so the
+# argmin over cells is the true nearest-centroid assignment without a norm
+# fold.  |c|^2 is a Python-side left-to-right fold embedded as a literal;
+# the dot is the standard list_reduce fold — both reused bit-for-bit by the
+# numpy kernels in operators/similarity._ivf_search.
+_SCORE_CASE = "CASE c.cell " + " ".join(
+    f"WHEN {i} THEN CAST({_sq_fold(cent)!r} AS DOUBLE)"
+    f" - 2.0 * {_dot('v', _cent_literal(cent))}"
+    for i, cent in enumerate(CENTROIDS)) + " END"
+
+
+@register("ivf_fixed_cells_topk", _UNIT_CTE + f""",
+c AS (SELECT unnest(generate_series(0, {N_CELLS - 1})) AS cell),
+sc AS (SELECT vec_id, v, u.u AS u, c.cell AS cell, {_SCORE_CASE} AS score
+       FROM u CROSS JOIN c),
+pr AS (SELECT vec_id, u, cell,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY score, cell) AS pr
+       FROM sc QUALIFY pr <= {N_PROBE}),
+home AS (SELECT vec_id, u, cell FROM pr WHERE pr = 1)
+SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       row_number() OVER (PARTITION BY a.vec_id
+                          ORDER BY {_PAIR_DOT} DESC, b.vec_id) AS rank,
+       round({_PAIR_DOT}, 4) AS sim
+FROM pr a JOIN home b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+QUALIFY rank <= {K}
+""")
+def ivf_fixed_cells_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-{K} over FIXED md5-derived centroids ({N_CELLS} cells,
+    probe-{N_PROBE}): identical plan shape to the KMeans variant — cell
+    membership via posexplode, ONE cell-keyed shuffle carrying corpus and
+    query sides, per-cell vectorized re-rank, global window over
+    k·n_probe candidates — but with deterministic centroids mirrored in
+    the oracle, so the whole IVF pipeline is hash-matched; the trained
+    variant keeps its recall test."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_fixed_topk(emb, K, CENTROIDS, n_probe=N_PROBE)
+
+
 @register("ivf_ann_topk", None)  # KMeans cells aren't SQL-reproducible
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-{K}: Spark ML KMeans cells (fixed seed), probe-2

@@ -86,8 +86,11 @@ s AS (
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       epoch(date_trunc('second', MAX(ts))) - epoch(date_trunc('second', MIN(ts)))
-           AS duration_s
+       -- DuckDB epoch() returns DOUBLE; cast so duration_s is int64 like
+       -- Spark's cast('long') arithmetic (registry convention: derived
+       -- integers cast to BIGINT on both sides)
+       CAST(epoch(date_trunc('second', MAX(ts)))
+            - epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS duration_s
 FROM s GROUP BY user_id, session_id
 """)
 def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:

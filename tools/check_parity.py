@@ -45,6 +45,51 @@ def row_multiset(cols: list[str], rows) -> Counter:
     return Counter(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+def dtype_class(t: str) -> str:
+    """Collapse an engine type name to the class the driver's value-hash
+    distinguishes.  int-vs-float (round 2: DuckDB epoch() -> DOUBLE) and
+    int-vs-HUGEINT (round 1: SUM(int) -> int128/object) both burned a red
+    CORRECTNESS row on value-identical results, so those classes stay
+    distinct; exact int widths within int64 do not (both engines render
+    them identically)."""
+    t = t.strip().lower()
+    if t.startswith(("array<", "list")) or t.endswith("[]"):
+        inner = t[6:-1] if t.startswith("array<") else t[:-2]
+        return f"list<{dtype_class(inner)}>"
+    if t.startswith("decimal") or t.startswith("numeric"):
+        return "decimal"
+    if t == "hugeint" or t == "int128":
+        return "hugeint"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long",
+             "int8", "int16", "int32", "int64", "utinyint", "usmallint",
+             "uinteger", "ubigint"):
+        return "int"
+    if t in ("float", "double", "real", "float32", "float64"):
+        return "float"
+    if t in ("string", "varchar", "text", "char"):
+        return "str"
+    if t in ("boolean", "bool"):
+        return "bool"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t == "date":
+        return "date"
+    return t
+
+
+def dtype_mismatches(scols: list[str], sdtypes: list[str],
+                     ocols: list[str], odtypes: list[str]) -> list[str]:
+    omap = dict(zip(ocols, odtypes))
+    out = []
+    for name, st in zip(scols, sdtypes):
+        if name not in omap:
+            continue
+        sc, oc = dtype_class(st), dtype_class(omap[name])
+        if sc != oc:
+            out.append(f"{name}: spark {st}({sc}) vs oracle {omap[name]}({oc})")
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -72,6 +117,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            sdtypes = [t for _, t in sdf.dtypes]
             srows = sdf.collect()
         except Exception as ex:
             failures.append(name)
@@ -82,7 +128,9 @@ def main() -> int:
             continue
         try:
             orel = con.sql(oracles[name])
-            ocols, orows = orel.columns, orel.fetchall()
+            ocols = orel.columns
+            odtypes = [str(t) for t in orel.types]
+            orows = orel.fetchall()
         except Exception as ex:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {ex}")
@@ -90,6 +138,10 @@ def main() -> int:
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        else:
+            dt = dtype_mismatches(scols, sdtypes, ocols, odtypes)
+            if dt:
+                problems.append("dtypes " + "; ".join(dt))
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if not problems:
