@@ -130,11 +130,17 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
     smallest doc ids of each (band, band_hash) bucket enter the pair join,
     so a degenerate bucket (m near-identical boilerplate docs) contributes
     O(max_bucket^2) pairs instead of O(m^2).  Deterministic (rank by doc
-    id) and hence mirrorable in the SQL oracle; docs past the cap are by
-    construction near-dups of the kept ones — exact dedup and the
-    retained pairs still transitively cover the group.  The row_number
-    partitions by the SAME key the join shuffles on, so the cap costs a
-    sort within the existing exchange, not a new shuffle.
+    id) and hence mirrorable in the SQL oracle.
+
+    The cap is a bounded RECALL trade-off, not lossless: sharing one band
+    (rows_per_band of the minhashes) does not itself make two docs
+    near-dups, and a true near-dup pair whose members both rank past the
+    cap in every bucket they share is dropped.  Size the cap well above
+    the expected honest bucket size (fixture buckets are ~20; the cap is
+    256) so only degenerate boilerplate buckets — where candidates are
+    interchangeable anyway — get truncated.  The row_number partitions by
+    the SAME key the join shuffles on, so the cap costs a sort within the
+    existing exchange, not a new shuffle.
     """
     band_cols = F.array(*[
         F.md5(F.concat_ws("|", *[
@@ -303,15 +309,24 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     generation: LSH pairs say "a~b, b~c"; the cluster says "keep min(a),
     drop the rest" transitively.
 
-    Hash-min label propagation (the standard large-scale CC): every doc
-    starts labeled min(self, neighbors), then each round propagates
-    labels one hop and keeps the min.  Rounds = graph diameter (near-dup
-    clusters are shallow — boilerplate families collapse in 2-3 hops),
-    each round ONE join + ONE aggregate, both shuffled on the doc id, on
-    a frame of |pairs| rows — never the corpus.  The driver-side loop is
+    Hash-min label propagation WITH pointer doubling: each round (a)
+    propagates labels one hop along edges and keeps the min, then (b)
+    shortcuts every label to its label's label (path compression).  Step
+    (b) is what makes chain-shaped graphs safe: plain one-hop propagation
+    needs diameter rounds (a 10k-hop near-dup chain would exhaust any
+    iteration cap and silently return wrong labels), while doubling
+    converges in O(log diameter) rounds — the same complexity class as
+    the large-star/small-star alternating rounds of Kiveris et al.,
+    CC-MR — so ``max_iter`` = 20 covers diameters past a million.  Each
+    round is two joins + one aggregate, all shuffled on the doc id, on a
+    frame of |pairs| rows — never the corpus.  The driver-side loop is
     inherent to any iterative fixpoint; each iteration localCheckpoints
     to truncate lineage, and the convergence check (did any label drop?)
     is an aggregate over the label frame, not a collect of it.
+
+    Raises RuntimeError if the cap is somehow still hit — wrong cluster
+    labels must never be returned silently (the DuckDB oracle computes an
+    exact transitive closure and would expose them as a hash mismatch).
     """
     edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
              .unionByName(
@@ -322,17 +337,33 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
               .select(F.col("src").alias("doc"),
                       F.least("src", "lbl").alias("lbl"))
               .localCheckpoint())
+    converged = False
     for _ in range(max_iter):
         prop = (edges.join(labels, edges["dst"] == labels["doc"])
                 .select(edges["src"].alias("doc"), "lbl"))
-        new = (labels.unionByName(prop)
-               .groupBy("doc").agg(F.min("lbl").alias("lbl"))
+        hop = (labels.unionByName(prop)
+               .groupBy("doc").agg(F.min("lbl").alias("lbl")))
+        # pointer doubling: lbl <- label(lbl).  Every lbl is a doc id in
+        # the graph (labels only ever take doc-id values), so the inner
+        # self-join is total; labels are monotone non-increasing, so
+        # least() just guards the invariant.
+        new = (hop.alias("x")
+               .join(hop.select(F.col("doc").alias("lbl"),
+                                F.col("lbl").alias("lbl2")).alias("y"),
+                     "lbl")
+               .select("doc", F.least("lbl", "lbl2").alias("lbl"))
                .localCheckpoint())
         changed = (new.alias("n")
                    .join(labels.alias("o"), "doc")
                    .filter(F.col("n.lbl") < F.col("o.lbl")).count())
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds "
+            f"(graph diameter > 2^{max_iter}?); refusing to return "
+            "possibly-wrong cluster labels")
     return labels.select(F.col("doc").alias("doc_id"),
                          F.col("lbl").alias("cluster_id"))

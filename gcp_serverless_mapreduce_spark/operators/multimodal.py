@@ -57,23 +57,192 @@ def media_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def encode_bmp(arr) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array (row 0 = top) as a 24-bpp
+    uncompressed Windows BMP — pure struct+numpy, no codec libs.  BMP
+    stores rows bottom-up in BGR with each row padded to 4 bytes; the
+    decoder must undo all three, which is exactly what the oracle-gated
+    round-trip checksum verifies."""
+    import struct
+
+    import numpy as np
+    h, w = arr.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, :w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)   # bottom-up BGR
+    data = rows.tobytes()
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(data), 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_bmp(payload: bytes):
+    """Decode a 24-bpp uncompressed BMP to an (h, w, 3) uint8 RGB array.
+    Strict: raises ValueError on anything that isn't exactly this format
+    (so text bytes that happen to start with 'BM' fall through to the
+    byte-stats path instead of mis-decoding)."""
+    import struct
+
+    import numpy as np
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    hsize, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if hsize < 40 or planes != 1 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        raise ValueError("unsupported BMP variant")
+    bottom_up, h = h > 0, abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    if offset + row_bytes * h > len(payload):
+        raise ValueError("truncated BMP")
+    rows = np.frombuffer(payload, np.uint8, count=row_bytes * h,
+                         offset=offset).reshape(h, row_bytes)
+    bgr = rows[:, :w * 3].reshape(h, w, 3)
+    if bottom_up:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()                            # BGR -> RGB
+
+
+def encode_ppm(arr) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as binary PPM (P6)."""
+    h, w = arr.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + arr.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """Decode a binary PPM (P6, maxval 255, '#' comments allowed) to an
+    (h, w, 3) uint8 RGB array; ValueError on anything else."""
+    import numpy as np
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos:pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header")
+        fields.append(int(payload[start:pos]))
+    w, h, maxval = fields
+    if maxval != 255 or w <= 0 or h <= 0:
+        raise ValueError("unsupported PPM variant")
+    pos += 1                                   # single whitespace after maxval
+    if pos + w * h * 3 > len(payload):
+        raise ValueError("truncated PPM")
+    return (np.frombuffer(payload, np.uint8, count=w * h * 3, offset=pos)
+            .reshape(h, w, 3).copy())
+
+
+_DECODERS = (decode_bmp, decode_ppm)
+
+
 def _decode_bytes(payload: bytes) -> dict:
-    """THE STUB.  A real pipeline decodes here (PIL.Image.open /
-    soundfile.read / av.open); none of those libs exist in this container,
-    so emit deterministic byte-level stats with the same output shape."""
-    try:  # pragma: no cover - codec libs absent by design
-        import PIL.Image  # noqa: F401
-        raise NotImplementedError(
-            "real image decode not wired up; container has no test images")
-    except ImportError:
-        pass
+    """Real decode where the bytes are a format we ship a decoder for
+    (24-bpp BMP, P6 PPM — pure numpy, no codec libs); otherwise the
+    clearly-marked fallback emits byte-level stats with the same output
+    shape.  Formats the container can't decode (JPEG/PNG/audio/video
+    would need PIL/soundfile/av) stay on the fallback path."""
     if not payload:
         return {"n_bytes": 0, "mean_byte": None, "min_byte": None,
                 "max_byte": None}
     import numpy as np
+    for dec in _DECODERS:
+        try:
+            px = dec(payload)
+        except ValueError:
+            continue
+        flat = px.reshape(-1)
+        return {"n_bytes": int(flat.size), "mean_byte": float(flat.mean()),
+                "min_byte": int(flat.min()), "max_byte": int(flat.max())}
+    # FALLBACK (stub for codec-less formats): byte-level stats
     arr = np.frombuffer(payload, dtype=np.uint8)
     return {"n_bytes": int(arr.size), "mean_byte": float(arr.mean()),
             "min_byte": int(arr.min()), "max_byte": int(arr.max())}
+
+
+IMG_CHECKSUM_MOD = 1_000_000_007
+
+DECODED_IMAGE_SCHEMA = (
+    "media_id long, fmt string, px_w long, px_h long, n_px long, "
+    "mean_px double, min_px long, max_px long, checksum long"
+)
+
+
+def synth_pixel_array(media_id: int, w: int, h: int):
+    """Deterministic test image: flat pixel i = (media_id*31 + i*7) % 256,
+    reshaped row-major to (h, w, 3) RGB.  Closed-form, so the DuckDB
+    oracle recomputes every decoded statistic analytically — the
+    encode→decode round trip is hash-gated without shipping fixtures."""
+    import numpy as np
+    n = w * h * 3
+    i = np.arange(n, dtype=np.int64)
+    return ((media_id * 31 + i * 7) % 256).astype(np.uint8).reshape(h, w, 3)
+
+
+def image_corpus(docs: DataFrame) -> DataFrame:
+    """(media_id, payload): one real encoded image per document row —
+    even ids as 24-bpp BMP, odd as P6 PPM, dims varied per id (including
+    widths that force BMP row padding).  The synthesis runs inside
+    mapInPandas, so payload bytes are born on executors and never shuffle
+    (the decode stage that follows is map-only too)."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = mid % 5 + 4, mid % 3 + 3
+                arr = synth_pixel_array(mid, w, h)
+                payloads.append(encode_bmp(arr) if mid % 2 == 0
+                                else encode_ppm(arr))
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "payload": payloads})
+
+    return (docs.select(F.col("doc_id").alias("media_id"))
+            .mapInPandas(batches, schema="media_id long, payload binary"))
+
+
+def decode_image_stats(images: DataFrame) -> DataFrame:
+    """Decode REAL image bytes (format sniffed from the payload, dims from
+    the parsed header — nothing is passed alongside) and emit per-image
+    pixel statistics plus an order-sensitive checksum
+    (sum((i+1) * pixel_i) mod {IMG_CHECKSUM_MOD} over the row-major RGB
+    flattening): a decoder that flipped rows, swapped channels, or kept
+    BMP row padding would produce the right mean but the wrong checksum.
+    Map-only mapInPandas; payload bytes never shuffle."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "fmt", "px_w", "px_h",
+                                   "n_px", "mean_px", "min_px", "max_px",
+                                   "checksum")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    px, fmt = decode_bmp(payload), "bmp"
+                except ValueError:
+                    px, fmt = decode_ppm(payload), "ppm"
+                flat = px.reshape(-1).astype(np.int64)
+                n = flat.size
+                csum = int(((np.arange(1, n + 1, dtype=np.int64) * flat).sum())
+                           % IMG_CHECKSUM_MOD)
+                out["media_id"].append(mid)
+                out["fmt"].append(fmt)
+                out["px_h"].append(px.shape[0])
+                out["px_w"].append(px.shape[1])
+                out["n_px"].append(n)
+                out["mean_px"].append(float(flat.sum()) / n)
+                out["min_px"].append(int(flat.min()))
+                out["max_px"].append(int(flat.max()))
+                out["checksum"].append(csum)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(batches, schema=DECODED_IMAGE_SCHEMA)
 
 
 def decode_media(media: DataFrame) -> DataFrame:

@@ -176,6 +176,47 @@ def run_available_now(result: DataFrame, name: str,
     return out
 
 
+def run_rate_replay(result: DataFrame, name: str, n_expected: int,
+                    count_col: str = "n_events",
+                    timeout_s: float = 180.0) -> DataFrame:
+    """Execute a rate-source streaming aggregate until it has absorbed
+    ``n_expected`` input rows, then snapshot the memory sink.
+
+    A rate source never ends (ticks keep coming; past the fixture they
+    join to nothing), so availableNow can't bound it — completion is
+    instead observed from the result itself: for a windowed aggregate,
+    ``sum(n_events)`` equals the number of fixture rows absorbed, so the
+    poll is a tiny driver-side read of the in-memory sink, not an action
+    over the source.  This is purely a replay-adapter harness; a real
+    Kafka/Pub/Sub deployment runs the same transform with a normal
+    long-lived trigger and no completion probe."""
+    import time
+
+    spark = result.sparkSession
+    with stream_state_partitions(spark):
+        q = (result.writeStream
+             .format("memory")
+             .queryName(name)
+             .outputMode("complete")
+             .start())
+    try:
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            done = (spark.table(name)
+                    .agg(F.sum(count_col)).collect()[0][0] or 0)
+            if done >= n_expected:
+                break
+            time.sleep(0.25)
+        else:
+            raise TimeoutError(
+                f"rate replay {name!r} absorbed {done}/{n_expected} rows "
+                f"within {timeout_s}s")
+        out = spark.table(name).localCheckpoint()
+    finally:
+        q.stop()
+    return out
+
+
 def write_events_batch(batch_df: DataFrame, batch_id: int, path: str) -> None:
     """Idempotent micro-batch write: dynamic partition overwrite keyed by
     (event_date, ingest_batch).  Replaying batch N — foreachBatch is

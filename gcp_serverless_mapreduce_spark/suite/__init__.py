@@ -44,6 +44,11 @@ promote([
     "stratified_sample_by_lang",
     "sessionize_user_events",
     "ivf_fixed_cells_topk",
+    "stream_windowed_event_stats_rate",
+    "image_decode_roundtrip",
+    "clean_text_stats",
+    "tfidf_top_terms",
+    "repetition_quality_filter",
 ])
 
 # Re-export the flagship for __spark_entry__.entry

@@ -48,6 +48,43 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media(_media(spark, sf_dir))
 
 
+@register("image_decode_roundtrip", f"""
+WITH img AS (
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+           doc_id % 5 + 4 AS w, doc_id % 3 + 3 AS h
+    FROM documents),
+px AS (
+    SELECT media_id, fmt, w, h, w * h * 3 AS n,
+           -- the synthesized image's pixels in closed form: flat pixel i
+           -- (row-major RGB) = (media_id*31 + i*7) % 256 — what a CORRECT
+           -- decode of the encoded BMP/PPM bytes must recover exactly
+           list_transform(generate_series(0, w * h * 3 - 1),
+                          i -> (media_id * 31 + i * 7) % 256) AS p
+    FROM img)
+SELECT media_id, fmt,
+       CAST(w AS BIGINT) AS px_w, CAST(h AS BIGINT) AS px_h,
+       CAST(n AS BIGINT) AS n_px,
+       CAST(list_sum(p) AS DOUBLE) / n AS mean_px,
+       CAST(list_min(p) AS BIGINT) AS min_px,
+       CAST(list_max(p) AS BIGINT) AS max_px,
+       CAST(list_sum(list_transform(generate_series(1, n), i -> i * p[i]))
+            % {multimodal.IMG_CHECKSUM_MOD} AS BIGINT) AS checksum
+FROM px
+""")
+def image_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-gated: synthesize one BMP (even ids) or
+    PPM (odd ids) per document from a closed-form pixel pattern, then
+    decode the BYTES back (format sniffed, dims parsed from headers) and
+    emit pixel stats + an order-sensitive checksum.  The oracle computes
+    the same stats analytically from the pattern, so a decoder that
+    mishandled BMP's bottom-up rows, BGR order, or 4-byte row padding
+    hash-fails.  Both stages are map-only mapInPandas; payloads never
+    shuffle."""
+    imgs = multimodal.image_corpus(load_table(spark, sf_dir, "documents"))
+    return multimodal.decode_image_stats(imgs)
+
+
 @register("media_feature_summary", _MEDIA_CTE + """
 SELECT media_type,
        CAST(COUNT(*) AS BIGINT) AS n_media,

@@ -33,6 +33,26 @@ def stream_windowed_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.run_available_now(stats, "windowed_event_stats_sink")
 
 
+@register("stream_windowed_event_stats_rate", """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def stream_windowed_event_stats_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME windowed-agg transform as ``stream_windowed_event_stats``,
+    fed by the rate-micro-batch replay source instead of the file source —
+    the push/queue transport analog (SURVEY C2), held to the same DuckDB
+    oracle.  Completion is observed from the sink (sum of counts == fixture
+    rows); the transform itself is source-agnostic."""
+    n_expected = load_table(spark, sf_dir, "events").count()
+    stats = pipeline.windowed_event_stats(
+        pipeline.stream_events_rate(spark, sf_dir, rows_per_batch=25_000))
+    return pipeline.run_rate_replay(
+        stats, "windowed_event_stats_rate_sink", n_expected)
+
+
 @register("stream_click_purchase_join", """
 SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id,
        strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,

@@ -307,6 +307,143 @@ def word_bigram_freq_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@register("clean_text_stats", """
+WITH c AS (
+    SELECT doc_id, source, text,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[^[:print:]]', ' ', 'g'), '\\s+', ' ', 'g')) AS cleaned
+    FROM documents)
+SELECT doc_id, source,
+       CAST(strlen(text) AS BIGINT) AS orig_len,
+       CAST(strlen(cleaned) AS BIGINT) AS clean_len,
+       md5(cleaned) AS clean_md5
+FROM c
+""")
+def clean_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization, the first stage of every training-data
+    pipeline: lowercase -> non-printable chars to spaces -> collapse
+    whitespace runs -> trim; emit before/after lengths + md5 of the
+    cleaned text (so the oracle gates the exact cleaned BYTES, not just
+    counts).  Pure string expressions in one scan-side projection — no
+    shuffle, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = F.trim(F.regexp_replace(F.regexp_replace(
+        F.lower(F.col("text")), r"[^\p{Print}]", " "), r"\s+", " "))
+    return docs.select(
+        "doc_id", "source",
+        F.length("text").cast("long").alias("orig_len"),
+        F.length(cleaned).cast("long").alias("clean_len"),
+        F.md5(cleaned).alias("clean_md5"))
+
+
+@register("tfidf_top_terms", _T_CTE + """,
+n_total AS (SELECT COUNT(*) AS n FROM documents),
+pairs AS (SELECT source, doc_id, u.word AS term
+          FROM t, unnest(toks) AS u(word)),
+tdc AS (SELECT term, doc_id, source, COUNT(*) AS c
+        FROM pairs GROUP BY 1, 2, 3),
+ts AS (SELECT term, source, CAST(SUM(c) AS BIGINT) AS tf,
+              COUNT(c) AS nd
+       FROM tdc GROUP BY 1, 2),
+scored AS (
+    SELECT source, term, tf,
+           CAST(SUM(nd) OVER (PARTITION BY term) AS BIGINT) AS df,
+           tf * ln((SELECT n FROM n_total)
+                   / CAST(SUM(nd) OVER (PARTITION BY term) AS DOUBLE)) AS score
+    FROM ts)
+SELECT source, term, tf, df, round(score, 6) AS tfidf,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY score DESC, term) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+""")
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per source by tf-idf (idf = ln(N/df)).  The plan is
+    deliberately LINEAR: explode -> per-(term, doc, source) count ->
+    per-(term, source) rollup -> document frequency as a window sum over
+    the term partition -> rank.  A tf-branch/df-branch self-join reads
+    nicer but executes worse: the two branches get column-pruned
+    differently, de-canonicalizing the shared exchange, and the corpus
+    is scanned and tokenized TWICE (verified in the executed plan; no
+    ReuseExchange fires).  The linear form scans once, and every
+    exchange past the first moves only the tiny vocabulary-sized frame.
+    N arrives as a broadcast one-row scalar (never a collect).  Ranking
+    orders by the raw double score with term as the tie-break; both
+    engines compute ln() of identical IEEE inputs."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("toks", textstats.tokens(F.col("text")))
+    n_total = docs.agg(F.count("*").alias("n"))
+    tdc = (d.select("source", "doc_id", F.explode("toks").alias("term"))
+           .groupBy("term", "doc_id", "source")
+           .agg(F.count("*").alias("c")))
+    ts = (tdc.groupBy("term", "source")
+          .agg(F.sum("c").alias("tf"), F.count("c").alias("nd")))
+    wdf = Window.partitionBy("term")
+    scored = (ts.withColumn("df", F.sum("nd").over(wdf))
+              .crossJoin(F.broadcast(n_total))
+              .withColumn("score",
+                          F.col("tf") * F.log(F.col("n")
+                                              / F.col("df").cast("double"))))
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 5)
+            .select("source", "term", "tf", "df",
+                    F.round("score", 6).alias("tfidf"), "rank"))
+
+
+@register("repetition_quality_filter", _T_CTE + """,
+bg AS (
+    SELECT doc_id, toks,
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+    FROM t WHERE len(toks) >= 2)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+           AS dup_token_frac,
+       round(CAST(list_max(list_transform(list_distinct(bigrams),
+                  b -> len(list_filter(bigrams, x -> x = b)))) AS DOUBLE)
+             / len(bigrams), 6) AS top_bigram_frac,
+       (1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) <= 0.9
+       AND CAST(list_max(list_transform(list_distinct(bigrams),
+                b -> len(list_filter(bigrams, x -> x = b)))) AS DOUBLE)
+           / len(bigrams) <= 0.5 AS keep
+FROM bg
+""")
+def repetition_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gate (the Gopher-style filter): duplicate
+    token fraction + most-frequent-bigram fraction per doc, and the keep
+    flag a pre-training filter would apply.  All in-row higher-order
+    expressions — one scan, zero shuffles; the per-doc bigram count is
+    O(distinct x n) on short documents (a 100 TB run with book-length
+    rows would move this into an Arrow pandas stage, per the measured
+    HOF-vs-pandas crossover in operators/dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = (docs.withColumn("toks", textstats.tokens(F.col("text")))
+         .filter(F.size("toks") >= 2))
+    n = F.size("toks")
+    toks = F.col("toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
+                           F.element_at(toks, i + 1)))
+    d = d.withColumn("bigrams", bigrams)
+    bgs = F.col("bigrams")
+    top_bg = F.array_max(F.transform(
+        F.array_distinct(bgs),
+        lambda b: F.size(F.filter(bgs, lambda x: x == b))))
+    dup_frac = (F.lit(1.0)
+                - F.size(F.array_distinct(toks)).cast("double") / n)
+    top_frac = top_bg.cast("double") / F.size(bgs)
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(dup_frac, 6).alias("dup_token_frac"),
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        ((dup_frac <= 0.9) & (top_frac <= 0.5)).alias("keep"))
+
+
 @register("corpus_prep_pipeline", _T_CTE + """,
 gated AS (
     SELECT * FROM t

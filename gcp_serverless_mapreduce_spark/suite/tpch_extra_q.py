@@ -578,14 +578,24 @@ SELECT DISTINCT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
 FROM shipped
 JOIN per_part USING (partkey)
 JOIN supplier ON s_suppkey = suppkey
-WHERE 2 * qty * n_pairs > total_qty
+-- factors bounded so the product is EXACT in both engines' DECIMAL(38):
+-- (24,2) x (1,0) x (9,0) peaks at precision 36 under Spark's
+-- p1+p2+1 widening (DuckDB's p1+p2 is tighter still) — no
+-- allowPrecisionLoss truncation at any scale factor
+WHERE CAST(qty AS DECIMAL(24,2)) * CAST(2 AS DECIMAL(1,0))
+      * CAST(n_pairs AS DECIMAL(9,0)) > total_qty
 """)
 def q20_excess_shipments_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q20 shape: semi-join through two stacked aggregations with a
     correlated per-group threshold, decorrelated into agg + join (the
     plan RewriteCorrelatedScalarSubquery would build).  The threshold
-    compare is exact decimal cross-multiplication — no division, so both
-    engines agree on boundary pairs bit-for-bit."""
+    compare is exact decimal cross-multiplication — no division, and
+    every factor explicitly bounded (qty DECIMAL(24,2): per-(supp,part)
+    quantity sums stay far under 10^22; n_pairs DECIMAL(9,0): suppliers
+    per part under 10^9) so the product precision (36) never exceeds
+    DECIMAL(38) — Spark's allowPrecisionLoss truncation can't fire at
+    any scale factor and both engines agree on boundary pairs
+    bit-for-bit."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_name").startswith("small"))
@@ -602,7 +612,9 @@ def q20_excess_shipments_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
     supp = load_table(spark, sf_dir, "supplier")
     return (
         shipped.join(per_part, "partkey")
-        .filter(F.lit(2) * F.col("qty") * F.col("n_pairs") > F.col("total_qty"))
+        .filter(F.col("qty").cast("decimal(24,2)")
+                * F.lit(2).cast("decimal(1,0)")
+                * F.col("n_pairs").cast("decimal(9,0)") > F.col("total_qty"))
         .join(supp, F.col("suppkey") == supp["s_suppkey"])
         .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
         .distinct()

@@ -129,6 +129,17 @@ def test_dup_clusters_transitive_min_label(spark):
                    20: 20, 21: 20, 22: 20, 23: 20}
 
 
+def test_dup_clusters_long_chain_converges_fast(spark):
+    # 65-node path graph (diameter 64): plain one-hop hash-min would need
+    # 64 rounds and silently truncate at max_iter=20; pointer doubling
+    # must converge (and raise rather than return wrong labels if not).
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.dup_clusters(pairs, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(65)}
+
+
 def test_simhash_near_dups_pigeonhole_and_cap(spark):
     # Identical token sets -> hamming 0; one swapped token -> small
     # hamming; unrelated vocabulary -> far beyond max_hamming.

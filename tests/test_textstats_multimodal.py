@@ -75,3 +75,43 @@ def test_resize_geometry_integer_exact(spark):
     assert (r["orig_w"], r["orig_h"]) == (320, 180)
     assert (r["new_w"], r["new_h"]) == (224, 180 * 224 // 320)
     assert r["scale_ppm"] == 224 * 1_000_000 // 320
+
+
+# --- real BMP/PPM codecs -------------------------------------------------
+
+def test_bmp_roundtrip_exact_with_row_padding():
+    import numpy as np
+    # w=5 -> 15-byte rows padded to 16: exercises the 4-byte padding path
+    arr = multimodal.synth_pixel_array(7, 5, 3)
+    out = multimodal.decode_bmp(multimodal.encode_bmp(arr))
+    assert out.shape == (3, 5, 3)
+    assert np.array_equal(out, arr)
+
+
+def test_ppm_roundtrip_exact():
+    import numpy as np
+    arr = multimodal.synth_pixel_array(11, 4, 5)
+    out = multimodal.decode_ppm(multimodal.encode_ppm(arr))
+    assert out.shape == (5, 4, 3)
+    assert np.array_equal(out, arr)
+
+
+def test_decoders_reject_text_bytes():
+    import pytest
+    for payload in (b"BM is a band", b"P6 is a chord", b"plain text"):
+        with pytest.raises(ValueError):
+            multimodal.decode_bmp(payload)
+        with pytest.raises(ValueError):
+            multimodal.decode_ppm(payload)
+
+
+def test_decode_bytes_uses_real_decoder_for_images():
+    import numpy as np
+    arr = multimodal.synth_pixel_array(3, 4, 3)
+    feats = multimodal._decode_bytes(multimodal.encode_bmp(arr))
+    # stats over decoded PIXELS (36 values), not over the 110-byte file
+    assert feats["n_bytes"] == arr.size
+    assert feats["mean_byte"] == float(arr.reshape(-1).mean())
+    # text payloads still take the byte-stats fallback
+    fallback = multimodal._decode_bytes(b"abcd")
+    assert fallback["n_bytes"] == 4 and fallback["min_byte"] == 97
