@@ -341,8 +341,14 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     for _ in range(max_iter):
         prop = (edges.join(labels, edges["dst"] == labels["doc"])
                 .select(edges["src"].alias("doc"), "lbl"))
+        # localCheckpoint BEFORE the self-join: truncating the
+        # union+aggregate lineage here both bounds plan growth and keeps
+        # Catalyst's Union constraint-rewrite away from the renamed
+        # self-join below (which it mis-maps at larger inputs:
+        # NoSuchElementException in rewriteConstraints)
         hop = (labels.unionByName(prop)
-               .groupBy("doc").agg(F.min("lbl").alias("lbl")))
+               .groupBy("doc").agg(F.min("lbl").alias("lbl"))
+               .localCheckpoint())
         # pointer doubling: lbl <- label(lbl).  Every lbl is a doc id in
         # the graph (labels only ever take doc-id values), so the inner
         # self-join is total; labels are monotone non-increasing, so

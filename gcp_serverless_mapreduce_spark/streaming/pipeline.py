@@ -77,9 +77,14 @@ def stream_events_rate(spark: SparkSession, sf_dir: str,
     from pyspark.sql import Window
 
     static = load_table(spark, sf_dir, "events")
+    # localCheckpoint: a stream-static join re-executes the static side
+    # EVERY micro-batch, and this side carries a global sort — materialize
+    # the indexed frame once instead of re-sorting per batch (measured
+    # 4.3 -> 3.0 s warm on the rate-replay windowed agg at sf0.1)
     indexed = static.withColumn(
         "_idx",
-        F.row_number().over(Window.orderBy("ts", "event_id")) - 1)
+        F.row_number().over(Window.orderBy("ts", "event_id")) - 1
+    ).localCheckpoint()
     ticks = (spark.readStream.format("rate-micro-batch")
              .option("rowsPerBatch", rows_per_batch)
              .option("startTimestamp", 0)

@@ -49,6 +49,7 @@ promote([
     "clean_text_stats",
     "tfidf_top_terms",
     "repetition_quality_filter",
+    "stream_user_totals_stateful",
 ])
 
 # Re-export the flagship for __spark_entry__.entry

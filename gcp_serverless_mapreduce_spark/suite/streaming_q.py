@@ -85,6 +85,30 @@ def stream_distinct_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFr
         "distinct_user_event_pairs_sink", mode="append")
 
 
+@register("stream_user_totals_stateful", """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+""")
+def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator (applyInPandasWithState — the
+    arbitrary-grouped-state API, the reference's Redis running-state
+    analog) held to a full DuckDB oracle: running per-user totals in
+    integer-cents state, emitted per batch; the final row per user (the
+    one with the largest running count) must equal the batch aggregate.
+    max_by keeps the reduction deterministic even if the bounded stream
+    splits into multiple micro-batches."""
+    from ..streaming import stateful
+
+    ev = pipeline.stream_events(spark, sf_dir)
+    updates = pipeline.run_available_now(
+        stateful.running_user_totals(ev), "user_totals_stateful_sink",
+        mode="update")
+    return (updates.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.max_by("total_value", "n_events").alias("total_value")))
+
+
 @register("sessionize_user_events", f"""
 WITH g AS (
     SELECT user_id, event_id, ts, value,
