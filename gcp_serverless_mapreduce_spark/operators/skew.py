@@ -23,6 +23,46 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_equijoin(big: DataFrame, small: DataFrame, key: str,
+                    hot_keys, num_salts: int = 8,
+                    salt_src: str = None) -> DataFrame:
+    """Skew-safe fact-to-dimension equi-join for a non-broadcastable
+    ``small`` side with known-hot join keys: the classic two-dimensional
+    salting plan.
+
+    Hot rows of ``big`` get ``_salt = hash(salt_src) % num_salts`` (a
+    deterministic spread column, e.g. the fact row's id); the matching
+    ``small`` rows are replicated once per salt via an exploded
+    sequence, so the join key becomes (key, _salt) and a hot key's rows
+    land on ``num_salts`` reducers instead of one.  Cold keys pay
+    nothing (salt 0, no replication).  The result set is exactly the
+    plain join's — salting only re-partitions work — so an oracle can
+    check it with ordinary SQL.
+
+    ``hot_keys`` is a literal allowlist (the "known skew" form: stop
+    words, null-ish sentinel ids, the celebrity user).  When the hot
+    set must be discovered, run a cheap sampled pre-pass and pass its
+    result here.  AQE's skew-join split covers sort-merge cases
+    adaptively at runtime; the explicit form is for when you need the
+    mitigation in the PLAN — deterministic partition bounds, joins AQE
+    won't rewrite, or engines without it.
+    """
+    if salt_src is None:
+        raise ValueError("salt_src is required (deterministic spread col)")
+    is_hot = F.col(key).isin(*list(hot_keys))
+    big_s = big.withColumn(
+        "_salt",
+        F.when(is_hot, F.pmod(F.xxhash64(F.col(salt_src)),
+                              F.lit(num_salts)))
+        .otherwise(F.lit(0)).cast("int"))
+    small_s = small.withColumn(
+        "_salt",
+        F.explode(F.when(is_hot,
+                         F.sequence(F.lit(0), F.lit(num_salts - 1)))
+                  .otherwise(F.array(F.lit(0)))))
+    return big_s.join(small_s, [key, "_salt"]).drop("_salt")
+
+
 def salted_distinct_count(df: DataFrame, key: str, value: str,
                           buckets: int = 16,
                           out_col: str = "n_distinct") -> DataFrame:

@@ -50,6 +50,7 @@ promote([
     "tfidf_top_terms",
     "repetition_quality_filter",
     "stream_user_totals_stateful",
+    "word_commonness_by_source_salted",
 ])
 
 # Re-export the flagship for __spark_entry__.entry

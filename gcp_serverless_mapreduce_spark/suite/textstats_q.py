@@ -307,6 +307,50 @@ def word_bigram_freq_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@register("word_commonness_by_source_salted", _T_CTE + """,
+pairs AS (SELECT source, doc_id, u.word AS word
+          FROM t, unnest(toks) AS u(word)),
+meta AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS w_occ
+         FROM pairs GROUP BY 1)
+SELECT p.source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(m.w_occ) AS BIGINT) AS total_commonness,
+       round(CAST(SUM(m.w_occ) AS DOUBLE) / COUNT(*), 6) AS avg_commonness
+FROM pairs p JOIN meta m USING (word)
+GROUP BY 1
+""")
+def word_commonness_by_source_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact-to-metadata JOIN via two-dimensional salting
+    (operators/skew.py::salted_equijoin): token occurrences joined to a
+    per-word frequency table, where stop words are the known-hot join
+    keys (they appear in nearly every document — the textbook join
+    skew).  Hot fact rows spread over 8 salts, hot metadata rows
+    replicate 8x, cold keys pay nothing; the merge hint models the real
+    deployment where a billion-word metadata table cannot broadcast.
+    Salting only re-partitions work, so the oracle is the PLAIN join —
+    same rows either way.  Complements docs_per_word_salted (salted
+    distinct AGGREGATION) with the join-side pattern."""
+    from ..operators.skew import salted_equijoin
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (docs.withColumn("toks", textstats.tokens(F.col("text")))
+             .select("source", "doc_id", F.explode("toks").alias("word")))
+    # vocabulary-sized; materialized once so the join doesn't recompute
+    # the corpus explode on its build side
+    meta = (pairs.groupBy("word").agg(F.count("*").alias("w_occ"))
+            .localCheckpoint())
+    joined = salted_equijoin(pairs, meta.hint("merge"), "word",
+                             hot_keys=STOPWORDS, num_salts=8,
+                             salt_src="doc_id")
+    n = F.count("*")
+    total = F.sum("w_occ")
+    return (joined.groupBy("source")
+            .agg(n.alias("n_tokens"),
+                 total.cast("long").alias("total_commonness"),
+                 F.round(total.cast("double") / n, 6)
+                 .alias("avg_commonness")))
+
+
 @register("clean_text_stats", """
 WITH c AS (
     SELECT doc_id, source, text,

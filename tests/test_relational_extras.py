@@ -56,3 +56,29 @@ def test_stratified_sample_proportions_and_determinism(spark):
             assert 0.25 * n <= got[lang] <= 0.75 * n
         else:
             assert got[lang] == n
+
+
+def test_salted_equijoin_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from gcp_serverless_mapreduce_spark.operators.skew import salted_equijoin
+
+    # 'hot' appears 50x on the fact side (the skewed key), others once
+    facts = spark.createDataFrame(
+        [(i, "hot" if i < 50 else f"k{i}") for i in range(60)],
+        ["row_id", "k"])
+    dims = spark.createDataFrame(
+        [("hot", 1)] + [(f"k{i}", i) for i in range(50, 60)] + [("unused", 9)],
+        ["k", "payload"])
+    salted = salted_equijoin(facts, dims, "k", hot_keys=["hot"],
+                             num_salts=4, salt_src="row_id")
+    plain = facts.join(dims, "k")
+    cols = ["k", "row_id", "payload"]
+    assert sorted(map(tuple, salted.select(*cols).collect())) == \
+        sorted(map(tuple, plain.select(*cols).collect()))
+    # hot fact rows really spread across multiple salts pre-join
+    spread = (facts.withColumn(
+        "_salt", F.pmod(F.xxhash64("row_id"), F.lit(4)))
+        .filter(F.col("k") == "hot")
+        .select("_salt").distinct().count())
+    assert spread > 1
