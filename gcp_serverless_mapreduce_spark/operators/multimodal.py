@@ -140,6 +140,49 @@ def decode_ppm(payload: bytes):
             .reshape(h, w, 3).copy())
 
 
+def encode_wav(samples, rate: int = 8000) -> bytes:
+    """Encode an int16 numpy array as a mono 16-bit PCM WAV (RIFF) —
+    pure struct, no codec libs."""
+    import struct
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav(payload: bytes):
+    """Decode a mono 16-bit PCM WAV to (rate, int16 sample array).
+    Strict: ValueError on anything that isn't exactly this format (other
+    bytes fall through to the byte-stats path)."""
+    import struct
+
+    import numpy as np
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE")
+    pos, rate, n_channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            audio_fmt, n_channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0)
+            if audio_fmt != 1:
+                raise ValueError("not PCM")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)            # chunks are word-aligned
+    if rate is None or data is None or bits != 16 or n_channels != 1:
+        raise ValueError("unsupported WAV variant")
+    if len(data) % 2:
+        raise ValueError("odd PCM byte length")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
 _DECODERS = (decode_bmp, decode_ppm)
 
 
@@ -243,6 +286,70 @@ def decode_image_stats(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return images.mapInPandas(batches, schema=DECODED_IMAGE_SCHEMA)
+
+
+DECODED_AUDIO_SCHEMA = (
+    "media_id long, sample_rate long, n_samples long, mean_amp double, "
+    "min_amp long, max_amp long, checksum long"
+)
+
+
+def synth_audio_samples(media_id: int, n: int):
+    """Deterministic int16 test signal: sample i =
+    ((media_id*37 + i*11) % 65536) - 32768 — closed-form, so the oracle
+    recomputes every decoded statistic analytically."""
+    import numpy as np
+    i = np.arange(n, dtype=np.int64)
+    return (((media_id * 37 + i * 11) % 65536) - 32768).astype(np.int16)
+
+
+def audio_corpus(docs: DataFrame) -> DataFrame:
+    """(media_id, payload): one real mono 16-bit PCM WAV per document row,
+    length and sample rate varied per id.  Synthesized inside mapInPandas
+    so payload bytes are born on executors and never shuffle."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = (mid % 4 + 1) * 256
+                rate = 8000 + (mid % 3) * 4000
+                payloads.append(encode_wav(synth_audio_samples(mid, n), rate))
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "payload": payloads})
+
+    return (docs.select(F.col("doc_id").alias("media_id"))
+            .mapInPandas(batches, schema="media_id long, payload binary"))
+
+
+def decode_audio_stats(audio: DataFrame) -> DataFrame:
+    """Decode REAL WAV bytes (rate and samples parsed from the RIFF
+    chunks — nothing passed alongside) and emit per-clip amplitude stats
+    plus the order-sensitive checksum sum((i+1) * sample_i) (exact
+    int64; a decoder that dropped a chunk header byte or mis-read
+    endianness fails it).  Map-only mapInPandas; payloads never
+    shuffle."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "sample_rate", "n_samples",
+                                   "mean_amp", "min_amp", "max_amp",
+                                   "checksum")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, s = decode_wav(payload)
+                s64 = s.astype(np.int64)
+                n = s64.size
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["mean_amp"].append(float(s64.sum()) / n)
+                out["min_amp"].append(int(s64.min()))
+                out["max_amp"].append(int(s64.max()))
+                out["checksum"].append(
+                    int((np.arange(1, n + 1, dtype=np.int64) * s64).sum()))
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(batches, schema=DECODED_AUDIO_SCHEMA)
 
 
 def decode_media(media: DataFrame) -> DataFrame:

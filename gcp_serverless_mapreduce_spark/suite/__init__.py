@@ -51,6 +51,7 @@ promote([
     "repetition_quality_filter",
     "stream_user_totals_stateful",
     "word_commonness_by_source_salted",
+    "audio_decode_roundtrip",
 ])
 
 # Re-export the flagship for __spark_entry__.entry

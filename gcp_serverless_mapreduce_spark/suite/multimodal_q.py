@@ -85,6 +85,42 @@ def image_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_stats(imgs)
 
 
+@register("audio_decode_roundtrip", """
+WITH clip AS (
+    SELECT doc_id AS media_id,
+           (doc_id % 4 + 1) * 256 AS n,
+           8000 + (doc_id % 3) * 4000 AS rate
+    FROM documents),
+s AS (
+    SELECT media_id, n, rate,
+           -- the synthesized signal in closed form: sample i =
+           -- ((media_id*37 + i*11) % 65536) - 32768, exactly what a
+           -- correct decode of the PCM bytes must recover
+           list_transform(generate_series(0, n - 1),
+                          i -> ((media_id * 37 + i * 11) % 65536) - 32768) AS p
+    FROM clip)
+SELECT media_id,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(list_sum(p) AS DOUBLE) / n AS mean_amp,
+       CAST(list_min(p) AS BIGINT) AS min_amp,
+       CAST(list_max(p) AS BIGINT) AS max_amp,
+       CAST(list_sum(list_transform(generate_series(1, n), i -> i * p[i]))
+            AS BIGINT) AS checksum
+FROM s
+""")
+def audio_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-gated: synthesize one mono 16-bit PCM
+    WAV per document from a closed-form signal, decode the BYTES back
+    (rate + samples parsed from RIFF chunks) and emit amplitude stats +
+    an order-sensitive weighted checksum.  The oracle computes the same
+    stats analytically from the signal formula, so endianness, chunk
+    parsing, and sample extraction are all hash-gated.  Both stages are
+    map-only mapInPandas; payloads never shuffle."""
+    clips = multimodal.audio_corpus(load_table(spark, sf_dir, "documents"))
+    return multimodal.decode_audio_stats(clips)
+
+
 @register("media_feature_summary", _MEDIA_CTE + """
 SELECT media_type,
        CAST(COUNT(*) AS BIGINT) AS n_media,

@@ -115,3 +115,15 @@ def test_decode_bytes_uses_real_decoder_for_images():
     # text payloads still take the byte-stats fallback
     fallback = multimodal._decode_bytes(b"abcd")
     assert fallback["n_bytes"] == 4 and fallback["min_byte"] == 97
+
+
+def test_wav_roundtrip_exact_and_strict():
+    import numpy as np
+    import pytest
+    s = multimodal.synth_audio_samples(5, 512)
+    rate, out = multimodal.decode_wav(multimodal.encode_wav(s, 12000))
+    assert rate == 12000
+    assert out.dtype == np.int16 and np.array_equal(out, s)
+    for bad in (b"RIFFxxxx", b"RIFF0000WAVE", b"plain text"):
+        with pytest.raises(ValueError):
+            multimodal.decode_wav(bad)
