@@ -171,3 +171,51 @@ def test_jaccard_and_minhash_fuzz(spark):
         else:
             assert sig[i] == min(
                 hashlib.md5(f"0|{s}".encode()).hexdigest() for s in sh)
+
+
+# ---- media codecs: randomized roundtrips (pure Python, no Spark jobs) ----
+
+def test_fuzz_image_codec_roundtrips():
+    import numpy as np
+
+    from gcp_serverless_mapreduce_spark.operators import multimodal
+    rng = np.random.default_rng(20260813)
+    for _ in range(200):
+        h = int(rng.integers(1, 12))
+        w = int(rng.integers(1, 12))   # odd widths exercise BMP row padding
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(
+            multimodal.decode_bmp(multimodal.encode_bmp(arr)), arr)
+        assert np.array_equal(
+            multimodal.decode_ppm(multimodal.encode_ppm(arr)), arr)
+
+
+def test_fuzz_wav_codec_roundtrip():
+    import numpy as np
+
+    from gcp_serverless_mapreduce_spark.operators import multimodal
+    rng = np.random.default_rng(20260813)
+    for _ in range(200):
+        n = int(rng.integers(1, 2048))
+        rate = int(rng.integers(1, 192_001))
+        s = rng.integers(-32768, 32768, size=n).astype(np.int16)
+        got_rate, got = multimodal.decode_wav(multimodal.encode_wav(s, rate))
+        assert got_rate == rate and np.array_equal(got, s)
+
+
+def test_fuzz_salted_join_equals_plain(spark):
+    from gcp_serverless_mapreduce_spark.operators.skew import salted_equijoin
+    rng = random.Random(20260813)
+    keys = [f"k{i}" for i in range(12)]
+    facts = [(i, rng.choice(keys if i % 3 else keys[:2]))  # keys 0-1 hot
+             for i in range(400)]
+    dims = [(k, len(k) * 10 + i) for i, k in enumerate(keys[:10])]  # 2 keyless
+    fdf = spark.createDataFrame(facts, ["row_id", "k"])
+    ddf = spark.createDataFrame(dims, ["k", "payload"])
+    for n_salts in (1, 3, 8):
+        got = sorted(map(tuple, salted_equijoin(
+            fdf, ddf, "k", hot_keys=["k0", "k1"], num_salts=n_salts,
+            salt_src="row_id").select("k", "row_id", "payload").collect()))
+        want = sorted(map(tuple, fdf.join(ddf, "k")
+                          .select("k", "row_id", "payload").collect()))
+        assert got == want
