@@ -288,6 +288,58 @@ def decode_image_stats(images: DataFrame) -> DataFrame:
     return images.mapInPandas(batches, schema=DECODED_IMAGE_SCHEMA)
 
 
+def encode_y4m(frames, rate: str = "25:1") -> bytes:
+    """Encode a list of (3, h, w) uint8 planar frames as YUV4MPEG2
+    (C444: full-resolution Y, U, V planes — a real video container,
+    pure text header + raw planes)."""
+    f0 = frames[0]
+    _, h, w = f0.shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{rate} Ip A0:0 C444\n".encode("ascii")]
+    for fr in frames:
+        out.append(b"FRAME\n")
+        out.append(fr.astype("uint8").tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes):
+    """Decode a C444 YUV4MPEG2 stream to (w, h, [(3, h, w) arrays]).
+    Strict: ValueError on anything that isn't exactly this format."""
+    import numpy as np
+    magic = b"YUV4MPEG2 "
+    if not payload.startswith(magic):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("unterminated y4m header")
+    w = h = None
+    c444 = False
+    for tok in payload[len(magic):nl].split(b" "):
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+        elif tok.startswith(b"C"):
+            c444 = tok == b"C444"
+    if not w or not h or w <= 0 or h <= 0 or not c444:
+        raise ValueError("unsupported y4m variant (need C444 + dims)")
+    frame_bytes = 3 * h * w
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("malformed FRAME marker")
+        start = fnl + 1
+        if start + frame_bytes > len(payload):
+            raise ValueError("truncated y4m frame")
+        frames.append(np.frombuffer(payload, np.uint8, count=frame_bytes,
+                                    offset=start).reshape(3, h, w).copy())
+        pos = start + frame_bytes
+    if not frames:
+        raise ValueError("y4m stream with no frames")
+    return w, h, frames
+
+
 DECODED_AUDIO_SCHEMA = (
     "media_id long, sample_rate long, n_samples long, mean_amp double, "
     "min_amp long, max_amp long, checksum long"
@@ -350,6 +402,74 @@ def decode_audio_stats(audio: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return audio.mapInPandas(batches, schema=DECODED_AUDIO_SCHEMA)
+
+
+DECODED_VIDEO_SCHEMA = (
+    "media_id long, frame_idx long, px_w long, px_h long, n_vals long, "
+    "mean_val double, min_val long, max_val long, checksum long"
+)
+
+
+def synth_video_frames(media_id: int, w: int, h: int, n_frames: int):
+    """Deterministic planar frames: frame f, flat index i (plane-major)
+    = (media_id*13 + f*17 + i*7) % 256 — closed-form per frame so the
+    oracle recomputes every decoded per-frame statistic analytically."""
+    import numpy as np
+    i = np.arange(3 * h * w, dtype=np.int64)
+    return [((media_id * 13 + f * 17 + i * 7) % 256)
+            .astype(np.uint8).reshape(3, h, w) for f in range(n_frames)]
+
+
+def video_corpus(docs: DataFrame) -> DataFrame:
+    """(media_id, payload): one real YUV4MPEG2 (C444) clip per document
+    row, dims and frame count varied per id.  Synthesized inside
+    mapInPandas; payload bytes never shuffle."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h, nf = mid % 4 + 3, mid % 3 + 3, mid % 3 + 2
+                payloads.append(
+                    encode_y4m(synth_video_frames(mid, w, h, nf)))
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "payload": payloads})
+
+    return (docs.select(F.col("doc_id").alias("media_id"))
+            .mapInPandas(batches, schema="media_id long, payload binary"))
+
+
+def decode_video_stats(video: DataFrame) -> DataFrame:
+    """Decode REAL y4m bytes (dims + frame boundaries parsed from the
+    container alone) and emit one row per frame: plane-value stats plus
+    the order-sensitive checksum sum((i+1) * v_i) over the planar
+    flattening.  A demuxer that misplaced a FRAME boundary or swapped
+    planes fails the hash.  Map-only mapInPandas."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "frame_idx", "px_w", "px_h",
+                                   "n_vals", "mean_val", "min_val",
+                                   "max_val", "checksum")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = decode_y4m(payload)
+                for f_idx, fr in enumerate(frames):
+                    flat = fr.reshape(-1).astype(np.int64)
+                    n = flat.size
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f_idx)
+                    out["px_w"].append(w)
+                    out["px_h"].append(h)
+                    out["n_vals"].append(n)
+                    out["mean_val"].append(float(flat.sum()) / n)
+                    out["min_val"].append(int(flat.min()))
+                    out["max_val"].append(int(flat.max()))
+                    out["checksum"].append(
+                        int((np.arange(1, n + 1, dtype=np.int64)
+                             * flat).sum()))
+            yield pd.DataFrame(out)
+
+    return video.mapInPandas(batches, schema=DECODED_VIDEO_SCHEMA)
 
 
 def decode_media(media: DataFrame) -> DataFrame:

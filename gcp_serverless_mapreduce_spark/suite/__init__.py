@@ -30,6 +30,7 @@ from . import multimodal_q  # noqa: F401, E402
 from . import temporal_q  # noqa: F401, E402
 from . import relational_q  # noqa: F401, E402
 from . import tpch_extra_q  # noqa: F401, E402
+from . import formats_q  # noqa: F401, E402
 
 # Round-3 window head: the 3 TPC-H shapes added after round 2's window
 # rotated (never oracle-checked), the two round-1 fixes that rotated out
@@ -52,6 +53,10 @@ promote([
     "stream_user_totals_stateful",
     "word_commonness_by_source_salted",
     "audio_decode_roundtrip",
+    "video_decode_roundtrip",
+    "events_json_roundtrip_fingerprint",
+    "events_csv_roundtrip_fingerprint",
+    "events_orc_roundtrip_fingerprint",
 ])
 
 # Re-export the flagship for __spark_entry__.entry

@@ -1,0 +1,85 @@
+"""Source-format queries: JSON-lines and CSV ingestion, oracle-gated.
+
+Each query writes the typed events table through the text format into a
+scratch directory, reads it back schema-explicit, and reduces every
+column of every row into an order-free content fingerprint (sum of
+md5-prefix row hashes per event_type).  The oracle computes the same
+fingerprint from the PARQUET fixture — so the hash matches only if the
+text roundtrip preserved every value bit-for-bit, including microsecond
+timestamps (Spark's default millisecond timestampFormat silently fails
+this gate) and the embedded-JSON ``props`` strings under CSV quoting.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.formats import write_then_read
+from ..tables import load_table
+
+_FINGERPRINT_SQL = """
+WITH h AS (
+    SELECT event_type,
+           CAST(('0x' || substr(md5(concat_ws('|', event_id,
+                strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), user_id, event_type,
+                CAST(round(value * 100) AS BIGINT), props)), 1, 15))
+               AS BIGINT) AS h
+    FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       -- DECIMAL accumulation: row hashes are up to 2^60, so a BIGINT
+       -- sum overflows past ~8 rows' worth of headroom; DECIMAL(38,0)
+       -- is exact to ~10^24 rows on both engines
+       CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS content_sum
+FROM h GROUP BY event_type
+"""
+
+
+def _fingerprint(df: DataFrame) -> DataFrame:
+    row = F.concat_ws(
+        "|", F.col("event_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.col("user_id"), F.col("event_type"),
+        F.round(F.col("value") * 100).cast("long"), F.col("props"))
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
+    return (df.withColumn("_h", h)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.col("_h").cast("decimal(38,0)"))
+                 .cast("decimal(38,0)").alias("content_sum")))
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    scratch = os.path.join("/tmp/spark_graft_scratch", fmt,
+                           os.path.basename(os.path.normpath(sf_dir)))
+    return _fingerprint(write_then_read(events, fmt, scratch))
+
+
+@register("events_json_roundtrip_fingerprint", _FINGERPRINT_SQL)
+def events_json_roundtrip_fingerprint(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """JSON-lines source: events written to and re-read from JSON with an
+    explicit schema + microsecond timestampFormat; the per-type content
+    fingerprint must equal the parquet fixture's."""
+    return _roundtrip(spark, sf_dir, "json")
+
+
+@register("events_csv_roundtrip_fingerprint", _FINGERPRINT_SQL)
+def events_csv_roundtrip_fingerprint(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """CSV source: same lossless-roundtrip gate as the JSON variant, plus
+    header handling and quoting of the embedded-JSON props column."""
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+@register("events_orc_roundtrip_fingerprint", _FINGERPRINT_SQL)
+def events_orc_roundtrip_fingerprint(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """ORC source: the second columnar format next to parquet, same
+    content-fingerprint gate (types carry natively — this pins the
+    reader/writer pair rather than text-format options)."""
+    return _roundtrip(spark, sf_dir, "orc")

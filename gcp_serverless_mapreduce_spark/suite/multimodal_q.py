@@ -121,6 +121,45 @@ def audio_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_audio_stats(clips)
 
 
+@register("video_decode_roundtrip", """
+WITH clip AS (
+    SELECT doc_id AS media_id,
+           doc_id % 4 + 3 AS w, doc_id % 3 + 3 AS h, doc_id % 3 + 2 AS nf
+    FROM documents),
+fr AS (
+    SELECT media_id, w, h, unnest(generate_series(0, nf - 1)) AS frame_idx
+    FROM clip),
+px AS (
+    SELECT media_id, frame_idx, w, h, 3 * w * h AS n,
+           -- the synthesized clip's planar frame in closed form: frame f,
+           -- flat index i = (media_id*13 + f*17 + i*7) % 256 — what a
+           -- correct demux+decode of the y4m bytes must recover
+           list_transform(generate_series(0, 3 * w * h - 1),
+                          i -> (media_id * 13 + frame_idx * 17 + i * 7) % 256)
+               AS p
+    FROM fr)
+SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(w AS BIGINT) AS px_w, CAST(h AS BIGINT) AS px_h,
+       CAST(n AS BIGINT) AS n_vals,
+       CAST(list_sum(p) AS DOUBLE) / n AS mean_val,
+       CAST(list_min(p) AS BIGINT) AS min_val,
+       CAST(list_max(p) AS BIGINT) AS max_val,
+       CAST(list_sum(list_transform(generate_series(1, n), i -> i * p[i]))
+            AS BIGINT) AS checksum
+FROM px
+""")
+def video_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, oracle-gated: synthesize one YUV4MPEG2 clip
+    per document from a closed-form planar signal, demux + decode the
+    BYTES back (dims and frame boundaries parsed from the container),
+    and emit per-frame plane stats + an order-sensitive checksum.  With
+    image_decode_roundtrip and audio_decode_roundtrip this makes all
+    three modalities' decoders real and hash-gated.  Both stages are
+    map-only mapInPandas; payloads never shuffle."""
+    clips = multimodal.video_corpus(load_table(spark, sf_dir, "documents"))
+    return multimodal.decode_video_stats(clips)
+
+
 @register("media_feature_summary", _MEDIA_CTE + """
 SELECT media_type,
        CAST(COUNT(*) AS BIGINT) AS n_media,

@@ -219,3 +219,23 @@ def test_fuzz_salted_join_equals_plain(spark):
         want = sorted(map(tuple, fdf.join(ddf, "k")
                           .select("k", "row_id", "payload").collect()))
         assert got == want
+
+
+def test_fuzz_y4m_codec_roundtrip():
+    import numpy as np
+
+    from gcp_serverless_mapreduce_spark.operators import multimodal
+    rng = np.random.default_rng(20260813)
+    for _ in range(100):
+        h = int(rng.integers(1, 8))
+        w = int(rng.integers(1, 8))
+        nf = int(rng.integers(1, 6))
+        frames = [rng.integers(0, 256, size=(3, h, w), dtype=np.uint8)
+                  for _ in range(nf)]
+        gw, gh, got = multimodal.decode_y4m(multimodal.encode_y4m(frames))
+        assert (gw, gh, len(got)) == (w, h, nf)
+        assert all(np.array_equal(a, b) for a, b in zip(got, frames))
+    import pytest
+    for bad in (b"YUV4MPEG2 W0 H2 C444\nFRAME\n", b"not a video"):
+        with pytest.raises(ValueError):
+            multimodal.decode_y4m(bad)
