@@ -57,6 +57,7 @@ promote([
     "events_json_roundtrip_fingerprint",
     "events_csv_roundtrip_fingerprint",
     "events_orc_roundtrip_fingerprint",
+    "multimodal_feature_table",
 ])
 
 # Re-export the flagship for __spark_entry__.entry

@@ -160,6 +160,61 @@ def video_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_video_stats(clips)
 
 
+@register("multimodal_feature_table", f"""
+WITH img AS (
+    SELECT doc_id AS media_id,
+           (doc_id % 5 + 4) * (doc_id % 3 + 3) * 3 AS n
+    FROM documents),
+ipx AS (
+    SELECT media_id,
+           list_transform(generate_series(0, n - 1),
+                          i -> (media_id * 31 + i * 7) % 256) AS p, n
+    FROM img),
+istats AS (
+    SELECT media_id, CAST(n AS BIGINT) AS img_px,
+           CAST(list_sum(p) AS DOUBLE) / n AS img_mean
+    FROM ipx),
+aud AS (
+    SELECT doc_id AS media_id, (doc_id % 4 + 1) * 256 AS n
+    FROM documents),
+apx AS (
+    SELECT media_id,
+           list_transform(generate_series(0, n - 1),
+                          i -> ((media_id * 37 + i * 11) % 65536) - 32768) AS p,
+           n
+    FROM aud),
+astats AS (
+    SELECT media_id, CAST(n AS BIGINT) AS audio_samples,
+           CAST(list_sum(p) AS DOUBLE) / n AS audio_mean
+    FROM apx),
+vid AS (
+    SELECT doc_id AS media_id, CAST(doc_id % 3 + 2 AS BIGINT) AS video_frames
+    FROM documents)
+SELECT i.media_id, i.img_px, round(i.img_mean, 6) AS img_mean,
+       a.audio_samples, round(a.audio_mean, 6) AS audio_mean,
+       v.video_frames
+FROM istats i JOIN astats a USING (media_id) JOIN vid v USING (media_id)
+""")
+def multimodal_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified multimodal feature row a training pipeline materializes
+    per example: REAL image, audio, and video decodes joined on media_id
+    into one table.  The scale property this pins: each modality's
+    payload is decoded in its own map-only pandas stage, and ONLY the
+    small stat rows meet at the join — payload bytes never reach an
+    exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    img = (multimodal.decode_image_stats(multimodal.image_corpus(docs))
+           .select("media_id", F.col("n_px").alias("img_px"),
+                   F.round("mean_px", 6).alias("img_mean")))
+    aud = (multimodal.decode_audio_stats(multimodal.audio_corpus(docs))
+           .select("media_id", F.col("n_samples").alias("audio_samples"),
+                   F.round("mean_amp", 6).alias("audio_mean")))
+    vid = (multimodal.decode_video_stats(multimodal.video_corpus(docs))
+           .groupBy("media_id")
+           .agg(F.count("*").alias("video_frames")))
+    return img.join(aud, "media_id").join(vid, "media_id")
+
+
 @register("media_feature_summary", _MEDIA_CTE + """
 SELECT media_type,
        CAST(COUNT(*) AS BIGINT) AS n_media,
