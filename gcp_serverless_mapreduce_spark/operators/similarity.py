@@ -160,6 +160,52 @@ def srp_ann_topk(emb: DataFrame, k: int, planes: list[list[int]],
     )
 
 
+def sq8_ann_topk(emb: DataFrame, k: int, planes: list[list[int]],
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 max_bucket: int | None = None) -> DataFrame:
+    """Scalar-quantized (int8) ANN: SRP buckets + integer-dot re-rank.
+
+    The memory-bound scale path: unit vectors quantize to
+    ``round(127 * u_i)`` int8 codes (4× smaller than float32, 8× than
+    float64), and the in-bucket re-rank is an INTEGER dot product —
+    exact, associative, no float summation order anywhere, so the SQL
+    oracle matches bit-for-bit trivially.  Ranking uses the raw integer
+    score (a monotone ~127²-scaled cosine estimate); ties break on
+    neighbor id.  Bucketing reuses the SRP signature on the raw vector;
+    the single shuffle keys on the bucket id, identical to
+    :func:`srp_ann_topk`.
+    """
+    units = (
+        unit_vectors(emb, vec_col)
+        .filter(F.col("unit").isNotNull())
+        .select(
+            F.col(id_col),
+            F.transform("unit",
+                        lambda x: F.round(x * 127).cast("int")).alias("q"),
+            srp_signature(F.col(vec_col).cast("array<double>"),
+                          planes).alias("bucket"))
+    )
+    a = units.select(F.col(id_col).alias("query_id"),
+                     F.col("q").alias("qa"), "bucket")
+    b = units.select(F.col(id_col).alias("neighbor_id"),
+                     F.col("q").alias("qb"), "bucket")
+    if max_bucket is not None:
+        wb = Window.partitionBy("bucket").orderBy("neighbor_id")
+        b = (b.withColumn("_rn", F.row_number().over(wb))
+             .filter(F.col("_rn") <= max_bucket).drop("_rn"))
+    int_dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", int_dot.alias("qsim"))
+    )
+    return topk_per_query(pairs, k, sim_col="qsim").select(
+        "query_id", "neighbor_id", "rank", "qsim")
+
+
 def fixed_centroids(n_cells: int, dim: int) -> list[list[float]]:
     """Deterministic IVF centroids: entry (c,d) = (md5 byte - 128)/64.
 

@@ -58,6 +58,7 @@ promote([
     "events_csv_roundtrip_fingerprint",
     "events_orc_roundtrip_fingerprint",
     "multimodal_feature_table",
+    "sq8_ann_topk",
 ])
 
 # Re-export the flagship for __spark_entry__.entry

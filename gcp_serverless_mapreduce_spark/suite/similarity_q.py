@@ -118,6 +118,37 @@ def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_ann_topk(emb, K, PLANES, max_bucket=MAX_BUCKET)
 
 
+def _int_dot(a: str, b: str) -> str:
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(generate_series(1, {DIM}), "
+            f"i -> CAST({a}[i] * {b}[i] AS BIGINT))), (acc, x) -> acc + x)")
+
+
+_Q8 = "list_transform(u, x -> CAST(round(x * 127) AS INTEGER))"
+_PAIR_IDOT = _int_dot("a.q", "b.q")
+
+
+@register("sq8_ann_topk", _UNIT_CTE + f""",
+s AS (SELECT vec_id, {_Q8} AS q, {_BUCKET} AS bucket FROM u),
+nb AS (SELECT vec_id, q, bucket FROM s
+       QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
+               <= {MAX_BUCKET})
+SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       row_number() OVER (PARTITION BY a.vec_id
+                          ORDER BY {_PAIR_IDOT} DESC, b.vec_id) AS rank,
+       {_PAIR_IDOT} AS qsim
+FROM s a JOIN nb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+QUALIFY rank <= {K}
+""")
+def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN top-{K}: int8 codes (round(127·u)), SRP
+    buckets, INTEGER-dot re-rank — the 4-8× memory-reduction scale path;
+    integer arithmetic is exact and order-free, so the oracle matches
+    with no float-fold mirroring at all."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.sq8_ann_topk(emb, K, PLANES, max_bucket=MAX_BUCKET)
+
+
 N_CELLS = 16
 N_PROBE = 2
 CENTROIDS = similarity.fixed_centroids(N_CELLS, DIM)
