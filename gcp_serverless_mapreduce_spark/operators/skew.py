@@ -49,7 +49,10 @@ def salted_equijoin(big: DataFrame, small: DataFrame, key: str,
     """
     if salt_src is None:
         raise ValueError("salt_src is required (deterministic spread col)")
-    is_hot = F.col(key).isin(*list(hot_keys))
+    hot_keys = list(hot_keys)
+    if not hot_keys:                      # no skew declared: plain join
+        return big.join(small, key)
+    is_hot = F.col(key).isin(*hot_keys)
     big_s = big.withColumn(
         "_salt",
         F.when(is_hot, F.pmod(F.xxhash64(F.col(salt_src)),

@@ -205,6 +205,7 @@ def run_rate_replay(result: DataFrame, name: str, n_expected: int,
              .outputMode("complete")
              .start())
     try:
+        done = 0
         deadline = time.time() + timeout_s
         while time.time() < deadline:
             done = (spark.table(name)

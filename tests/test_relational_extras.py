@@ -82,3 +82,13 @@ def test_salted_equijoin_equals_plain_join(spark):
         .filter(F.col("k") == "hot")
         .select("_salt").distinct().count())
     assert spread > 1
+
+
+def test_salted_equijoin_empty_hot_keys_is_plain_join(spark):
+    from gcp_serverless_mapreduce_spark.operators.skew import salted_equijoin
+    facts = spark.createDataFrame([(1, "a"), (2, "b")], ["row_id", "k"])
+    dims = spark.createDataFrame([("a", 10), ("b", 20)], ["k", "payload"])
+    got = sorted(map(tuple, salted_equijoin(
+        facts, dims, "k", hot_keys=[], salt_src="row_id")
+        .select("k", "row_id", "payload").collect()))
+    assert got == [("a", 1, 10), ("b", 2, 20)]
