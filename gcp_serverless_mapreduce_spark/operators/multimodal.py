@@ -134,8 +134,14 @@ def decode_ppm(payload: bytes):
     if maxval != 255 or w <= 0 or h <= 0:
         raise ValueError("unsupported PPM variant")
     pos += 1                                   # single whitespace after maxval
-    if pos + w * h * 3 > len(payload):
-        raise ValueError("truncated PPM")
+    if pos + w * h * 3 != len(payload):
+        # EXACT span, not >=: _decode_bytes sniffs arbitrary corpus
+        # bytes with this decoder, and a P6 header is pure printable
+        # ASCII — requiring the declared raster to end exactly at the
+        # payload's last byte makes an accidental text match need a
+        # self-consistent length, not just a plausible prefix.  (Our
+        # strict encoder always emits exact-length payloads.)
+        raise ValueError("PPM raster must span payload exactly")
     return (np.frombuffer(payload, np.uint8, count=w * h * 3, offset=pos)
             .reshape(h, w, 3).copy())
 
@@ -166,6 +172,11 @@ def decode_wav(payload: bytes):
         cid = payload[pos:pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8:pos + 8 + size]
+        if size > len(payload) - pos - 8:
+            # declared size overruns the payload: body is shorter than
+            # size, and unpack_from below would raise struct.error —
+            # the codec contract is strict ValueError on bad input
+            raise ValueError("truncated chunk")
         if cid == b"fmt ":
             if size < 16:
                 raise ValueError("short fmt chunk")

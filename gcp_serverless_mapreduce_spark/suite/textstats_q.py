@@ -358,8 +358,10 @@ WITH c AS (
                 '[^[:print:]]', ' ', 'g'), '\\s+', ' ', 'g')) AS cleaned
     FROM documents)
 SELECT doc_id, source,
-       CAST(strlen(text) AS BIGINT) AS orig_len,
-       CAST(strlen(cleaned) AS BIGINT) AS clean_len,
+       -- length() (characters), not strlen() (bytes): Spark's F.length
+       -- counts characters, and the two diverge on any multi-byte text
+       CAST(length(text) AS BIGINT) AS orig_len,
+       CAST(length(cleaned) AS BIGINT) AS clean_len,
        md5(cleaned) AS clean_md5
 FROM c
 """)

@@ -612,6 +612,9 @@ def q20_excess_shipments_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
     supp = load_table(spark, sf_dir, "supplier")
     return (
         shipped.join(per_part, "partkey")
+        # under default non-ANSI mode a cast overflow here yields NULL
+        # (silent row drop, not an error); unreachable at any TPC-H
+        # scale given the documented bounds above
         .filter(F.col("qty").cast("decimal(24,2)")
                 * F.lit(2).cast("decimal(1,0)")
                 * F.col("n_pairs").cast("decimal(9,0)") > F.col("total_qty"))

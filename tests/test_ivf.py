@@ -27,3 +27,54 @@ def test_ivf_recall_and_shape(spark):
     # random 64-d embeddings have weak cluster structure; probing 2/16
     # cells still must beat random chance (2/16 of corpus -> ~0.125)
     assert recall > 0.2, recall
+
+
+def _neighbor_sets(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_sq8_quantization_recall(spark):
+    """Quality gate for the int8 path: sq8_ann_topk's hash-determinism is
+    oracle-checked, but quantization error vs exact cosine ranks is not.
+    SRP and SQ8 share identical buckets (same planes, same cap), so
+    comparing them isolates pure int8-vs-float re-rank error — recall@10
+    must be >= 0.9.  A floor vs the exact brute-force ranks (which also
+    folds in bucketing recall, like the IVF gate above) guards the
+    end-to-end path."""
+    from gcp_serverless_mapreduce_spark.suite import similarity_q as sq
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    k = 10
+    srp = _neighbor_sets(similarity.srp_ann_topk(
+        emb, k, sq.PLANES, max_bucket=sq.MAX_BUCKET).collect())
+    sq8 = _neighbor_sets(similarity.sq8_ann_topk(
+        emb, k, sq.PLANES, max_bucket=sq.MAX_BUCKET).collect())
+    assert set(sq8) == set(srp)          # same bucketing -> same query set
+    hits = sum(len(srp[q] & sq8[q]) for q in srp)
+    recall = hits / sum(len(v) for v in srp.values())
+    assert recall >= 0.9, f"int8 quantization recall@{k} = {recall}"
+
+    exact = _neighbor_sets(similarity.brute_force_topk(
+        emb, k, num_queries=20).collect())
+    got = {q: sq8.get(q, set()) for q in exact}
+    bf_hits = sum(len(exact[q] & got[q]) for q in exact)
+    bf_recall = bf_hits / sum(len(v) for v in exact.values())
+    # End-to-end floor vs exact ranks: the fixture embeddings are random
+    # (no cluster structure), so 8-plane SRP recall is inherently tiny —
+    # the honest gate is that true neighbors share a bucket at well
+    # above the RANDOM collision rate implied by the actual bucket-size
+    # distribution (sum s·(s-1) / n·(n-1) ~ 0.004 at sf0.01).
+    from pyspark.sql import functions as F
+    sizes = (similarity.unit_vectors(emb, "embedding")
+             .filter(F.col("unit").isNotNull())
+             .select(similarity.srp_signature(
+                 F.col("embedding").cast("array<double>"),
+                 sq.PLANES).alias("bucket"))
+             .groupBy("bucket").agg(F.count("*").alias("c")).collect())
+    n = sum(r["c"] for r in sizes)
+    chance = sum(r["c"] * (r["c"] - 1) for r in sizes) / (n * (n - 1))
+    assert bf_recall > 2 * chance, (
+        f"end-to-end recall@{k} = {bf_recall} vs chance {chance}")
