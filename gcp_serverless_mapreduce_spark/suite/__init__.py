@@ -32,33 +32,67 @@ from . import relational_q  # noqa: F401, E402
 from . import tpch_extra_q  # noqa: F401, E402
 from . import formats_q  # noqa: F401, E402
 
-# Round-3 window head: the 3 TPC-H shapes added after round 2's window
-# rotated (never oracle-checked), the two round-1 fixes that rotated out
-# before re-verification, and the round-2 red row fixed this round
-# (sessionize oracle cast).  New round-3 queries are appended here as
-# they land so CORRECTNESS_r03 sees them.
+# Round-4 window head (the driver checks the FIRST 50 registered):
+# 1) the three roundtrip fingerprints fixed this round (round 3's only
+#    red rows — decimal output canonicalization) and the new AQE
+#    skew-join query, none ever driver-green;
+# 2) every query whose last driver-green row is round 1 (code unchanged,
+#    but evidence is three rounds old);
+# 3) the oldest round-2 greens filling the remaining slots.  The three
+#    r02 greens left outside (window_event_value_delta,
+#    setops_customer_segments, window_top3_orders_per_customer) rotate
+#    in next round.
 promote([
-    "q16_parts_supplier_relationship",
-    "q20_excess_shipments_suppliers",
-    "q21_suppliers_kept_orders_waiting",
-    "events_json_stats",
-    "stratified_sample_by_lang",
-    "sessionize_user_events",
-    "ivf_fixed_cells_topk",
-    "stream_windowed_event_stats_rate",
-    "image_decode_roundtrip",
-    "clean_text_stats",
-    "tfidf_top_terms",
-    "repetition_quality_filter",
-    "stream_user_totals_stateful",
-    "word_commonness_by_source_salted",
-    "audio_decode_roundtrip",
-    "video_decode_roundtrip",
     "events_json_roundtrip_fingerprint",
     "events_csv_roundtrip_fingerprint",
     "events_orc_roundtrip_fingerprint",
-    "multimodal_feature_table",
-    "sq8_ann_topk",
+    "hot_key_join_aqe",
+    "orders_by_month",
+    "part_string_functions",
+    "top20_lineitems_by_price",
+    "bucket_histogram",
+    "price_quantiles_by_flag",
+    "approx_stats_parts",
+    "pivot_priority_by_status",
+    "daily_orders_gapfilled",
+    "q6_revenue_forecast",
+    "q4_order_priority_check",
+    "q13_customer_order_distribution",
+    "q2_min_cost_supplier",
+    "window_trailing_7d_spend",
+    "udaf_geomean_by_status",
+    "locf_hourly_event_values",
+    "grouping_sets_order_stats",
+    "ntile_customer_value_quartiles",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_item_revenue",
+    "q11_part_value_concentration",
+    "q12_priority_line_counts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_order_customers",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    "media_feature_summary",
+    "video_frame_samples",
+    "image_resize_plan",
+    "asof_click_before_purchase",
+    "clicks_within_1h_of_error",
+    "q1_pricing_summary",
+    "having_orders_per_customer",
+    "rollup_lineitem_status",
+    "cube_orders_status_priority",
+    "distinct_status_priority",
+    "q3_top_unshipped_orders",
+    "q5_supplier_volume_by_nation",
+    "orders_per_nation",
+    "customers_without_orders",
+    "customers_with_big_orders",
+    "order_fill_stats",
+    "window_running_spend",
 ])
 
 # Re-export the flagship for __spark_entry__.entry

@@ -899,3 +899,66 @@ def ntile_customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("quartile", "c_mktsegment")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+@register("hot_key_join_aqe", """
+WITH e AS (
+    SELECT CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id END AS k,
+           event_type, props,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events),
+d AS (
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS k_rows,
+           CAST(SUM(cents) AS BIGINT) AS k_cents
+    FROM e GROUP BY k)
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(length(e.props)) AS BIGINT) AS sum_props_len,
+       CAST(SUM(d.k_rows) AS BIGINT) AS sum_k_rows,
+       CAST(SUM(d.k_cents) AS BIGINT) AS sum_k_cents
+FROM e JOIN d ON e.k = d.k
+GROUP BY e.event_type
+""")
+def hot_key_join_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately hot-keyed fact join on the UNSALTED path: ~50% of
+    event rows collapse onto join key 0 (every user_id ending 0-4), and
+    each row joins its per-key aggregate — the shuffle partition holding
+    key 0 dwarfs the median, which is exactly the shape AQE's skew-join
+    split handles at runtime (salting handles the *known*-hot-key case;
+    AQE covers skew you didn't predict).  The merge hint pins the
+    sort-merge strategy a fact-to-fact-derived join would use at scale,
+    where the per-key side (|distinct user_id| rows) is not
+    broadcastable; tests/test_aqe_skew.py asserts the executed plan
+    carries skew=true splits under realistic thresholds.  Results are
+    salting/split-invariant, so the oracle is plain SQL."""
+    events = load_table(spark, sf_dir, "events")
+    # The fixture is ONE small parquet file = one map task, but AQE
+    # splits a skewed reduce partition into consecutive MAPPER ranges —
+    # with a single mapper there is nothing to split.  The round-robin
+    # repartition reproduces the many-mapper shape a 100 TB input has
+    # naturally (thousands of scan tasks); results are unaffected.
+    # props rides the join as the fact payload: it keeps the skewed
+    # partition's BYTE size proportional to its row count (constant-key
+    # rows alone compress so well the skew detector sees little
+    # imbalance) — and carrying row payloads through a fact join is the
+    # realistic shape anyway.
+    e = events.select(
+        F.when(F.col("user_id") % 10 < 5, F.lit(0))
+        .otherwise(F.col("user_id")).alias("k"),
+        "event_type", "props",
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).repartition(16)
+    # Materialize the per-key side: AQE's OptimizeSkewedJoin only matches
+    # a sort-merge join whose BOTH children are sorts directly over
+    # shuffle stages, so an aggregate sitting between the exchange and
+    # the join disqualifies the split.  Checkpointing is also the
+    # realistic shape — at scale the per-key profile table arrives
+    # materialized, not fused into the consuming join.
+    d = (e.groupBy("k").agg(F.count("*").alias("k_rows"),
+                            F.sum("cents").alias("k_cents"))
+         .localCheckpoint(eager=False))
+    return (e.join(d.hint("merge"), "k")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.length("props")).alias("sum_props_len"),
+                 F.sum("k_rows").alias("sum_k_rows"),
+                 F.sum("k_cents").alias("sum_k_cents")))
