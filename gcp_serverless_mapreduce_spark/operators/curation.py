@@ -1,0 +1,196 @@
+"""Corpus-curation operators for LLM training-data pipelines: PII
+redaction, cross-document segment-level dedup (keep-first), and
+benchmark decontamination via n-gram overlap.
+
+All three are pure built-in column expressions / relational plans — no
+Python in any hot path — and each has an exact DuckDB oracle twin in
+``suite/curation_q.py``.
+
+Scale design (100 TB):
+
+- **PII redaction** is a map-only projection: regex count + replace per
+  row, no shuffle at all.  The patterns are anchored, non-overlapping
+  regexes evaluated by the JVM regex engine inside whole-stage codegen.
+- **Segment dedup** is the paragraph-granularity variant of exact
+  substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+  Language Models Better"): explode fixed-width word chunks, ONE
+  exchange keyed on the chunk's md5 (fixed 32-byte key regardless of
+  chunk text width), keep the globally-first occurrence via a window,
+  re-assemble surviving text per document.  Two shuffles total (chunk
+  key, then doc re-assembly), both linear in corpus size.
+- **Decontamination** joins train-side n-grams against the DISTINCT
+  n-gram set of the eval/benchmark split.  Benchmarks are tiny compared
+  to a 100 TB corpus, so the eval side is broadcast — the corpus-side
+  n-gram explosion never shuffles; each task probes the broadcast hash
+  set and only (doc_id, matched-gram) survivors reach the final
+  aggregation.
+
+No counterpart exists in the reference (its pipeline stops at word
+grouping, mapphase/map.go); these extend the same tokenize/normalize
+surface (map.go:82-151) to corpus curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import tokens
+
+# Deliberately simple, engine-portable patterns (identical semantics in
+# Java regex and DuckDB's RE2): a production deployment would swap in a
+# vetted PII library; the *plan shape* — map-only scan, count + replace —
+# is what carries to 100 TB.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count and redact emails, phone numbers, and IPv4 literals.
+
+    Adds ``n_emails / n_phones / n_ips`` (match counts on the original
+    text) and ``redacted`` (all three classes replaced by typed tags).
+    Replacement order is email -> phone -> IP; the patterns cannot
+    overlap (emails contain '@', phones dashes, IPs dots between digit
+    runs), so the order only matters for determinism, not results.
+    """
+    text = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_RE, "<EMAIL>"),
+            PHONE_RE, "<PHONE>"),
+        IP_RE, "<IP>")
+    return df.withColumns({
+        "n_emails": F.regexp_count(text, F.lit(EMAIL_RE)).cast("long"),
+        "n_phones": F.regexp_count(text, F.lit(PHONE_RE)).cast("long"),
+        "n_ips": F.regexp_count(text, F.lit(IP_RE)).cast("long"),
+        "redacted": redacted,
+    })
+
+
+def doc_chunks(docs: DataFrame, chunk_words: int = 10,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Explode each document into fixed-width word chunks.
+
+    -> (doc_id, chunk_idx, chunk): chunk *i* is words
+    ``[i*chunk_words, (i+1)*chunk_words)`` re-joined by single spaces
+    (the last chunk may be shorter).  Fixed-width chunks make the dedup
+    unit deterministic and cheap — no sentence splitter needed — which
+    is also why they are the common unit for web-scale near-dup passes.
+    """
+    # filter BEFORE the sequence: Spark's sequence(0, -1) counts DOWN
+    # (yields [0, -1]) instead of returning empty, so an empty document
+    # would fabricate chunks; DuckDB's generate_series(0, -1) is empty.
+    toked = (docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+             .filter(F.size("toks") > 0))
+    n_chunks = F.ceil(F.size("toks") / F.lit(chunk_words)).cast("int")
+    return (
+        toked.select(F.col(id_col), F.col("toks"),
+                     F.posexplode(F.sequence(F.lit(0), n_chunks - 1))
+                     .alias("chunk_idx", "_j"))
+        .select(
+            id_col, "chunk_idx",
+            F.concat_ws(
+                " ", F.slice(F.col("toks"),
+                             F.col("chunk_idx") * chunk_words + 1,
+                             chunk_words)).alias("chunk"))
+    )
+
+
+def chunk_dedup(docs: DataFrame, chunk_words: int = 10,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Cross-document chunk dedup, keep-first: a chunk survives only in
+    the earliest (doc_id, chunk_idx) position where its text occurs.
+
+    -> (doc_id, chunk_idx, chunk, keep).  The exchange is keyed on
+    ``md5(chunk)`` — a fixed-width key, so shuffle row width does not
+    depend on chunk text length (the text itself rides as a value).
+    Duplicates WITHIN a document beyond the first occurrence are removed
+    by the same rule.
+    """
+    w = (Window.partitionBy("chunk_key")
+         .orderBy(F.col(id_col).asc(), F.col("chunk_idx").asc()))
+    return (
+        doc_chunks(docs, chunk_words, id_col, text_col)
+        .withColumn("chunk_key", F.md5(F.col("chunk")))
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .drop("chunk_key")
+    )
+
+
+def chunk_dedup_stats(docs: DataFrame, chunk_words: int = 10,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-document outcome of :func:`chunk_dedup`.
+
+    -> (doc_id, n_chunks, n_kept, kept_md5) where ``kept_md5`` hashes
+    the surviving chunks re-joined in chunk order ('' if nothing
+    survives) — gating the exact surviving BYTES, not just counts.
+    """
+    flagged = chunk_dedup(docs, chunk_words, id_col, text_col)
+    totals = (flagged.groupBy(id_col)
+              .agg(F.count("*").alias("n_chunks")))
+    kept = (
+        flagged.filter("keep")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_kept"),
+             F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("chunk_idx", "chunk"))),
+                     lambda s: s["chunk"]),
+                 " ").alias("_kept_text"))
+    )
+    return (
+        totals.join(kept, id_col, "left")
+        .select(id_col, "n_chunks",
+                F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                F.md5(F.coalesce("_kept_text", F.lit(""))).alias("kept_md5"))
+    )
+
+
+def word_ngrams(docs: DataFrame, n: int,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """-> (doc_id, gram): DISTINCT space-joined word n-grams per doc.
+
+    Docs shorter than n words are dropped before the sequence (Spark's
+    sequence(1, 0) counts down rather than returning empty)."""
+    toked = (docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+             .filter(F.size("toks") >= n))
+    return (
+        toked.select(F.col(id_col), F.col("toks"),
+                     F.explode(F.sequence(F.lit(1), F.size("toks") - (n - 1)))
+                     .alias("_i"))
+        .select(id_col,
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("_i"), n))
+                .alias("gram"))
+        .distinct()
+    )
+
+
+def ngram_contamination(docs: DataFrame, n: int = 3, eval_mod: int = 41,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag train documents sharing any word
+    n-gram with the eval split (docs where ``doc_id % eval_mod == 0``).
+
+    -> (doc_id, n_shared) for contaminated train docs only, where
+    ``n_shared`` counts DISTINCT shared n-grams.  The eval n-gram set is
+    broadcast — eval benchmarks are tiny next to the corpus, so the
+    train-side explosion never shuffles; only matches reach the final
+    per-doc aggregation.  Production systems use n=8..13 over real
+    prose; n=3 keeps the fixture's small-vocabulary corpus non-trivial.
+    """
+    grams = word_ngrams(docs, n, id_col, text_col)
+    is_eval = (F.col(id_col) % eval_mod) == 0
+    eval_grams = grams.filter(is_eval).select("gram").distinct()
+    return (
+        grams.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )

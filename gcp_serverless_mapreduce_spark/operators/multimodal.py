@@ -133,6 +133,11 @@ def decode_ppm(payload: bytes):
     w, h, maxval = fields
     if maxval != 255 or w <= 0 or h <= 0:
         raise ValueError("unsupported PPM variant")
+    if not payload[pos:pos + 1].isspace():
+        # the byte after maxval must be the single whitespace the spec
+        # requires; rejecting anything else narrows the accidental-match
+        # surface when _decode_bytes sniffs arbitrary corpus bytes
+        raise ValueError("PPM maxval must be followed by whitespace")
     pos += 1                                   # single whitespace after maxval
     if pos + w * h * 3 != len(payload):
         # EXACT span, not >=: _decode_bytes sniffs arbitrary corpus

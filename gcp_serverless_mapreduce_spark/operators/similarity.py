@@ -380,3 +380,214 @@ def ivf_topk(emb: DataFrame, k: int, n_cells: int = 16, n_probe: int = 2,
     centers = [[float(x) for x in np.asarray(c)]
                for c in model.clusterCenters()]
     return _ivf_search(emb, k, centers, n_probe, id_col, vec_col)
+
+
+def pq_codebooks(n_sub: int, n_codes: int,
+                 sub_dim: int) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks:
+    entry (m,c,d) = (md5 byte - 128) / 512 — exact binary fractions in
+    [-0.25, 0.25), the magnitude of unit-vector coordinates at dim 64,
+    rendered identically into the Spark plan and the DuckDB oracle (the
+    same trick as :func:`fixed_centroids`).  A deployment would train
+    the codebooks with k-means per subspace; fixed codebooks give the
+    full PQ plan shape an exact hash-matchable twin."""
+    return [
+        [[(hashlib.md5(f"pq{m}|{c}|{d}".encode()).digest()[0] - 128) / 512.0
+          for d in range(sub_dim)]
+         for c in range(n_codes)]
+        for m in range(n_sub)
+    ]
+
+
+def _sq_fold(vals: list[float]) -> float:
+    """|c|^2 as a left-to-right Python fold — embedded verbatim as a
+    literal in BOTH engines (same convention as the IVF oracle)."""
+    acc = 0.0
+    for x in vals:
+        acc += x * x
+    return acc
+
+
+def _pq_subscore(unit_col: Column, m: int, cent: list[float]) -> Column:
+    """|c|^2 - 2*(u_sub . c) for subspace m: the |u_sub|^2 term is
+    constant per (row, m), so both the per-subspace argmin (encoding)
+    and the summed ADC ranking are unchanged by dropping it.  The dot
+    accumulates dimension by dimension, left-to-right, seeded 0.0 — the
+    exact IEEE-754 op sequence of the oracle's list_reduce fold."""
+    sub_dim = len(cent)
+    acc = F.lit(0.0)
+    for i, cd in enumerate(cent):
+        acc = acc + F.element_at(unit_col, m * sub_dim + i + 1) * F.lit(cd)
+    return F.lit(_sq_fold(cent)) - F.lit(2.0) * acc
+
+
+def _pq_scores_np(codebooks: list[list[list[float]]]):
+    """batch×dim -> batch×n_sub×n_codes score kernel with the ORACLE's
+    IEEE-754 op sequence: within each subspace the dot accumulates
+    dimension by dimension, left-to-right, seeded 0.0 (one vectorized
+    add per dim — never GEMM/pairwise summation, whose different
+    rounding would flip argmin ties vs DuckDB's list_reduce fold).
+    Same bit-parity technique as :func:`_ivf_search`."""
+    import numpy as np
+
+    cent = np.asarray(codebooks, dtype=np.float64)  # n_sub×n_codes×sub_dim
+    n_sub, n_codes, sub_dim = cent.shape
+    sq = np.asarray([[_sq_fold(c) for c in book] for book in codebooks],
+                    dtype=np.float64)               # n_sub×n_codes
+
+    def scores(mat):                                # mat: batch×dim float64
+        b = mat.shape[0]
+        sub = mat.reshape(b, n_sub, sub_dim)
+        acc = np.zeros((b, n_sub, n_codes))
+        for i in range(sub_dim):                    # fold order = oracle
+            acc += sub[:, :, i:i + 1] * cent[None, :, :, i]
+        return sq[None, :, :] - 2.0 * acc
+
+    return scores
+
+
+def pq_encode_udf(codebooks: list[list[list[float]]]):
+    """Vectorized twin of :func:`pq_encode` (bit-identical codes): a
+    Pandas UDF batching the per-subspace argmin through numpy.  The
+    expression version's ~4k-node projection exceeds janino's 64 KB
+    method limit at n_sub=8×16 codes, falling out of codegen into
+    per-row interpretation (measured 16 s -> 2.5 s at sf0.1 for the full
+    ADC scan).  np.argmin returns the FIRST minimum = ties -> smallest
+    code = the oracle's ORDER BY score, c."""
+    import numpy as np
+
+    scores = _pq_scores_np(codebooks)
+
+    @pandas_udf("array<int>")
+    def encode(arrs: pd.Series) -> pd.Series:
+        m = np.vstack(arrs.to_numpy()).astype(np.float64)
+        codes = np.argmin(scores(m), axis=2).astype("int32")
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_adc_table_udf(codebooks: list[list[list[float]]]):
+    """Vectorized twin of :func:`pq_adc_table` (bit-identical tables),
+    flattened to entry m*n_codes + c like the expression version."""
+    import numpy as np
+
+    scores = _pq_scores_np(codebooks)
+
+    @pandas_udf("array<double>")
+    def table(arrs: pd.Series) -> pd.Series:
+        m = np.vstack(arrs.to_numpy()).astype(np.float64)
+        s = scores(m)
+        return pd.Series(list(s.reshape(s.shape[0], -1)))
+
+    return table
+
+
+def pq_encode(unit_col: Column,
+              codebooks: list[list[list[float]]]) -> Column:
+    """array<int> of per-subspace nearest-centroid codes (ties -> the
+    smallest code, = the oracle's ORDER BY score, c).  array_position
+    compares the min against the score list bit-for-bit, so the float
+    tie-break is exact.  Pure-expression REFERENCE implementation: at
+    production codebook sizes the projection overflows janino's 64 KB
+    codegen limit, so the data path uses :func:`pq_encode_udf` (asserted
+    bit-identical in tests/test_curation_pq.py)."""
+    codes = []
+    for m, book in enumerate(codebooks):
+        scores = F.array(*[_pq_subscore(unit_col, m, c) for c in book])
+        codes.append(
+            (F.array_position(scores, F.array_min(scores)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def pq_adc_table(unit_col: Column,
+                 codebooks: list[list[list[float]]]) -> Column:
+    """Flattened asymmetric-distance lookup table for a QUERY vector:
+    entry m*n_codes + c = |c|^2 - 2*(q_sub . c).  Computed once per
+    query, then every corpus code resolves to n_sub array lookups."""
+    return F.array(*[_pq_subscore(unit_col, m, c)
+                     for m, book in enumerate(codebooks) for c in book])
+
+
+def pq_adc_topk(emb: DataFrame, k: int, codebooks: list[list[list[float]]],
+                num_queries: int, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scan
+    (Jegou et al. 2011): encode every corpus vector to n_sub codebook
+    ids (8 bytes/vector here vs 256 for float32×64 — 32× compression),
+    broadcast the query set's distance tables, and rank candidates by
+    the table-lookup sum — an exhaustive scan over COMPRESSED codes.
+
+    -> (query_id, neighbor_id, rank, adist): top-k per query by
+    ascending approximate distance (adist + |q|^2 is the true ADC
+    squared distance; the constant shift is dropped on both engines).
+
+    100 TB shape: encoding is a map-only projection (codes replace the
+    raw vectors — this is the memory-reduction path that lets a scan
+    hold 100 TB of vectors in ~3 TB of codes); the scan is a broadcast
+    nested-loop join where the corpus side streams ONCE and only
+    (query, neighbor, adist) rows reach the top-k exchange.  Encode and
+    query tables run through one Arrow-batched numpy kernel per task
+    (:func:`pq_encode_udf` — the expression twin overflows codegen at
+    this codebook size and interprets ~4k nodes/row: 16 s vs 2.5 s at
+    sf0.1); the per-pair 8-lookup ADC fold stays a built-in expression
+    inside codegen.
+
+    Like :func:`brute_force_topk`, the repartition() is a deliberate
+    materialization barrier so CollapseProject cannot inline the
+    normalize fold into every downstream score expression.
+    """
+    n_sub, n_codes = len(codebooks), len(codebooks[0])
+    units = (unit_vectors(emb).select(F.col(id_col), F.col("unit"))
+             .filter(F.col("unit").isNotNull())
+             .repartition(F.col(id_col)))
+    # The second repartition is ALSO a materialization barrier: without
+    # it CollapseProject would inline the encode into every per-pair
+    # table lookup (8 lookups/pair re-evaluating the full encode).  The
+    # exchange carries only (id, 8 int codes) rows — this IS the PQ
+    # semantics: encode once, scan codes.
+    corpus = (units.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_encode_udf(codebooks)(F.col("unit")).alias("codes"))
+        .repartition(F.col("neighbor_id")))
+    queries = (units.filter(F.col(id_col) < num_queries)
+               .select(F.col(id_col).alias("query_id"),
+                       pq_adc_table_udf(codebooks)(F.col("unit"))
+                       .alias("qtab")))
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc + F.element_at(
+            F.col("qtab"),
+            (m * n_codes + F.element_at(F.col("codes"), m + 1) + 1)
+            .cast("int")),
+    )
+    pairs = (
+        F.broadcast(queries).crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adist.alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("adist", 6).alias("adist"))
+    )
+
+
+def pq_code_histogram(emb: DataFrame, codebooks: list[list[list[float]]],
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """-> (m, code, n_vecs): codebook usage per subspace — the encode
+    path gated independently of any search, and the balance diagnostic a
+    real PQ index needs (a skewed histogram means wasted code space)."""
+    units = (unit_vectors(emb)
+             .filter(F.col("unit").isNotNull()))
+    return (
+        units.select(F.posexplode(pq_encode_udf(codebooks)(F.col("unit")))
+                     .alias("m", "code"))
+        .groupBy("m", "code")
+        .agg(F.count("*").alias("n_vecs"))
+    )

@@ -31,22 +31,32 @@ from . import temporal_q  # noqa: F401, E402
 from . import relational_q  # noqa: F401, E402
 from . import tpch_extra_q  # noqa: F401, E402
 from . import formats_q  # noqa: F401, E402
+from . import curation_q  # noqa: F401, E402
 
-# Round-4 window head (the driver checks the FIRST 50 registered):
-# 1) the three roundtrip fingerprints fixed this round (round 3's only
-#    red rows — decimal output canonicalization) and the new AQE
-#    skew-join query, none ever driver-green;
-# 2) every query whose last driver-green row is round 1 (code unchanged,
-#    but evidence is three rounds old);
-# 3) the oldest round-2 greens filling the remaining slots.  The three
-#    r02 greens left outside (window_event_value_delta,
-#    setops_customer_segments, window_top3_orders_per_customer) rotate
-#    in next round.
+# Round-5 window head (the driver checks the FIRST 50 registered):
+# 1) the five queries NEW this round (curation + product quantization),
+#    never driver-checked;
+# 2) the round-4 head — round 4's driver recorded no CORRECTNESS file,
+#    so the three fingerprint fixes and the AQE skew-join query are
+#    STILL never driver-green;
+# 3) the three r02 greens round 4 promised to rotate in
+#    (window_event_value_delta, setops_customer_segments,
+#    window_top3_orders_per_customer);
+# 4) the rest of round 4's list (r01-green-last, then oldest r02) in
+#    its original order, truncated to fit 50.
 promote([
+    "pii_redaction_stats",
+    "chunk_dedup_docs",
+    "ngram_contamination",
+    "pq_code_stats",
+    "pq_adc_topk",
     "events_json_roundtrip_fingerprint",
     "events_csv_roundtrip_fingerprint",
     "events_orc_roundtrip_fingerprint",
     "hot_key_join_aqe",
+    "window_event_value_delta",
+    "setops_customer_segments",
+    "window_top3_orders_per_customer",
     "orders_by_month",
     "part_string_functions",
     "top20_lineitems_by_price",
@@ -85,14 +95,6 @@ promote([
     "having_orders_per_customer",
     "rollup_lineitem_status",
     "cube_orders_status_priority",
-    "distinct_status_priority",
-    "q3_top_unshipped_orders",
-    "q5_supplier_volume_by_nation",
-    "orders_per_nation",
-    "customers_without_orders",
-    "customers_with_big_orders",
-    "order_fill_stats",
-    "window_running_spend",
 ])
 
 # Re-export the flagship for __spark_entry__.entry

@@ -1,0 +1,140 @@
+"""Corpus-curation queries (PII redaction, segment dedup,
+decontamination) over ``documents``, with exact DuckDB oracle twins.
+
+The SQL mirrors operators/curation.py expression for expression: the
+same tokenizer as textstats_q (regex split on whitespace), the same
+regexes (identical semantics in Java regex and DuckDB RE2), and
+keep-first dedup via the same (doc_id, chunk_idx) window order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import curation
+from ..registry import register
+from ..tables import load_table
+from .textstats_q import _TOKS
+
+CHUNK_WORDS = 10
+NGRAM_N = 3
+EVAL_MOD = 41
+
+# Deterministic PII injection: the fixture corpus is synthetic word soup
+# with no real PII, so both engines append the same synthesized contact
+# line per document — the redaction path is then exercised on every row
+# and the oracle gates the exact redacted bytes.
+_AUG_SQL = (
+    "text || ' Contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com or call 555-'"
+    " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7 now'"
+)
+
+
+def _augmented(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    return docs.withColumn("aug", F.concat(
+        F.col("text"), F.lit(" Contact user"), did.cast("string"),
+        F.lit("@mail.example.com or call 555-"),
+        F.lpad((did % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (did % 256).cast("string"), F.lit(".0.7 now")))
+
+
+@register("pii_redaction_stats", f"""
+WITH a AS (SELECT doc_id, {_AUG_SQL} AS aug FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug,
+            '{curation.EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(aug,
+            '{curation.PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(aug,
+            '{curation.IP_RE}')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(aug,
+            '{curation.EMAIL_RE}', '<EMAIL>', 'g'),
+            '{curation.PHONE_RE}', '<PHONE>', 'g'),
+            '{curation.IP_RE}', '<IP>', 'g')) AS redacted_md5,
+       CAST(len(regexp_replace(regexp_replace(regexp_replace(aug,
+            '{curation.EMAIL_RE}', '<EMAIL>', 'g'),
+            '{curation.PHONE_RE}', '<PHONE>', 'g'),
+            '{curation.IP_RE}', '<IP>', 'g')) AS BIGINT) AS redacted_len
+FROM a
+""")
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing, a mandatory pass in any training-data pipeline:
+    count + redact emails / phone numbers / IPv4 literals in one
+    map-only projection (no shuffle; regexes run inside codegen).  The
+    oracle gates the exact redacted BYTES via md5, not just counts."""
+    docs = _augmented(load_table(spark, sf_dir, "documents"))
+    red = curation.redact_pii(docs, text_col="aug")
+    return red.select(
+        "doc_id", "n_emails", "n_phones", "n_ips",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+        F.length("redacted").cast("long").alias("redacted_len"))
+
+
+@register("chunk_dedup_docs", f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+ch AS (
+    SELECT doc_id, j.j AS chunk_idx,
+           array_to_string(list_slice(toks, j.j * {CHUNK_WORDS} + 1,
+                                      j.j * {CHUNK_WORDS} + {CHUNK_WORDS}),
+                           ' ') AS chunk
+    FROM t, LATERAL (
+        SELECT unnest(generate_series(
+            0, CAST(ceil(len(toks) / {CHUNK_WORDS}.0) AS INT) - 1)) AS j) j
+    WHERE len(toks) > 0),
+k AS (
+    SELECT doc_id, chunk_idx, chunk,
+           row_number() OVER (PARTITION BY md5(chunk)
+                              ORDER BY doc_id, chunk_idx) = 1 AS keep
+    FROM ch),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+        FROM k GROUP BY doc_id),
+kp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              string_agg(chunk, ' ' ORDER BY chunk_idx) AS s
+       FROM k WHERE keep GROUP BY doc_id)
+SELECT tot.doc_id, tot.n_chunks,
+       COALESCE(kp.n_kept, 0) AS n_kept,
+       md5(COALESCE(kp.s, '')) AS kept_md5
+FROM tot LEFT JOIN kp USING (doc_id)
+""")
+def chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document segment-level dedup (Lee et al. 2022 at paragraph
+    granularity): fixed {CHUNK_WORDS}-word chunks, keep only the
+    globally-FIRST occurrence of each chunk (order: doc_id, chunk_idx),
+    re-assemble the surviving text per document.  One exchange keyed on
+    md5(chunk) — fixed-width shuffle key — then a per-doc re-assembly;
+    the oracle gates the exact surviving bytes via md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.chunk_dedup_stats(docs, CHUNK_WORDS)
+
+
+@register("ngram_contamination", f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(toks, i.i, i.i + {NGRAM_N} - 1),
+                           ' ') AS gram
+    FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - {NGRAM_N - 1}))
+        AS i) i
+    WHERE len(toks) >= {NGRAM_N}),
+e AS (SELECT DISTINCT gram FROM g WHERE doc_id % {EVAL_MOD} = 0)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM g JOIN e USING (gram)
+WHERE g.doc_id % {EVAL_MOD} <> 0
+GROUP BY g.doc_id
+""")
+def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs (doc_id % {EVAL_MOD} != 0)
+    sharing any word {NGRAM_N}-gram with the eval split, with the count
+    of distinct shared n-grams.  The eval n-gram set is BROADCAST (a
+    benchmark suite is tiny next to a 100 TB corpus), so the corpus-side
+    n-gram explosion never shuffles — only matches reach the final
+    per-doc aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.ngram_contamination(docs, NGRAM_N, EVAL_MOD)

@@ -213,3 +213,82 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force baseline is asserted in tests/test_ivf.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, K, n_cells=16, n_probe=2)
+
+
+# ---- Product quantization (PQ/ADC) — fixed md5-derived codebooks ----
+
+M_SUB, PQ_CODES, SUB_DIM = 8, 16, 8
+PQ_BOOKS = similarity.pq_codebooks(M_SUB, PQ_CODES, SUB_DIM)
+
+# Codebook relation literal: one row per (subspace m, code c) with the
+# 8-dim centroid as a list literal and |c|^2 as a Python-side fold —
+# both rendered identically into the Spark plan via similarity.pq_* and
+# into this SQL (same convention as the IVF fixed-centroid twin).
+_PQ_CB_ROWS = ",\n ".join(
+    f"({m}, {c}, CAST({_sq_fold(cent)!r} AS DOUBLE), {_cent_literal(cent)})"
+    for m, book in enumerate(PQ_BOOKS) for c, cent in enumerate(book))
+
+# |c|^2 - 2*(u_sub . c): the |u_sub|^2 term is constant per (row, m) so
+# both the encode argmin and the summed ADC ranking are unchanged; the
+# dot folds left-to-right over the subspace dims = Spark's per-dim
+# accumulation in similarity._pq_subscore.
+_PQ_SCORE = "cb.sq - 2.0 * " + _fold_sum(
+    f"list_transform(generate_series(1, {SUB_DIM}), "
+    f"i -> u.u[cb.m * {SUB_DIM} + i] * cb.cent[i])")
+
+_PQ_CTE = f""",
+cb(m, c, sq, cent) AS (VALUES {_PQ_CB_ROWS}),
+co AS (
+    SELECT vec_id, m, c AS code FROM (
+        SELECT u.vec_id, cb.m, cb.c,
+               row_number() OVER (PARTITION BY u.vec_id, cb.m
+                                  ORDER BY {_PQ_SCORE}, cb.c) AS rn
+        FROM u CROSS JOIN cb)
+    WHERE rn = 1)
+"""
+
+
+@register("pq_code_stats", _UNIT_CTE + _PQ_CTE + """
+SELECT m, code, CAST(count(*) AS BIGINT) AS n_vecs
+FROM co GROUP BY m, code
+""")
+def pq_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook-usage histogram: every vector encoded to one code per
+    subspace (argmin over 16 fixed centroids, ties -> smallest code) —
+    the encode path hash-gated independently of any search, plus the
+    balance diagnostic a real PQ index monitors.  Encoding is pure
+    built-in expressions inside codegen; the only exchange carries
+    (m, code) pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_code_histogram(emb, PQ_BOOKS)
+
+
+@register("pq_adc_topk", _UNIT_CTE + _PQ_CTE + f""",
+qt AS (SELECT u.vec_id AS query_id, cb.m, cb.c, {_PQ_SCORE} AS val
+       FROM u CROSS JOIN cb WHERE u.vec_id < {NUM_QUERIES}),
+ad AS (SELECT qt.query_id, co.vec_id AS neighbor_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                       list(qt.val ORDER BY qt.m)),
+                          (acc, x) -> acc + x) AS adist
+       FROM co JOIN qt ON qt.m = co.m AND qt.c = co.code
+       WHERE co.vec_id <> qt.query_id
+       GROUP BY qt.query_id, co.vec_id)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY adist, neighbor_id) AS rank,
+       round(adist, 6) AS adist
+FROM ad
+QUALIFY rank <= {K}
+""")
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance scan (Jegou et
+    al. 2011): corpus vectors collapse to {M_SUB} codebook ids (8
+    bytes/vector — 32x smaller than float32x64), each query broadcasts a
+    {M_SUB}x{PQ_CODES} distance table, and candidates rank by the
+    table-lookup sum over compressed codes.  The memory-reduction scan
+    path a 100 TB vector corpus needs; ZERO Python — encode, tables and
+    the per-pair fold are all built-in expressions.  The oracle mirrors
+    every fold, so the full encode->ADC->top-k pipeline is
+    hash-matched."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(emb, K, PQ_BOOKS, NUM_QUERIES)

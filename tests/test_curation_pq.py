@@ -1,0 +1,180 @@
+"""Tests for corpus-curation operators (PII redaction, chunk dedup,
+decontamination) and product-quantization ANN."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from gcp_serverless_mapreduce_spark.operators import curation, similarity
+
+
+# ---------------------------------------------------------------- PII
+
+def test_redact_pii_counts_and_bytes(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="mail a@b.com and c.d-e%f@ex.co.uk now"),
+        Row(doc_id=2, text="call 555-123-4567 or 555-000-1111 x9"),
+        Row(doc_id=3, text="host 10.0.0.7 and 192.168.255.1 up"),
+        Row(doc_id=4, text="nothing to scrub here"),
+    ])
+    out = {r["doc_id"]: r for r in curation.redact_pii(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) == (2, 0, 0)
+    assert out[1]["redacted"] == "mail <EMAIL> and <EMAIL> now"
+    assert out[2]["n_phones"] == 2
+    assert out[2]["redacted"] == "call <PHONE> or <PHONE> x9"
+    assert out[3]["n_ips"] == 2
+    assert out[3]["redacted"] == "host <IP> and <IP> up"
+    assert out[4]["redacted"] == "nothing to scrub here"
+    assert (out[4]["n_emails"], out[4]["n_phones"], out[4]["n_ips"]) == (0, 0, 0)
+
+
+# -------------------------------------------------------- chunk dedup
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t)
+                                  for i, t in rows])
+
+
+def test_chunk_dedup_keeps_global_first(spark):
+    # 3-word chunks; doc 2 repeats doc 1's first chunk, and doc 1
+    # repeats its own chunk internally.
+    rows = [(1, "a b c a b c x y z"),
+            (2, "a b c q r s")]
+    flagged = curation.chunk_dedup(_docs(spark, rows), chunk_words=3)
+    got = {(r["doc_id"], r["chunk_idx"]): r["keep"] for r in flagged.collect()}
+    assert got[(1, 0)] is True          # first global occurrence of "a b c"
+    assert got[(1, 1)] is False         # same doc repeat removed
+    assert got[(2, 0)] is False         # cross-doc repeat removed
+    assert got[(1, 2)] is True and got[(2, 1)] is True
+
+
+def test_chunk_dedup_stats_all_removed_doc(spark):
+    rows = [(1, "a b c"), (2, "a b c")]
+    out = {r["doc_id"]: r for r in
+           curation.chunk_dedup_stats(_docs(spark, rows), chunk_words=3)
+           .collect()}
+    assert out[1]["n_kept"] == 1
+    assert out[2]["n_kept"] == 0 and out[2]["n_chunks"] == 1
+    # md5('') for the fully-deduped doc
+    assert out[2]["kept_md5"] == "d41d8cd98f00b204e9800998ecf8427e"
+
+
+def test_word_ngrams_short_doc_dropped(spark):
+    rows = [(1, "a b"), (2, "a b c d")]
+    got = curation.word_ngrams(_docs(spark, rows), 3).collect()
+    assert {r["doc_id"] for r in got} == {2}
+    assert {r["gram"] for r in got} == {"a b c", "b c d"}
+
+
+def test_ngram_contamination_flags_overlap(spark):
+    # doc 0 is eval (0 % 41 == 0); doc 1 shares a 3-gram, doc 2 none.
+    rows = [(0, "p q r s"), (1, "x p q r y"), (2, "m n o u v")]
+    got = {r["doc_id"]: r["n_shared"] for r in
+           curation.ngram_contamination(_docs(spark, rows), n=3)
+           .collect()}
+    assert got == {1: 1}
+
+
+# ------------------------------------------------------------------ PQ
+
+BOOKS = similarity.pq_codebooks(4, 4, 2)   # 4 subspaces x 2 dims, 4 codes
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    import numpy as np
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(20, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, unit=[float(x) for x in v])
+         for i, v in enumerate(vecs)])
+    got = {r["vec_id"]: list(r["codes"]) for r in
+           df.select("vec_id",
+                     similarity.pq_encode(F.col("unit"), BOOKS)
+                     .alias("codes")).collect()}
+    cb = np.asarray(BOOKS)                         # m x c x d
+    for i, v in enumerate(vecs):
+        sub = v.reshape(4, 2)
+        d = ((sub[:, None, :] - cb) ** 2).sum(axis=2)   # m x c
+        want = list(d.argmin(axis=1))
+        assert got[i] == want, f"vec {i}"
+
+
+def test_pq_encode_udf_bit_identical_to_expression(spark):
+    # The data path uses the Arrow/numpy encoder (the expression twin
+    # falls out of codegen at production codebook sizes); the two must
+    # agree code-for-code, including float argmin tie-breaks.  Use a
+    # bigger 8x16-code book = the suite's production shape.
+    import numpy as np
+    books = similarity.pq_codebooks(8, 16, 8)
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(50, 64))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, unit=[float(x) for x in v])
+         for i, v in enumerate(vecs)])
+    both = df.select(
+        "vec_id",
+        similarity.pq_encode(F.col("unit"), books).alias("expr_codes"),
+        similarity.pq_encode_udf(books)(F.col("unit")).alias("np_codes"),
+        similarity.pq_adc_table(F.col("unit"), books).alias("expr_tab"),
+        similarity.pq_adc_table_udf(books)(F.col("unit")).alias("np_tab"),
+    ).collect()
+    for r in both:
+        assert list(r["expr_codes"]) == list(r["np_codes"]), r["vec_id"]
+        assert list(r["expr_tab"]) == list(r["np_tab"]), r["vec_id"]
+
+
+def test_pq_adc_topk_identical_codes_rank_first(spark):
+    import numpy as np
+    # corpus: vec 0 (query), vec 1 an exact copy (same codes -> adist
+    # tie with self, self excluded), vec 2 far away.
+    base = np.zeros(8)
+    base[0] = 1.0
+    far = np.zeros(8)
+    far[7] = -1.0
+    df = spark.createDataFrame([
+        Row(vec_id=0, embedding=[float(x) for x in base]),
+        Row(vec_id=1, embedding=[float(x) for x in base]),
+        Row(vec_id=2, embedding=[float(x) for x in far]),
+    ])
+    got = similarity.pq_adc_topk(df, k=2, codebooks=BOOKS,
+                                 num_queries=1).collect()
+    ranks = {r["rank"]: r["neighbor_id"] for r in got}
+    assert ranks[1] == 1                       # identical codes rank first
+    assert got[0]["query_id"] == 0
+    units = similarity.unit_vectors(df)
+    codes = {r["vec_id"]: list(r["codes"]) for r in
+             units.select(
+                 "vec_id",
+                 similarity.pq_encode(F.col("unit"), BOOKS)
+                 .alias("codes")).collect()}
+    assert codes[0] == codes[1] != codes[2]
+
+
+def test_pq_code_histogram_total(spark):
+    import numpy as np
+    rng = np.random.default_rng(3)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in rng.normal(size=8)])
+         for i in range(30)])
+    hist = similarity.pq_code_histogram(df, BOOKS)
+    rows = hist.collect()
+    assert sum(r["n_vecs"] for r in rows) == 30 * 4     # one code per m
+    assert all(0 <= r["code"] < 4 and 0 <= r["m"] < 4 for r in rows)
+
+
+# --------------------------------------------------------- PPM strictness
+
+def test_ppm_requires_whitespace_after_maxval():
+    from gcp_serverless_mapreduce_spark.operators import multimodal
+    good = multimodal.encode_ppm(multimodal.synth_pixel_array(5, 3, 2))
+    assert multimodal.decode_ppm(good).shape == (2, 3, 3)
+    # corrupt the single whitespace after maxval
+    idx = good.index(b"255") + 3
+    bad = good[:idx] + b"x" + good[idx + 1:]
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(bad)
