@@ -168,7 +168,8 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
 
 def jaccard_pairs(docs: DataFrame, threshold: float, k: int = 3,
                   doc_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  df_max: int = 128) -> DataFrame:
     """-> (doc_a, doc_b, jaccard) for pairs with Jaccard >= threshold.
 
     Inverted-index plan: join only on shared shingles, count intersections,
@@ -178,7 +179,21 @@ def jaccard_pairs(docs: DataFrame, threshold: float, k: int = 3,
     (one row per doc — NOT broadcastable) they shuffle on the doc id the
     intersection side is already partitioned by.  Jaccard is a ratio of
     exact integers — deterministic across engines.
+
+    ``df_max`` bounds the hot-shingle blow-up: a shingle present in m
+    documents contributes m(m-1)/2 intersection rows in ONE join task —
+    at corpus scale a boilerplate n-gram (license header, template
+    sentence) has m in the millions and the self-join degenerates to
+    all-pairs.  Shingles with document frequency > df_max are dropped
+    from the intersection side (standard inverted-index stop-shingle
+    pruning; at most quadratic in df_max per shingle), while the Jaccard
+    DENOMINATORS keep the true uncapped set sizes, so the estimate only
+    ever under-counts — a capped pair can be missed, never invented.
+    The df filter is a count window over the shingle partitioning the
+    exchange below already provides: no extra shuffle.
     """
+    from pyspark.sql import Window
+
     # One explicit exchange on the join key: the tokenize+shingle explode
     # is computed exactly once — ReuseExchange feeds both self-join sides
     # (whose distribution it already satisfies) and the size aggregate.
@@ -187,8 +202,12 @@ def jaccard_pairs(docs: DataFrame, threshold: float, k: int = 3,
     shingles = (word_shingles(docs, k, doc_col, text_col)
                 .repartition(F.col("shingle")))
     sizes = shingles.groupBy("doc").agg(F.count("*").alias("n"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
+    capped = (shingles
+              .withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
+              .filter(F.col("_df") <= df_max)
+              .drop("_df"))
+    a = capped.alias("a")
+    b = capped.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc") < F.col("b.doc")))

@@ -96,8 +96,12 @@ def range_join_binned(left: DataFrame, right: DataFrame, on: str,
         c for c in right.columns if c not in (on, right_ts)]
     span = max(hi_s - lo_s, 1)
 
-    l_epoch = F.col(left_ts).cast("long")
-    r_epoch = F.col(right_ts).cast("long")
+    # Timestamp-type-agnostic epoch seconds: TIMESTAMP_NTZ cannot cast to
+    # BIGINT directly, but casts to TIMESTAMP exactly under the pinned UTC
+    # session TZ (session.py); for TIMESTAMP the extra cast is a no-op that
+    # Catalyst folds away.
+    l_epoch = F.col(left_ts).cast("timestamp").cast("long")
+    r_epoch = F.col(right_ts).cast("timestamp").cast("long")
     lbins = F.array_distinct(F.array(
         ((l_epoch + lo_s) / span).cast("long"),
         ((l_epoch + hi_s) / span).cast("long"),

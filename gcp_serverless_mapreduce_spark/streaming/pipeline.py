@@ -57,6 +57,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            .parquet(sf_dir))
     if dict(raw.dtypes).get("ts") == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dtype in raw.dtypes:
+        # Same normalization as load_table: watermarks refuse TIMESTAMP_NTZ
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); the cast is exact under the
+        # pinned UTC session TZ.
+        if dtype == "timestamp_ntz":
+            raw = raw.withColumn(col, F.col(col).cast("timestamp"))
     return raw.select(*static.columns)
 
 

@@ -22,6 +22,12 @@ ROWS_PER_BAND = 2
 # degenerate boilerplate-corpus bucket at O(cap^2) instead of O(m^2).
 MAX_BUCKET = 64
 JACCARD_THRESHOLD = 0.8
+# Document-frequency cap for the exact-Jaccard inverted-index join: shingles
+# in more than this many docs are dropped from the intersection side (the
+# denominators keep true set sizes).  Same spirit as MAX_BUCKET — far above
+# any fixture df (results unchanged at sf<=0.1), bounds a boilerplate
+# shingle's pair blow-up at O(cap^2) instead of O(m^2).
+JACCARD_DF_MAX = 128
 COSINE_THRESHOLD = 0.40  # fixture embeddings are random; max within-label pair cos ~0.47
 
 # ---- shared SQL fragments -------------------------------------------------
@@ -105,9 +111,12 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ngram_jaccard_dups", _SH_CTE + f""",
 sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+shc AS (
+    SELECT doc, shingle FROM sh
+    QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {JACCARD_DF_MAX}),
 inter AS (
     SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc < b.doc
     GROUP BY 1, 2)
 SELECT doc_a, doc_b,
        n_common / (ca.n + cb.n - n_common) AS jaccard
@@ -119,7 +128,7 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard >= 0.8 via inverted-index join (ratio of exact
     integers — deterministic cross-engine)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(docs, JACCARD_THRESHOLD)
+    return dedup.jaccard_pairs(docs, JACCARD_THRESHOLD, df_max=JACCARD_DF_MAX)
 
 
 # The LSH candidate-pair set as a reusable fragment (same text as the

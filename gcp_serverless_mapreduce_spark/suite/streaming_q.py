@@ -144,9 +144,12 @@ def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = [F.col("ts").asc(), F.col("event_id").asc()]
     w = Window.partitionBy("user_id").orderBy(*order)
     prev = F.lag("ts").over(w)
+    # Interval comparison (not epoch-long subtraction): matches the oracle's
+    # full-precision `ts - lag(ts) > INTERVAL` and is timestamp-type-agnostic
+    # (TIMESTAMP_NTZ supports interval arithmetic but not cast-to-long).
     is_new = F.when(
         prev.isNull()
-        | (F.col("ts").cast("long") - prev.cast("long") > SESSION_GAP_MIN * 60),
+        | (F.col("ts") - prev > F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTE")),
         F.lit(1)).otherwise(F.lit(0))
     run = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
@@ -160,7 +163,11 @@ def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"),
              F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
              .alias("session_start"),
-             (F.max("ts").cast("long") - F.min("ts").cast("long"))
+             # second-truncated diff, matching the oracle's
+             # date_trunc('second') epochs; the timestamp pre-cast makes the
+             # epoch derivation NTZ-proof.
+             (F.max("ts").cast("timestamp").cast("long")
+              - F.min("ts").cast("timestamp").cast("long"))
              .alias("duration_s"))
     )
 

@@ -29,12 +29,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table; normalizes the events timestamp.
+    """Load one fixture table; normalizes timestamp encodings.
 
-    events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark 4
-    rejects unless ``spark.sql.legacy.parquet.nanosAsLong=true``; we read the
-    raw int64 nanos and convert to a session-TZ-independent timestamp (the
-    session TZ is pinned to UTC in session.RUNTIME_CONFS).
+    The fixtures' timestamp encoding has varied across regenerations:
+    parquet TIMESTAMP(NANOS) (read as int64 nanos under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and naive ``timestamp[us]``
+    (read as TIMESTAMP_NTZ by Spark 4).  Downstream operators —
+    watermarks, ``unix_micros``, interval arithmetic — require the
+    session-TZ TIMESTAMP type, so every flavor is normalized here, in one
+    place.  The NTZ→TIMESTAMP cast is value-preserving because the
+    session TZ is pinned to UTC (session.RUNTIME_CONFS) and the fixture
+    epochs are naive/UTC.
     """
     apply_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -43,6 +48,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Integer division: `/` would go through double and lose precision
         # (ns epochs ~1.7e18 exceed double's 53-bit mantissa).
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    bad = [c for c, t in df.dtypes if t in ("timestamp_ntz",)
+           or (name == "events" and c == "ts" and t != "timestamp")]
+    if bad:
+        # Fail loudly in ONE place if a fixture regeneration introduces yet
+        # another encoding, instead of ten analysis errors downstream.
+        raise TypeError(
+            f"load_table({name!r}): unnormalized timestamp columns {bad}; "
+            f"dtypes={df.dtypes}")
     return df
 
 

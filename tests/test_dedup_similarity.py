@@ -39,6 +39,35 @@ def test_jaccard_exact_value(spark):
     assert math.isclose(rows[0]["jaccard"], 1 / 3)
 
 
+def test_jaccard_df_cap_bounds_boilerplate_pairs(spark):
+    # 40 docs sharing one boilerplate sentence: uncapped, every pair
+    # intersects on the shared shingles -> 40*39/2 = 780 candidate pairs
+    # from ONE hot shingle group.  With df_max below 40 the boilerplate
+    # shingles are pruned from the intersection side and no pair survives
+    # (each doc's remaining shingles are unique), bounding the join at
+    # O(df_max^2) per shingle at any corpus size.
+    boiler = "the quick brown fox jumps over the lazy dog"
+    docs = _docs(spark, [(i, f"{boiler} unique{i} tail{i}")
+                         for i in range(40)])
+    uncapped = dedup.jaccard_pairs(docs, threshold=0.0, df_max=10**6).collect()
+    assert len(uncapped) == 40 * 39 // 2
+    capped = dedup.jaccard_pairs(docs, threshold=0.0, df_max=10).collect()
+    assert capped == []
+
+
+def test_jaccard_df_cap_keeps_true_denominators(spark):
+    # Denominators stay uncapped set sizes: two identical docs plus a hot
+    # shingle shared by everyone -> with the hot shingle pruned from the
+    # intersection only, the identical pair's jaccard UNDER-counts
+    # (n_common excludes pruned shingles, |A u B| does not) and never
+    # exceeds the true value of 1.0.
+    docs = _docs(spark, [(i, f"common one two word{i} x{i} y{i}")
+                         for i in range(12)])
+    rows = dedup.jaccard_pairs(docs, threshold=0.0, df_max=5).collect()
+    for r in rows:
+        assert 0.0 <= r["jaccard"] < 1.0
+
+
 def test_simhash_identical_docs_equal(spark):
     docs = _docs(spark, [(1, "alpha beta gamma"), (2, "gamma beta alpha"),
                          (3, "other words entirely")])
