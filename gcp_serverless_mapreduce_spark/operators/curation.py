@@ -194,3 +194,125 @@ def ngram_contamination(docs: DataFrame, n: int = 3, eval_mod: int = 41,
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def cap_per_source(docs: DataFrame, cap: int,
+                   source_col: str = "source",
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-source (per-domain) document cap: keep at most ``cap`` docs
+    per source, highest-quality first.
+
+    -> (source, doc_id, rank, n_uniq_tokens) for surviving docs.
+
+    The over-representation guard of web-corpus curation (Gopher/
+    RefinedWeb style: no single domain may dominate the training mix):
+    rank docs within each source by a quality key — distinct-token count
+    here, descending, doc_id tiebreak — and keep the top ``cap``.  ONE
+    shuffle on the source key; the rank is a bounded row_number window,
+    so a pathological million-doc domain costs its partition a sort but
+    emits at most ``cap`` rows.  A skewed mega-domain would pair this
+    with the same two-phase salted pattern as docs_per_word_salted.
+    """
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("_quality").desc(), F.col(id_col).asc())
+    return (
+        docs.withColumn(
+            "_quality",
+            F.size(F.array_distinct(tokens(F.col(text_col)))).cast("long"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= cap)
+        .select(source_col, id_col, "rank",
+                F.col("_quality").alias("n_uniq_tokens"))
+    )
+
+
+def latest_per_key(df: DataFrame, key_cols: list[str],
+                   order_cols: list[str]) -> DataFrame:
+    """Latest-value compaction: one row per key, the one that sorts LAST
+    by ``order_cols`` (ties impossible if the caller includes a unique
+    id, which it should).
+
+    The CDC/upsert "compact to current state" operator — a changelog at
+    rest becomes a snapshot.  One shuffle on the key; at 100 TB this is
+    the standard pre-merge step before writing a snapshot table, and the
+    window form (vs self-join-on-max) reads the input once.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols])
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def pack_sequences(docs: DataFrame, budget: int,
+                   source_col: str = "source",
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Sequence packing for pretraining batches: bucket documents into
+    fixed-token-budget packs by concatenation offset.
+
+    -> (source, pack_id, n_docs, token_sum, fill_ratio, overflowed).
+
+    Documents are laid out in deterministic order (doc_id) within each
+    source stream and assigned to the pack where their START offset
+    falls (``(cum - n_tokens) div budget``) — the accounting of
+    concat-then-chunk packing, the standard way pretraining consumes
+    short documents.  A doc longer than the residual budget overflows
+    its pack (reported, not split): offset-bucketing approximates
+    first-fit with ZERO coordination — one window over the same
+    source-keyed exchange the final aggregate reuses, so packing 100 TB
+    is two linear passes with a single shuffle.  True first-fit bin
+    packing is inherently sequential per stream; deployments that need
+    splits chunk the token arrays downstream.
+    """
+    w = (Window.partitionBy(source_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    toked = docs.select(
+        source_col, id_col,
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"))
+    packed = (toked
+              .withColumn("_end", F.sum("n_tokens").over(w))
+              # DIV: exact integer division (the `/` operator would round
+              # through double)
+              .withColumn("pack_id",
+                          F.expr(f"CAST((_end - n_tokens) DIV {budget}"
+                                 " AS BIGINT)")))
+    return (packed.groupBy(source_col, "pack_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("token_sum"),
+                 F.round(F.sum("n_tokens") / F.lit(float(budget)), 6)
+                 .alias("fill_ratio"),
+                 (F.sum("n_tokens") > budget).alias("overflowed")))
+
+
+def temperature_sample(docs: DataFrame, scale: int,
+                       source_col: str = "source",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Temperature-flattened source sampling: per-source quota
+    ``floor(sqrt(n_source) * scale)`` — sub-linear in source size, so
+    over-represented domains are flattened (the alpha=0.5 point of the
+    multilingual/multi-domain sampling temperature family) — filled by
+    hash-ranked uniform draw (md5 of the doc id: deterministic,
+    seedable by construction, identical across engines).
+
+    -> (source, doc_id, samp_rank, quota) for kept docs.
+
+    sqrt and one multiply are IEEE correctly-rounded in both the JVM and
+    DuckDB, so the quota is bit-stable cross-engine; deliberately NO
+    cross-source normalization term (a sum of doubles whose order could
+    flip a floor()).  Counts are a tiny per-source aggregate, broadcast
+    back; the rank is one window over the source-keyed exchange.
+    """
+    counts = (docs.groupBy(source_col)
+              .agg(F.count("*").alias("n_src"))
+              .withColumn("quota",
+                          F.floor(F.sqrt(F.col("n_src")) * scale)
+                          .cast("long"))
+              .drop("n_src"))
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    ranked = (docs.select(source_col, id_col)
+              .withColumn("samp_rank", F.row_number().over(w).cast("long")))
+    return (ranked.join(F.broadcast(counts), source_col)
+            .filter(F.col("samp_rank") <= F.col("quota"))
+            .select(source_col, id_col, "samp_rank", "quota"))

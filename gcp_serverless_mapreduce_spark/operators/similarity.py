@@ -360,16 +360,20 @@ def ivf_topk(emb: DataFrame, k: int, n_cells: int = 16, n_probe: int = 2,
     # and (b) cache the sample so each pass is a memory scan, not a
     # parquet re-read (measured 6 s -> 1.3 s at sf0.1).
     #
-    # The sample is count-free: limit(train_cap) early-stops the scan once
-    # the cap is reached, so building the index costs O(train_cap) rows
-    # read, never a full-corpus action (a corpus count at plan-build was
-    # round 1's one flagged eager action).  limit() draws from the leading
-    # partitions; acceptable for centroid seeding here — a deployment
-    # whose leading files are unrepresentative would pre-shuffle its
-    # manifest or pay one counted uniform sample per index build.
+    # The sample is count-free AND unbiased: ordering by a seeded xxhash64
+    # of the id and taking the smallest train_cap compiles to
+    # TakeOrderedAndProject — a per-partition size-cap heap + driver merge
+    # of cap-sized winners, NOT a global sort shuffle — so every partition
+    # contributes and the draw is pseudo-uniform (hash order), unlike the
+    # earlier head-biased limit() which sampled only the leading files.
+    # Cost: one (id, vector) column scan; the index build scans the corpus
+    # for cell assignment anyway, so this does not change its asymptotics.
     train_cap = 4096
-    feats = (emb.select(F.col(vec_col).cast("array<double>").alias("arr"))
-             .limit(train_cap))
+    feats = (emb.select(F.col(id_col).alias("_id"),
+                        F.col(vec_col).cast("array<double>").alias("arr"))
+             .withColumn("_h", F.xxhash64(F.col("_id"), F.lit(seed)))
+             .orderBy("_h").limit(train_cap)
+             .select("arr"))
     feats = (feats.withColumn("features", array_to_vector("arr"))
              .coalesce(4).cache())
     try:

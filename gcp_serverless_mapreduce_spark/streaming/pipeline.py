@@ -66,6 +66,20 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select(*static.columns)
 
 
+def stream_events_redelivered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events stream with every row delivered TWICE — two independent
+    file-stream sources over the same fixture, unioned.
+
+    Models at-least-once transport (the reference's Pub/Sub push retries
+    deliver duplicates; deploy-*.sh's retry blocks): the consumer must
+    de-duplicate on the message id to get exactly-once effects.  Both
+    sources list the same single fixture file, so one availableNow
+    micro-batch carries both copies and a watermark-bounded dedup state
+    provably sees every duplicate pair."""
+    return stream_events(spark, sf_dir).unionAll(
+        stream_events(spark, sf_dir))
+
+
 def stream_events_rate(spark: SparkSession, sf_dir: str,
                        rows_per_batch: int = 2500) -> DataFrame:
     """Rate-source replay of the events fixture — the push/queue transport

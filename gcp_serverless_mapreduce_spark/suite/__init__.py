@@ -32,69 +32,76 @@ from . import relational_q  # noqa: F401, E402
 from . import tpch_extra_q  # noqa: F401, E402
 from . import formats_q  # noqa: F401, E402
 from . import curation_q  # noqa: F401, E402
+from . import layout_q  # noqa: F401, E402
 
-# Round-5 window head (the driver checks the FIRST 50 registered):
-# 1) the five queries NEW this round (curation + product quantization),
+# Round-6 window head (the driver checks the FIRST 50 registered):
+# 1) the five queries NEW this round (streaming replay-dedup, corpus
+#    domain cap, CDC compaction, z-order layout, ANN recall eval) —
 #    never driver-checked;
-# 2) the round-4 head — round 4's driver recorded no CORRECTNESS file,
-#    so the three fingerprint fixes and the AQE skew-join query are
-#    STILL never driver-green;
-# 3) the three r02 greens round 4 promised to rotate in
-#    (window_event_value_delta, setops_customer_segments,
-#    window_top3_orders_per_customer);
-# 4) the rest of round 4's list (r01-green-last, then oldest r02) in
-#    its original order, truncated to fit 50.
+# 2) the three roundtrip fingerprints — the only queries never green in
+#    any round (r3 hash mismatch, r4 NTZ err; the NTZ fix + local parity
+#    now passes them at sf0.01);
+# 3) the last-green-r2 block — not reconfirmed since the fixtures were
+#    regenerated, and it contains the two NTZ-repaired batch queries
+#    (window_event_value_delta, clicks_within_1h_of_error);
+# 4) ngram_jaccard_dups + dup_clusters — the Jaccard oracle gained the
+#    df_max hot-shingle cap this round and needs a fresh driver green;
+# 5) the whole streaming family — NTZ-repaired this round (was green r3,
+#    before the fixture regeneration);
+# 6) the rest: oldest r3 greens (dedup/ANN/textstats) for reconfirmation
+#    on the regenerated fixtures; ivf_ann_topk's training sample was
+#    re-salted this round.
 promote([
-    "pii_redaction_stats",
-    "chunk_dedup_docs",
-    "ngram_contamination",
-    "pq_code_stats",
-    "pq_adc_topk",
+    "sequence_packing_plan",
+    "temperature_mixed_sample",
+    "scd2_customer_order_versions",
+    "stream_dedup_replayed_events",
+    "domain_capped_corpus",
+    "latest_event_per_user",
+    "zorder_layout_keys",
+    "ann_recall_eval",
     "events_json_roundtrip_fingerprint",
     "events_csv_roundtrip_fingerprint",
     "events_orc_roundtrip_fingerprint",
-    "hot_key_join_aqe",
     "window_event_value_delta",
-    "setops_customer_segments",
-    "window_top3_orders_per_customer",
-    "orders_by_month",
-    "part_string_functions",
-    "top20_lineitems_by_price",
-    "bucket_histogram",
-    "price_quantiles_by_flag",
-    "approx_stats_parts",
-    "pivot_priority_by_status",
-    "daily_orders_gapfilled",
-    "q6_revenue_forecast",
-    "q4_order_priority_check",
-    "q13_customer_order_distribution",
-    "q2_min_cost_supplier",
-    "window_trailing_7d_spend",
-    "udaf_geomean_by_status",
-    "locf_hourly_event_values",
-    "grouping_sets_order_stats",
-    "ntile_customer_value_quartiles",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_item_revenue",
-    "q11_part_value_concentration",
-    "q12_priority_line_counts",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_order_customers",
-    "q19_disjunctive_revenue",
-    "q22_dormant_customers",
-    "media_feature_summary",
-    "video_frame_samples",
-    "image_resize_plan",
-    "asof_click_before_purchase",
     "clicks_within_1h_of_error",
-    "q1_pricing_summary",
-    "having_orders_per_customer",
-    "rollup_lineitem_status",
-    "cube_orders_status_priority",
+    "distinct_status_priority",
+    "q3_top_unshipped_orders",
+    "q5_supplier_volume_by_nation",
+    "orders_per_nation",
+    "customers_without_orders",
+    "customers_with_big_orders",
+    "order_fill_stats",
+    "window_running_spend",
+    "ngram_jaccard_dups",
+    "dup_clusters",
+    "stream_windowed_event_stats",
+    "stream_windowed_event_stats_rate",
+    "stream_click_purchase_join",
+    "stream_session_stats",
+    "sessionize_user_events",
+    "stream_user_totals_stateful",
+    "stream_distinct_user_event_pairs",
+    "multires_event_rollup",
+    "anagram_groups",
+    "anagram_pairs",
+    "exact_dedup_groups",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash_fingerprints",
+    "simhash_near_dups",
+    "embedding_near_dup_pairs",
+    "cosine_topk_bruteforce",
+    "srp_bucket_stats",
+    "srp_ann_topk",
+    "sq8_ann_topk",
+    "ivf_fixed_cells_topk",
+    "ivf_ann_topk",
+    "language_id",
+    "language_confusion",
+    "doc_quality_scores",
+    "token_count_by_source",
+    "doc_fingerprints",
 ])
 
 # Re-export the flagship for __spark_entry__.entry

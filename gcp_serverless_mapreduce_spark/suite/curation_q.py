@@ -138,3 +138,100 @@ def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc aggregation."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.ngram_contamination(docs, NGRAM_N, EVAL_MOD)
+
+
+DOMAIN_CAP = 10
+
+
+@register("domain_capped_corpus", f"""
+WITH t AS (SELECT doc_id, source, {{_TOKS}} AS toks FROM documents),
+q AS (SELECT source, doc_id,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens
+      FROM t)
+SELECT source, doc_id,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY n_uniq_tokens DESC, doc_id)
+            AS BIGINT) AS rank,
+       n_uniq_tokens
+FROM q
+QUALIFY rank <= {DOMAIN_CAP}
+""".format(_TOKS=_TOKS))
+def domain_capped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain over-representation cap (Gopher/RefinedWeb-style corpus
+    mixing): keep at most {DOMAIN_CAP} docs per source, ranked by
+    distinct-token count (doc_id tiebreak).  One shuffle on source; a
+    mega-domain emits at most {DOMAIN_CAP} rows no matter its size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.cap_per_source(docs, DOMAIN_CAP)
+
+
+@register("latest_event_per_user", """
+SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts_us,
+       event_type AS last_event_type, value AS last_value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+""")
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-value compaction: the events changelog collapsed to one
+    current row per user (greatest ts, event_id tiebreak) — the standard
+    pre-merge snapshot step.  One shuffle on the key; the window form
+    reads the input once (vs a self-join on max(ts) reading it twice)."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = curation.latest_per_key(ev, ["user_id"], ["ts", "event_id"])
+    return latest.select(
+        "user_id", F.col("event_id").alias("last_event_id"),
+        F.unix_micros("ts").alias("last_ts_us"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"))
+
+
+PACK_BUDGET = 512
+SAMPLE_SCALE = 2
+
+
+@register("sequence_packing_plan", """
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+n AS (SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+p AS (SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM n)
+SELECT source, CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS token_sum,
+       round(SUM(n_tokens) / {PACK_BUDGET}.0, 6) AS fill_ratio,
+       SUM(n_tokens) > {PACK_BUDGET} AS overflowed
+FROM p GROUP BY source, pack_id
+""".format(_TOKS=_TOKS, PACK_BUDGET=PACK_BUDGET))
+def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing ({PACK_BUDGET}-token budget):
+    concat-offset bucketing of each source's doc stream into packs, with
+    per-pack fill accounting.  One shuffle on source, reused by the
+    window and the pack aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.pack_sequences(docs, PACK_BUDGET)
+
+
+@register("temperature_mixed_sample", f"""
+WITH c AS (SELECT source,
+                  CAST(floor(sqrt(COUNT(*)) * {SAMPLE_SCALE}) AS BIGINT)
+                      AS quota
+           FROM documents GROUP BY source),
+r AS (SELECT source, doc_id,
+             CAST(row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                 AS BIGINT) AS samp_rank
+      FROM documents)
+SELECT r.source, r.doc_id, r.samp_rank, c.quota
+FROM r JOIN c USING (source)
+WHERE samp_rank <= quota
+""")
+def temperature_mixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened corpus mixing (alpha=0.5): per-source quota
+    sqrt(n)*{SAMPLE_SCALE} filled by md5-ranked uniform draw — big
+    domains are sub-linearly represented, the hash rank makes the draw
+    deterministic and engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.temperature_sample(docs, SAMPLE_SCALE)

@@ -962,3 +962,31 @@ def hot_key_join_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.length("props")).alias("sum_props_len"),
                  F.sum("k_rows").alias("sum_k_rows"),
                  F.sum("k_cents").alias("sum_k_cents")))
+
+
+@register("scd2_customer_order_versions", """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+       strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS valid_to,
+       (lead(o_orderkey) OVER w IS NULL) AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+def scd2_customer_order_versions(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: each customer's order
+    stream becomes versioned rows with [valid_from, valid_to) intervals
+    and an is_current flag — the warehouse history-table pattern (a
+    MERGE-less SCD2 derivation: the full history is one window pass, no
+    per-row upserts).  ONE shuffle on the customer key feeds
+    row_number, both lead()s, and nothing else."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd")
+        .alias("valid_to"),
+        F.lead("o_orderkey").over(w).isNull().alias("is_current"))

@@ -292,3 +292,51 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matched."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.pq_adc_topk(emb, K, PQ_BOOKS, NUM_QUERIES)
+
+
+@register("ann_recall_eval", _UNIT_CTE + f""",
+s AS (SELECT vec_id, u, {_BUCKET} AS bucket FROM u),
+nb AS (SELECT vec_id, u, bucket FROM s
+       QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
+               <= {MAX_BUCKET}),
+ann AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_PAIR_DOT} DESC, b.vec_id) AS rank
+    FROM s a JOIN nb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    WHERE a.vec_id < {NUM_QUERIES}
+    QUALIFY rank <= {K}),
+exact AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_PAIR_DOT} DESC, b.vec_id) AS rank
+    FROM u a JOIN u b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < {NUM_QUERIES}
+    QUALIFY rank <= {K})
+SELECT e.query_id,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+       round(COUNT(a.neighbor_id) / {K}.0, 6) AS recall_at_k
+FROM exact e LEFT JOIN ann a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+""")
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@{K} of the SRP-bucketed index
+    against brute-force ground truth, per query vector — the measurement
+    loop an embedding-dedup/search deployment runs before trusting an
+    index.  Ground truth restricts to {NUM_QUERIES} probe queries (the
+    standard recall protocol: exact top-k for a sample, never all-pairs),
+    so the exact side stays a broadcast-bounded scan while the ANN side
+    reuses the production bucketed plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = (similarity.brute_force_topk(emb, K, NUM_QUERIES)
+             .select("query_id", "neighbor_id"))
+    ann = (similarity.srp_ann_topk(emb, K, PLANES, max_bucket=MAX_BUCKET)
+           .filter(F.col("query_id") < NUM_QUERIES)
+           .select("query_id", "neighbor_id", F.lit(1).alias("_hit")))
+    return (
+        exact.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_hit").cast("long").alias("n_hits"),
+             F.round(F.count("_hit") / K, 6).alias("recall_at_k"))
+    )

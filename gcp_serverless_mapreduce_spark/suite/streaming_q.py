@@ -85,6 +85,34 @@ def stream_distinct_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFr
         "distinct_user_event_pairs_sink", mode="append")
 
 
+@register("stream_dedup_replayed_events", """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+""")
+def stream_dedup_replayed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once over at-least-once transport: the fixture stream
+    delivered TWICE (two unioned file sources — the reference's Pub/Sub
+    redelivery model), deduplicated on the message id with
+    ``dropDuplicatesWithinWatermark`` — per-key state that the watermark
+    EVICTS, unlike plain dropDuplicates whose state grows forever; this
+    is the form that survives an unbounded 100 TB/day stream.  The
+    oracle aggregates the SINGLE-copy fixture, so any duplicate that
+    slips through (or real row dropped) doubles/halves a count and
+    fails the hash."""
+    ev = pipeline.stream_events_redelivered(spark, sf_dir)
+    deduped = (ev.withWatermark("ts", "1 hour")
+               .dropDuplicatesWithinWatermark(["event_id"]))
+    rows = pipeline.run_available_now(
+        deduped, "dedup_replay_sink", mode="append")
+    return (rows.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").cast("long").alias("n_users"),
+                 F.sum(F.col("value").cast("decimal(14,2)"))
+                 .cast("double").alias("total_value")))
+
+
 @register("stream_user_totals_stateful", """
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value

@@ -1,0 +1,118 @@
+"""Unit tests for the round-5 operators: z-order keys, per-domain cap,
+latest-per-key compaction, and the redelivered-stream dedup."""
+
+from pyspark.sql import functions as F
+
+from gcp_serverless_mapreduce_spark.operators import curation, layout
+
+
+def _z(spark, x, y):
+    return spark.range(1).select(
+        layout.zorder_key(F.lit(x), F.lit(y)).alias("z")).first()["z"]
+
+
+def test_zorder_key_golden(spark):
+    # x=3 (bits 0,1 -> even positions 0,2), y=5 (bits 0,2 -> odd
+    # positions 1,5): 1 + 4 + 2 + 32 = 39.
+    assert _z(spark, 3, 5) == 39
+    assert _z(spark, 0, 0) == 0
+    assert _z(spark, 1, 0) == 1
+    assert _z(spark, 0, 1) == 2
+    # 16-bit mask: values wrap, never collide into other bit positions
+    assert _z(spark, (1 << 16) + 3, 5) == 39
+
+
+def test_zorder_key_locality(spark):
+    # Interleaving bounds each dimension's range within a coarse bucket:
+    # keys sharing their high bits agree on the high bits of BOTH inputs.
+    df = spark.range(256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long").alias("y"))
+    z = df.select("x", "y", layout.zorder_key(F.col("x"), F.col("y")).alias("z"))
+    stats = (z.groupBy(F.shiftright("z", 4).alias("b"))
+             .agg((F.max("x") - F.min("x")).alias("xr"),
+                  (F.max("y") - F.min("y")).alias("yr"))
+             .agg(F.max("xr").alias("xr"), F.max("yr").alias("yr")).first())
+    # each 16-key bucket spans at most a 4-wide range in x and y
+    assert stats["xr"] <= 3 and stats["yr"] <= 3
+
+
+def test_cap_per_source_bounds_and_order(spark):
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}", " ".join(f"w{j}" for j in range(i + 1)))
+         for i in range(10)],
+        ["doc_id", "source", "text"])
+    out = curation.cap_per_source(docs, cap=3).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rows in by_src.items():
+        assert len(rows) <= 3
+        ranked = sorted(rows, key=lambda r: r["rank"])
+        # quality (distinct tokens) is non-increasing with rank
+        uniqs = [r["n_uniq_tokens"] for r in ranked]
+        assert uniqs == sorted(uniqs, reverse=True)
+    # highest-token docs win: doc 9 (10 tokens) leads s1, doc 8 leads s0
+    assert by_src["s1"][0]["doc_id"] == 9 or by_src["s1"][0]["rank"] > 1
+    top = {src: min(rows, key=lambda r: r["rank"])["doc_id"]
+           for src, rows in by_src.items()}
+    assert top == {"s0": 8, "s1": 9}
+
+
+def test_latest_per_key_golden(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (2, 5, "d")],
+        ["k", "ord", "val"])
+    out = {r["k"]: r["val"]
+           for r in curation.latest_per_key(df, ["k"], ["ord", "val"]).collect()}
+    # k=1: ord 20 wins; k=2: ord tie -> val 'd' (desc) wins
+    assert out == {1: "b", 2: "d"}
+
+
+def test_stream_redelivery_dedup_exact(spark, tmp_path):
+    # A duplicated stream deduped on event_id must equal the single copy.
+    from gcp_serverless_mapreduce_spark.streaming import pipeline
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = pipeline.stream_events_redelivered(spark, sf_dir)
+    deduped = (ev.withWatermark("ts", "1 hour")
+               .dropDuplicatesWithinWatermark(["event_id"]))
+    rows = pipeline.run_available_now(deduped, "test_dedup_replay_sink",
+                                      mode="append")
+    single = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert rows.count() == single.count()
+    assert rows.select("event_id").distinct().count() == single.count()
+
+
+def test_pack_sequences_offset_bucketing(spark):
+    # budget 5; docs of 3,3,4 tokens in one source: cumulative ends 3,6,10;
+    # start offsets 0,3,6 -> packs 0,0,1.  Pack 0 holds 6 tokens (overflow),
+    # pack 1 holds 4 (fill 0.8).
+    docs = spark.createDataFrame(
+        [(1, "s", "a b c"), (2, "s", "d e f"), (3, "s", "g h i j")],
+        ["doc_id", "source", "text"])
+    rows = {r["pack_id"]: r
+            for r in curation.pack_sequences(docs, budget=5).collect()}
+    assert rows[0]["n_docs"] == 2 and rows[0]["token_sum"] == 6
+    assert rows[0]["overflowed"] is True
+    assert rows[1]["n_docs"] == 1 and rows[1]["token_sum"] == 4
+    assert rows[1]["overflowed"] is False
+    assert abs(rows[1]["fill_ratio"] - 0.8) < 1e-9
+
+
+def test_temperature_sample_flattens_sources(spark):
+    # 100-doc source vs 4-doc source, scale 2: quotas 20 vs 4 — the big
+    # source is 25x larger but only 5x more sampled (sqrt flattening);
+    # the small source keeps everything (quota >= n).
+    docs = spark.createDataFrame(
+        [(i, "big", "t") for i in range(100)]
+        + [(1000 + i, "small", "t") for i in range(4)],
+        ["doc_id", "source", "text"])
+    out = curation.temperature_sample(docs, scale=2).collect()
+    kept = {}
+    for r in out:
+        kept.setdefault(r["source"], []).append(r)
+    assert len(kept["big"]) == 20 and all(r["quota"] == 20 for r in kept["big"])
+    assert len(kept["small"]) == 4
+    # deterministic: same draw on re-run
+    again = curation.temperature_sample(docs, scale=2).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
