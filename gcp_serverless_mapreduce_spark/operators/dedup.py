@@ -392,3 +392,49 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             "possibly-wrong cluster labels")
     return labels.select(F.col("doc").alias("doc_id"),
                          F.col("lbl").alias("cluster_id"))
+
+
+def deletion_variants(word: Column) -> Column:
+    """``word`` plus every single-character-deletion of it, distinct —
+    the SymSpell candidate key set (bounded: len(word)+1 variants)."""
+    return F.array_distinct(F.concat(
+        F.array(word),
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: F.concat(
+                word.substr(F.lit(1), i - 1),
+                word.substr(i + 1, F.length(word))))))
+
+
+def symspell_matches(queries: DataFrame, dictionary: DataFrame,
+                     q_col: str, d_col: str,
+                     max_bucket: int = 64) -> DataFrame:
+    """-> (q, d, dist) for query/dictionary string pairs with Levenshtein
+    distance <= 1 — fuzzy vocabulary matching via deletion-neighborhood
+    join (SymSpell), never a quadratic cross join.
+
+    Two strings within edit distance 1 share a member of each other's
+    single-deletion neighborhoods, so exploding both sides ×(len+1) and
+    equi-joining on the variant gives a complete candidate set; the
+    exact ``levenshtein`` filter then runs on candidates only.  The join
+    is keyed on variant strings — at a 100 TB vocabulary this shuffles
+    O(total variants), with hot variants (e.g. the empty string from
+    1-char words, shared prefixes of ID-like tokens) capped on the
+    dictionary side at ``max_bucket``, same pattern as the LSH/Jaccard
+    caps.  Quadratic only in max_bucket, never in vocabulary size.
+    """
+    from pyspark.sql import Window
+
+    # alias first, explode in a SECOND select: aliasing and referencing
+    # the same name in one projection trips Spark's lateral-column-alias
+    # analysis when the input column is already named "q"/"d"
+    lv = (queries.select(F.col(q_col).alias("q"))
+          .select("q", F.explode(deletion_variants(F.col("q"))).alias("v")))
+    rv = (dictionary.select(F.col(d_col).alias("d"))
+          .select("d", F.explode(deletion_variants(F.col("d"))).alias("v")))
+    w = Window.partitionBy("v").orderBy("d")
+    rv = (rv.withColumn("_rn", F.row_number().over(w))
+          .filter(F.col("_rn") <= max_bucket).drop("_rn"))
+    cand = lv.join(rv, "v").select("q", "d").distinct()
+    return (cand.withColumn("dist", F.levenshtein("q", "d").cast("long"))
+            .filter(F.col("dist") <= 1))

@@ -285,3 +285,84 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_sim") >= COSINE_THRESHOLD)
         .select("vec_a", "vec_b", F.round("_sim", 4).alias("sim"))
     )
+
+
+# SymSpell fuzzy-match gate: the fixture vocabulary is tiny word soup, so
+# (same trick as the PII augmentation in curation_q) both engines
+# synthesize the same "user handle" per doc — first token + '_' + id mod
+# 200 — and the same deterministic one-char-deletion typo on every third
+# doc.  The operator then has real work: map dirty handles back to the
+# canonical dictionary at edit distance <= 1.
+SYMSPELL_MAX_BUCKET = 64
+
+@register("symspell_handle_match", f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS toks
+    FROM documents),
+h AS (SELECT doc_id,
+             toks[1] || '_' || CAST(doc_id % 200 AS VARCHAR) AS handle
+      FROM t),
+p AS (SELECT doc_id, handle,
+             2 + doc_id % (len(handle) - 2) AS pos FROM h),
+dd AS (SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0
+                   THEN substr(handle, 1, pos - 1) || substr(handle, pos + 1)
+                   ELSE handle END AS dirty
+       FROM p),
+qs AS (SELECT DISTINCT dirty FROM dd),
+ds AS (SELECT DISTINCT handle FROM h),
+qv AS (SELECT dirty AS q,
+              unnest(list_distinct(list_prepend(dirty,
+                  list_transform(generate_series(1, len(dirty)),
+                      i -> substr(dirty, 1, i - 1) || substr(dirty, i + 1)))))
+                  AS v
+       FROM qs),
+dv AS (SELECT handle AS d,
+              unnest(list_distinct(list_prepend(handle,
+                  list_transform(generate_series(1, len(handle)),
+                      i -> substr(handle, 1, i - 1) || substr(handle, i + 1)))))
+                  AS v
+       FROM ds),
+dvc AS (SELECT d, v FROM dv
+        QUALIFY row_number() OVER (PARTITION BY v ORDER BY d)
+                <= {SYMSPELL_MAX_BUCKET}),
+cand AS (SELECT DISTINCT q, d FROM qv JOIN dvc USING (v)),
+m AS (SELECT q, d, CAST(levenshtein(q, d) AS BIGINT) AS dist
+      FROM cand WHERE levenshtein(q, d) <= 1),
+n AS (SELECT dirty, COUNT(*) AS n_docs FROM dd GROUP BY dirty)
+SELECT m.q AS dirty_handle, m.d AS matched_handle, m.dist,
+       CAST(n.n_docs AS BIGINT) AS n_docs
+FROM m JOIN n ON n.dirty = m.q
+""")
+def symspell_handle_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy vocabulary matching (SymSpell deletion-neighborhood join):
+    deterministically typo'd handles mapped back to the canonical handle
+    dictionary at Levenshtein distance <= 1 — candidates come from an
+    equi-join on single-deletion variants (O(total variants) shuffle,
+    hot variants capped at {SYMSPELL_MAX_BUCKET}), NEVER a quadratic
+    levenshtein cross join."""
+    from ..operators.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    handle = F.concat(F.element_at(tokens(F.col("text")), 1),
+                      F.lit("_"), (did % 200).cast("string"))
+    base = docs.select(did, handle.alias("handle"))
+    pos = F.lit(2) + did % (F.length("handle") - 2)
+    dirty = F.when(
+        did % 3 == 0,
+        F.concat(F.col("handle").substr(F.lit(1), pos - 1),
+                 F.col("handle").substr(pos + 1, F.length("handle")))
+    ).otherwise(F.col("handle"))
+    dd = base.select(did, dirty.alias("dirty"))
+    matches = dedup.symspell_matches(
+        dd.select("dirty").distinct(),
+        base.select("handle").distinct(),
+        "dirty", "handle", max_bucket=SYMSPELL_MAX_BUCKET)
+    counts = dd.groupBy("dirty").agg(F.count("*").alias("n_docs"))
+    return (matches.join(counts, matches["q"] == counts["dirty"])
+            .select(F.col("q").alias("dirty_handle"),
+                    F.col("d").alias("matched_handle"),
+                    "dist", "n_docs"))

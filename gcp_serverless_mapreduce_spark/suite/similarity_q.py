@@ -334,8 +334,10 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = (similarity.srp_ann_topk(emb, K, PLANES, max_bucket=MAX_BUCKET)
            .filter(F.col("query_id") < NUM_QUERIES)
            .select("query_id", "neighbor_id", F.lit(1).alias("_hit")))
+    # both sides are NUM_QUERIES*K rows; broadcast the ANN side so the
+    # hit-join never sorts/shuffles the (already expensive) exact side
     return (
-        exact.join(ann, ["query_id", "neighbor_id"], "left")
+        exact.join(F.broadcast(ann), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(F.count("_hit").cast("long").alias("n_hits"),
              F.round(F.count("_hit") / K, 6).alias("recall_at_k"))

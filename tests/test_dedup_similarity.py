@@ -187,3 +187,25 @@ def test_simhash_near_dups_pigeonhole_and_cap(spark):
     clones = _docs(spark, [(i, base) for i in range(6)])
     capped = dedup.simhash_near_dups(clones, max_hamming=3, max_bucket=2)
     assert {(r["doc_a"], r["doc_b"]) for r in capped.collect()} == {(0, 1)}
+
+
+def test_symspell_matches_edit1_complete(spark):
+    qs = spark.createDataFrame([("hello",), ("helo",), ("hxllo",),
+                                ("hellox",), ("xyz",)], ["w"])
+    ds = spark.createDataFrame([("hello",), ("world",)], ["d"])
+    got = {(r["q"], r["d"]): r["dist"]
+           for r in dedup.symspell_matches(qs, ds, "w", "d").collect()}
+    # deletion (helo), substitution (hxllo), insertion (hellox), exact —
+    # all within the deletion-neighborhood candidate set
+    assert got == {("hello", "hello"): 0, ("helo", "hello"): 1,
+                   ("hxllo", "hello"): 1, ("hellox", "hello"): 1}
+
+
+def test_symspell_bucket_cap_bounds_hot_variant(spark):
+    # 50 dictionary words sharing a hot variant (1-char words all collide
+    # on the empty-string deletion): the cap bounds candidates per variant.
+    ds = spark.createDataFrame([(c,) for c in "abcdefghij"], ["d"])
+    qs = spark.createDataFrame([("z",)], ["w"])
+    out = dedup.symspell_matches(qs, ds, "w", "d", max_bucket=3).collect()
+    # "z" matches via the "" variant only the 3 smallest dict entries
+    assert {r["d"] for r in out} <= {"a", "b", "c"}

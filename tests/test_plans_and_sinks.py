@@ -96,3 +96,43 @@ def test_anagram_sink_partitioned_content_union(spark, tmp_path):
     expect = {f"{r['sorted_word']}: {' '.join(r['anagrams'])}"
               for r in grouped.collect()}
     assert lines == expect  # content union is the contract (SURVEY §7)
+
+
+def test_runtime_bloom_filter_prunes_selective_fact_join(spark):
+    """Runtime Bloom-filter join pruning (SPARK-32268) fires on a
+    selective fact-fact join: the filtered side's join keys become a
+    bloom filter probed as `might_contain` inside the big side's scan
+    filter — rows failing it never reach the shuffle.
+
+    At fixture scale the defaults suppress it (application-side scans
+    must exceed 10 GB and the join must not broadcast), so the test
+    recreates the fact-fact condition explicitly; at 100 TB the same
+    plan trips the defaults naturally — this pins that the conf is ON
+    and the injection works in this engine build.
+    """
+    from pyspark.sql import functions as F
+
+    from gcp_serverless_mapreduce_spark.tables import load_table
+
+    assert (spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true")
+    sf = "/root/testdata/sf0.001"
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf, "lineitem")
+        orders = (load_table(spark, sf, "orders")
+                  .filter(F.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
