@@ -239,3 +239,59 @@ def test_fuzz_y4m_codec_roundtrip():
     for bad in (b"YUV4MPEG2 W0 H2 C444\nFRAME\n", b"not a video"):
         with pytest.raises(ValueError):
             multimodal.decode_y4m(bad)
+
+
+# ---- SymSpell edit-distance-1 matching vs a direct python oracle ------
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_symspell_fuzz_complete_vs_bruteforce(spark):
+    # Small alphabet forces collisions, near-misses, and exact dupes.
+    from gcp_serverless_mapreduce_spark.operators import dedup
+
+    words = list({"".join(RNG.choices("abc", k=RNG.randint(1, 5)))
+                  for _ in range(120)})
+    half = len(words) // 2
+    qs, ds = words[:half], words[half:]
+    got = {(r["q"], r["d"]): r["dist"] for r in dedup.symspell_matches(
+        spark.createDataFrame([(w,) for w in qs], ["w"]),
+        spark.createDataFrame([(w,) for w in ds], ["d"]),
+        "w", "d", max_bucket=10**6).collect()}
+    # brute-force oracle: EVERY pair within levenshtein <= 1 must appear —
+    # the deletion-neighborhood candidate set is complete at distance 1,
+    # so the operator misses nothing (with the cap disabled)
+    expect = {(q, d): _py_lev(q, d)
+              for q in qs for d in ds if _py_lev(q, d) <= 1}
+    assert got == expect
+
+
+def test_pack_sequences_fuzz_vs_python(spark):
+    from gcp_serverless_mapreduce_spark.operators import curation
+
+    docs = [(i, f"s{RNG.randint(0, 2)}",
+             " ".join("w" for _ in range(RNG.randint(1, 30))))
+            for i in range(150)]
+    budget = 37
+    got = {(r["source"], r["pack_id"]):
+           (r["n_docs"], r["token_sum"], r["overflowed"])
+           for r in curation.pack_sequences(
+               spark.createDataFrame(docs, ["doc_id", "source", "text"]),
+               budget).collect()}
+    packs: dict[tuple, list[int]] = {}
+    cums: dict[str, int] = {}
+    for i, src, text in sorted(docs):
+        n = len(text.split())
+        start = cums.get(src, 0)
+        cums[src] = start + n
+        packs.setdefault((src, start // budget), []).append(n)
+    expect = {k: (len(v), sum(v), sum(v) > budget) for k, v in packs.items()}
+    assert got == expect
