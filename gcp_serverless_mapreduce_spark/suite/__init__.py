@@ -52,6 +52,7 @@ from . import layout_q  # noqa: F401, E402
 #    on the regenerated fixtures; ivf_ann_topk's training sample was
 #    re-salted this round.
 promote([
+    "stream_dedup_windowed_stats",
     "symspell_handle_match",
     "sequence_packing_plan",
     "temperature_mixed_sample",
@@ -101,7 +102,6 @@ promote([
     "language_id",
     "language_confusion",
     "doc_quality_scores",
-    "token_count_by_source",
 ])
 
 # Re-export the flagship for __spark_entry__.entry

@@ -140,12 +140,10 @@ def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sessionize_user_events", f"""
 WITH g AS (
     SELECT user_id, event_id, ts, value,
-           -- second-truncated gap compare, matching the Spark side's
-           -- cast('long') epoch-seconds arithmetic (a full-precision
-           -- interval compare sessionizes gaps in (30:00, 30:01) differently)
-           CASE WHEN date_trunc('second', ts)
-                     - date_trunc('second',
-                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           -- full-precision gap compare, matching the Spark side's
+           -- interval arithmetic (ts - lag(ts) > INTERVAL) and the native
+           -- session_window semantics pinned in stream_session_stats
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      > INTERVAL {SESSION_GAP_MIN} MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 THEN 1 ELSE 0 END AS is_new
@@ -299,3 +297,43 @@ def multires_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (fmt(hourly, "hour")
             .unionByName(fmt(daily, "day"))
             .unionByName(fmt(monthly, "month")))
+
+
+@register("stream_dedup_windowed_stats", """
+WITH mx AS (SELECT MAX(ts) AS m FROM events),
+w AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+             COUNT(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(14,2))) AS tv
+      FROM events GROUP BY 1, 2)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(tv AS DOUBLE) AS total_value
+FROM w, mx
+WHERE ws + INTERVAL 1 HOUR <= mx.m - INTERVAL 1 HOUR
+""")
+def stream_dedup_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming operators in one query — dedup state
+    feeding windowed-aggregation state (Spark 3.5+/4 multi-stateful
+    append pipelines): the double-delivered stream is deduplicated on
+    the message id, then aggregated into tumbling 1-hour windows, all
+    inside a single readStream->writeStream in APPEND mode (each window
+    emitted once, when the watermark closes it — the production output
+    mode; the other windowed queries use complete mode).
+
+    Emission semantics pinned by probe: with availableNow + no-data
+    final micro-batch, append emits exactly the windows whose end <=
+    max(ts) - watermark delay; the oracle filters the batch aggregate to
+    the same closed-window set (866 of 868 windows at sf0.001).  Any
+    duplicate surviving the dedup doubles a count and fails the hash."""
+    ev = pipeline.stream_events_redelivered(spark, sf_dir)
+    agg = (ev.withWatermark("ts", "1 hour")
+           .dropDuplicatesWithinWatermark(["event_id"])
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(14,2)")).alias("_tv"))
+           .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                   .alias("window_start"),
+                   "event_type", "n_events",
+                   F.col("_tv").cast("double").alias("total_value")))
+    return pipeline.run_available_now(agg, "dedup_windowed_sink",
+                                      mode="append")
