@@ -52,6 +52,8 @@ from . import layout_q  # noqa: F401, E402
 #    on the regenerated fixtures; ivf_ann_topk's training sample was
 #    re-salted this round.
 promote([
+    "regression_price_vs_quantity",
+    "events_json_corrupt_routing",
     "stream_dedup_windowed_stats",
     "symspell_handle_match",
     "sequence_packing_plan",

@@ -89,3 +89,34 @@ def events_orc_roundtrip_fingerprint(spark: SparkSession,
     content-fingerprint gate (types carry natively — this pins the
     reader/writer pair rather than text-format options)."""
     return _roundtrip(spark, sf_dir, "orc")
+
+
+@register("events_json_corrupt_routing", f"""
+SELECT 'good' AS status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM events
+UNION ALL
+SELECT 'corrupt', {{n}}, NULL
+""".format(n=__import__("gcp_serverless_mapreduce_spark.sources.formats",
+                        fromlist=["N_CORRUPT"]).N_CORRUPT))
+def events_json_corrupt_routing(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode corrupt-record routing: the events JSON landing
+    zone with deterministic malformed lines injected; bad lines land in
+    ``_corrupt_record`` (counted), good rows survive bit-exact (gated by
+    the event_id checksum).  FAILFAST would kill the job on one bad
+    upstream file; DROPMALFORMED would silently lose rows — PERMISSIVE
+    is the auditable quarantine a 100 TB ingestion needs."""
+    from ..sources.formats import write_with_corruption_then_read
+
+    events = load_table(spark, sf_dir, "events")
+    scratch = os.path.join("/tmp/spark_graft_scratch", "json_corrupt",
+                           os.path.basename(os.path.normpath(sf_dir)))
+    back = write_with_corruption_then_read(events, scratch)
+    good = F.col("_corrupt_record").isNull()
+    return (back.withColumn("status",
+                            F.when(good, F.lit("good"))
+                            .otherwise(F.lit("corrupt")))
+            .groupBy("status")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.when(good, F.col("event_id"))).alias("sum_event_id")))

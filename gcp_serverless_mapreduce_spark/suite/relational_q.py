@@ -990,3 +990,57 @@ def scd2_customer_order_versions(spark: SparkSession,
         F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd")
         .alias("valid_to"),
         F.lead("o_orderkey").over(w).isNull().alias("is_current"))
+
+
+@register("regression_price_vs_quantity", """
+WITH m AS (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+    FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+             6) AS corr_qty_price,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+             6) AS intercept
+FROM m
+""")
+def regression_price_vs_quantity(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Statistical aggregates (Pearson corr + OLS slope/intercept of
+    extendedprice on quantity per returnflag) made cross-engine
+    deterministic: the five moments accumulate as EXACT DECIMAL sums
+    (immune to partition/merge order, unlike the built-in corr/regr_*
+    whose float running sums differ per plan), and only the final
+    closed-form formula — identical expression tree on both engines,
+    IEEE ops on identical double inputs — runs in floating point.
+    Map-side partial agg on a 6-value state; one tiny shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(qty).cast("double").alias("sx"),
+        F.sum(price).cast("double").alias("sy"),
+        F.sum(qty * price).cast("double").alias("sxy"),
+        F.sum(qty * qty).cast("double").alias("sxx"),
+        F.sum(price * price).cast("double").alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag", n.cast("long").alias("n_rows"),
+        F.round((n * sxy - sx * sy)
+                / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+                6).alias("corr_qty_price"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"))

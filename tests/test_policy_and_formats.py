@@ -120,3 +120,26 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert "PushedFilters: [" in plan
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "o_totalprice" in pushed
+
+
+def test_corrupt_records_routed_not_dropped(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gcp_serverless_mapreduce_spark.sources.formats import (
+        CORRUPT_LINES, write_with_corruption_then_read)
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["event_id", "name"])
+    # localCheckpoint: Spark disallows lazily querying ONLY the corrupt
+    # column from raw JSON (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — parse once,
+    # then slice
+    back = write_with_corruption_then_read(
+        df, str(tmp_path / "json")).localCheckpoint()
+    good = back.filter(F.col("_corrupt_record").isNull())
+    bad = back.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2
+    assert bad.count() == len(CORRUPT_LINES)
+    # the quarantine column preserves the raw offending line
+    assert {r["_corrupt_record"] for r in bad.collect()} == set(CORRUPT_LINES)
+    # good rows survive bit-exact
+    assert {(r["event_id"], r["name"]) for r in good.collect()} == {
+        (1, "a"), (2, "b")}
