@@ -33,8 +33,12 @@ from . import tpch_extra_q  # noqa: F401, E402
 from . import formats_q  # noqa: F401, E402
 from . import curation_q  # noqa: F401, E402
 from . import layout_q  # noqa: F401, E402
+from . import behavior_q  # noqa: F401, E402
 
 # Round-6 window head (the driver checks the FIRST 50 registered):
+# 0) the six late-round-5 queries (behavioral analytics family, label
+#    centroids, percentile quality gate, stream-static join) — never
+#    driver-checked;
 # 1) the five queries NEW this round (streaming replay-dedup, corpus
 #    domain cap, CDC compaction, z-order layout, ANN recall eval) —
 #    never driver-checked;
@@ -52,6 +56,13 @@ from . import layout_q  # noqa: F401, E402
 #    on the regenerated fixtures; ivf_ann_topk's training sample was
 #    re-salted this round.
 promote([
+    "funnel_signup_click_purchase",
+    "event_transition_matrix",
+    "user_retention_cohorts",
+    "label_centroid_distances",
+    "quality_percentile_filter",
+    "stream_static_enrich",
+    "snapshot_diff_customers",
     "regression_price_vs_quantity",
     "events_json_corrupt_routing",
     "stream_dedup_windowed_stats",

@@ -1,0 +1,144 @@
+"""Behavioral event-analytics queries over ``events``: conversion funnel,
+Markov transition matrix, and weekly retention cohorts — the product-
+analytics surface (sequential patterns over per-user ordered event
+streams) that the reference's batch MapReduce model cannot express but a
+100 TB event store is routinely asked for.
+
+Scale shape shared by all three: ONE shuffle on ``user_id`` (window sort
+or groupBy), map-side partial aggregation everywhere else, and final
+results that are tiny (single row / 25 transitions / weeks² cohort
+cells).  No self-joins on the event table, no driver-side loops.
+
+Float determinism: every cross-row aggregate that feeds an output value
+is an exact BIGINT sum (micros, counts); doubles appear only in final
+per-row divisions, which are order-independent, so the DuckDB oracle
+matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import behavior
+from ..registry import register
+from ..tables import load_table
+
+#: Funnel stage sequence: a user converts when the stages happen in
+#: order — first signup, then a click at-or-after it, then a purchase
+#: at-or-after that click.  Order within equal timestamps is pinned by
+#: event_id, same as the sessionize queries.
+FUNNEL_STAGES = ("signup", "click", "purchase")
+
+#: Cohort epoch: week 0 starts at the fixture's first event day.  An
+#: absolute date (not ``min(ts)``) so week numbers are stable when new
+#: data arrives — at 100 TB the cohort table is incrementally extended,
+#: never recomputed from a shifting epoch.
+COHORT_EPOCH = "2024-01-01"
+
+_ORDERED_W = "PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING"
+
+
+@register("funnel_signup_click_purchase", f"""
+WITH w1 AS (
+    SELECT user_id, event_id, ts, event_type,
+           min(CASE WHEN event_type = '{FUNNEL_STAGES[0]}' THEN ts END)
+               OVER ({_ORDERED_W}) AS t1r
+    FROM events),
+w2 AS (
+    SELECT *, min(CASE WHEN event_type = '{FUNNEL_STAGES[1]}'
+                        AND t1r IS NOT NULL THEN ts END)
+               OVER ({_ORDERED_W}) AS t2r
+    FROM w1),
+u AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = '{FUNNEL_STAGES[0]}' THEN ts END) AS t1,
+           min(CASE WHEN event_type = '{FUNNEL_STAGES[1]}'
+                     AND t1r IS NOT NULL THEN ts END) AS t2,
+           min(CASE WHEN event_type = '{FUNNEL_STAGES[2]}'
+                     AND t2r IS NOT NULL THEN ts END) AS t3
+    FROM w2 GROUP BY user_id)
+SELECT CAST(count(t1) AS BIGINT) AS n_{FUNNEL_STAGES[0]},
+       CAST(count(t2) AS BIGINT) AS n_{FUNNEL_STAGES[1]}_after,
+       CAST(count(t3) AS BIGINT) AS n_{FUNNEL_STAGES[2]}_after,
+       round(CAST(sum(CASE WHEN t3 IS NOT NULL
+                           THEN epoch_us(t3) - epoch_us(t1) END) AS DOUBLE)
+             / NULLIF(count(t3), 0) / 1e6, 6) AS avg_convert_s
+FROM u
+""")
+def funnel_signup_click_purchase(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → click → purchase, computed in a
+    SINGLE window pass per user: a running ``min(stage ts)`` carries each
+    completed stage forward, so stage k+1 only counts events at-or-after
+    stage k's first completion.  The window sort is the only shuffle; the
+    per-user reduction reuses its partitioning and the result is one row.
+
+    Mean time-to-convert is an exact BIGINT micros sum divided once at
+    the end — no cross-row double accumulation, so the oracle hash is
+    order-independent.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return behavior.funnel_summary(events, FUNNEL_STAGES)
+
+
+@register("event_transition_matrix", """
+WITH t AS (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events),
+c AS (
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n_transitions
+    FROM t WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type)
+SELECT prev_type, next_type, n_transitions,
+       round(CAST(n_transitions AS DOUBLE)
+             / sum(n_transitions) OVER (PARTITION BY prev_type),
+             6) AS p_next
+FROM c
+""")
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event sequences:
+    ``lag`` over the user-time window pairs each event with its
+    predecessor, one groupBy counts the (prev, next) cells, and the
+    row-normalized transition probability is a window over the TINY
+    |event_types|² matrix.  One event-table shuffle total.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return behavior.transition_matrix(events)
+
+
+@register("user_retention_cohorts", f"""
+WITH wk AS (
+    SELECT user_id,
+           CAST(floor(datediff('day', DATE '{COHORT_EPOCH}',
+                               CAST(ts AS DATE)) / 7) AS BIGINT) AS week_no
+    FROM events),
+coh AS (
+    SELECT user_id, min(week_no) AS cohort_week FROM wk GROUP BY user_id),
+act AS (
+    SELECT DISTINCT w.user_id, c.cohort_week,
+           w.week_no - c.cohort_week AS week_offset
+    FROM wk w JOIN coh c USING (user_id)),
+size_ AS (
+    SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+    FROM coh GROUP BY cohort_week)
+SELECT a.cohort_week, a.week_offset,
+       CAST(count(*) AS BIGINT) AS n_active_users,
+       round(CAST(count(*) AS DOUBLE) / any_value(s.cohort_size), 6)
+           AS retention
+FROM act a JOIN size_ s USING (cohort_week)
+GROUP BY a.cohort_week, a.week_offset
+""")
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-active week,
+    counted per week offset since their cohort.  Week numbers are day
+    arithmetic from a FIXED epoch (no engine-specific week-truncation
+    semantics, incrementally extendable).  The plan is two shuffles on
+    ``user_id`` (first-week agg + activity join — co-partitioned, AQE
+    merges them) and one on the tiny ``cohort_week``; cohort sizes join
+    broadcast.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return behavior.retention_cohorts(events, COHORT_EPOCH)

@@ -9,7 +9,7 @@ keep-first dedup via the same (doc_id, chunk_idx) window order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import curation
@@ -235,3 +235,47 @@ def temperature_mixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic and engine-portable."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.temperature_sample(docs, SAMPLE_SCALE)
+
+
+@register("quality_percentile_filter", """
+WITH q AS (
+    SELECT doc_id, lang, n_chars,
+           CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / NULLIF(len(text), 0) AS score
+    FROM documents),
+r AS (
+    SELECT *, percent_rank() OVER (PARTITION BY lang
+                                   ORDER BY score, doc_id) AS pr
+    FROM q)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       round(min(score), 6) AS threshold_score,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+FROM r WHERE pr >= 0.5 GROUP BY lang
+""")
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based quality gate: keep each language's top half of
+    documents by alpha-ratio score (the "fixed quality budget per
+    language" curation policy, as opposed to a global absolute
+    threshold that would starve low-resource languages).
+
+    ``percent_rank`` over (score, doc_id) is fully tie-broken, so the
+    kept set is deterministic and the DuckDB twin gates it exactly.
+    Scale note: the per-lang window is a per-lang SORT — exact ranks are
+    the contract here; a 100 TB deployment that only needs the
+    *threshold* should instead learn it with ``approx_percentile(score,
+    0.5)`` (two map-side passes, no sort) and filter on the broadcast
+    cutoff, trading rank exactness for shuffle-free scans.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    nchars = F.length("text")
+    score = (F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+             .cast("double")
+             / F.nullif(nchars.cast("long"), F.lit(0).cast("long")))
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    r = (docs.select("doc_id", "lang", "n_chars", score.alias("score"))
+         .withColumn("pr", F.percent_rank().over(w)))
+    return (r.filter(F.col("pr") >= 0.5)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_kept"),
+                 F.round(F.min("score"), 6).alias("threshold_score"),
+                 F.sum("n_chars").alias("kept_chars")))

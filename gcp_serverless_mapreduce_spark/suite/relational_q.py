@@ -1044,3 +1044,61 @@ def regression_price_vs_quantity(spark: SparkSession,
                 6).alias("corr_qty_price"),
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"))
+
+
+# Snapshot boundary for the period-over-period reconciliation: orders
+# strictly before this year are the "before" snapshot, the rest "after".
+SNAPSHOT_YEAR = 1998
+
+
+@register("snapshot_diff_customers", f"""
+WITH a AS (
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_before,
+           SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS spend_before
+    FROM orders WHERE year(o_orderdate) < {SNAPSHOT_YEAR}
+    GROUP BY o_custkey),
+b AS (
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_after,
+           SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS spend_after
+    FROM orders WHERE year(o_orderdate) >= {SNAPSHOT_YEAR}
+    GROUP BY o_custkey)
+SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+       CASE WHEN a.o_custkey IS NULL THEN 'new'
+            WHEN b.o_custkey IS NULL THEN 'churned'
+            ELSE 'retained' END AS status,
+       COALESCE(n_before, 0) AS n_before, COALESCE(n_after, 0) AS n_after,
+       CAST(COALESCE(spend_after, 0) - COALESCE(spend_before, 0) AS DOUBLE)
+           AS spend_delta
+FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+""")
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period snapshot reconciliation via FULL OUTER join:
+    per-customer order counts and exact-decimal spend for the before/
+    after halves of the order history, every customer classified
+    new / churned / retained with the spend delta.
+
+    The one §2.6 join flavor the other queries don't exercise.  Both
+    aggregate sides and the join share ``o_custkey`` partitioning — one
+    logical shuffle, AQE coalesces; spend math stays DECIMAL until the
+    final cast so the delta is partition-order-exact.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    spend = F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+    a = (orders.filter(yr < SNAPSHOT_YEAR)
+         .groupBy(F.col("o_custkey").alias("custkey_a"))
+         .agg(F.count("*").alias("n_before"), spend.alias("spend_before")))
+    b = (orders.filter(yr >= SNAPSHOT_YEAR)
+         .groupBy(F.col("o_custkey").alias("custkey_b"))
+         .agg(F.count("*").alias("n_after"), spend.alias("spend_after")))
+    ak, bk = F.col("custkey_a"), F.col("custkey_b")
+    return (a.join(b, ak == bk, "full_outer")
+            .select(F.coalesce(ak, bk).alias("custkey"),
+                    F.when(ak.isNull(), F.lit("new"))
+                    .when(bk.isNull(), F.lit("churned"))
+                    .otherwise(F.lit("retained")).alias("status"),
+                    F.coalesce("n_before", F.lit(0)).alias("n_before"),
+                    F.coalesce("n_after", F.lit(0)).alias("n_after"),
+                    (F.coalesce("spend_after", F.lit(0))
+                     - F.coalesce("spend_before", F.lit(0)))
+                    .cast("double").alias("spend_delta")))

@@ -342,3 +342,64 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("_hit").cast("long").alias("n_hits"),
              F.round(F.count("_hit") / K, 6).alias("recall_at_k"))
     )
+
+
+# Fixed-point scale for exact (order-independent) centroid accumulation:
+# embedding components are quantized to integer micro-units before the
+# cross-row SUM, because a double SUM's value depends on partition order
+# while a BIGINT sum does not.  round() ties go away-from-zero in both
+# engines (Spark HALF_UP, DuckDB ties-away), so the quantization itself
+# is also engine-stable.
+CENTROID_SCALE = 1_000_000
+
+
+@register("label_centroid_distances", f"""
+WITH x AS (
+    SELECT label, t.i AS pos,
+           CAST(round(CAST(embedding[t.i] AS DOUBLE) * {CENTROID_SCALE})
+                AS BIGINT) AS sx
+    FROM embeddings, range(1, {DIM + 1}) t(i)),
+c AS (
+    SELECT label, pos,
+           CAST(SUM(sx) AS DOUBLE) / (COUNT(*) * {CENTROID_SCALE}.0) AS c
+    FROM x GROUP BY label, pos),
+v AS (SELECT label, list(c ORDER BY pos) AS cv FROM c GROUP BY label)
+SELECT CAST(a.label AS BIGINT) AS label_a, CAST(b.label AS BIGINT) AS label_b,
+       round(sqrt({_fold_sum(
+           f"list_transform(generate_series(1, {DIM}), "
+           "i -> (a.cv[i] - b.cv[i]) * (a.cv[i] - b.cv[i]))")}), 6) AS l2_dist
+FROM v a JOIN v b ON a.label < b.label
+""")
+def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors and all pairwise centroid L2 distances —
+    the cluster-geometry summary an embedding-curation pipeline uses to
+    sanity-check class separation before training on the corpus.
+
+    Plan: posexplode to (label, pos, component) — map-side partial SUM
+    collapses N·{DIM} rows to |labels|·{DIM} groups before the only real
+    exchange; centroid re-assembly and the |labels|² pair join are
+    driver-free and tiny.  Component sums use fixed-point BIGINTs (see
+    CENTROID_SCALE) so the result is exact regardless of row order or
+    partitioning; the final fold is the same left-to-right F.aggregate /
+    list_reduce pairing every similarity oracle uses.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("pos0", "x"))
+    c = (e.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+         .agg((F.sum(F.round(F.col("x") * CENTROID_SCALE).cast("long"))
+               .cast("double")
+               / (F.count("*") * float(CENTROID_SCALE))).alias("c")))
+    v = (c.groupBy("label")
+         .agg(F.transform(
+             F.array_sort(F.collect_list(F.struct("pos", "c"))),
+             lambda s: s.getField("c")).alias("cv")))
+    a, b = v.alias("a"), v.alias("b")
+    diff_sq = F.zip_with("a.cv", "b.cv", lambda x, y: (x - y) * (x - y))
+    l2 = F.sqrt(F.aggregate(diff_sq, F.lit(0.0), lambda acc, t: acc + t))
+    return (a.join(b, F.col("a.label") < F.col("b.label"))
+            .select(F.col("a.label").cast("long").alias("label_a"),
+                    F.col("b.label").cast("long").alias("label_b"),
+                    F.round(l2, 6).alias("l2_dist")))

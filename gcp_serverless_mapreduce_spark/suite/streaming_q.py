@@ -337,3 +337,36 @@ def stream_dedup_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("_tv").cast("double").alias("total_value")))
     return pipeline.run_available_now(agg, "dedup_windowed_sink",
                                       mode="append")
+
+
+@register("stream_static_enrich", """
+SELECT c.c_mktsegment AS mktsegment, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""")
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined per
+    micro-batch against a broadcast static dimension (customer market
+    segment) — the standard "enrich the firehose with reference data"
+    topology.  The static side needs no watermark or state: each batch
+    broadcast-hash-joins map-side, so the streaming plan stays
+    shuffle-free up to the sink.  Aggregation happens batch-side on the
+    sink output, keeping the streaming stage append-only (same harness
+    pattern as ``stream_dedup_replayed_events``)."""
+    ev = pipeline.stream_events(spark, sf_dir)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey"), F.col("c_mktsegment")))
+    joined = (ev.join(dim, ev.user_id == dim.c_custkey)
+              .select(F.col("c_mktsegment").alias("mktsegment"),
+                      "event_type", "user_id", "value"))
+    rows = pipeline.run_available_now(
+        joined, "stream_static_enrich_sink", mode="append")
+    return (rows.groupBy("mktsegment", "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").cast("long").alias("n_users"),
+                 F.sum(F.col("value").cast("decimal(14,2)"))
+                 .cast("double").alias("total_value")))
