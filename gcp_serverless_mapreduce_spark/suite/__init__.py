@@ -63,6 +63,10 @@ promote([
     "quality_percentile_filter",
     "stream_static_enrich",
     "snapshot_diff_customers",
+    "time_weighted_avg_value",
+    "m4_downsample_hourly",
+    "bigram_coherence_score",
+    "dedup_resolution_by_source",
     "regression_price_vs_quantity",
     "events_json_corrupt_routing",
     "stream_dedup_windowed_stats",

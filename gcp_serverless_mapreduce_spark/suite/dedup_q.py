@@ -366,3 +366,61 @@ def symspell_handle_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("q").alias("dirty_handle"),
                     F.col("d").alias("matched_handle"),
                     "dist", "n_docs"))
+
+
+@register("dedup_resolution_by_source", "WITH RECURSIVE "
+          + _PAIRS_CTE.lstrip().removeprefix("WITH ") + """,
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach(doc, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.doc),
+clusters AS (SELECT doc AS doc_id, MIN(r) AS cluster_id
+             FROM reach GROUP BY doc),
+labeled AS (
+    SELECT d.doc_id, d.source, d.n_chars,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN clusters c USING (doc_id)),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                 ORDER BY n_chars DESC, doc_id) AS rk
+    FROM labeled)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE rk = 1) AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars) FILTER (WHERE rk = 1) AS BIGINT) AS kept_chars
+FROM ranked GROUP BY source
+""")
+def dedup_resolution_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's RESOLUTION step: after LSH candidate pairs
+    and connected-component clustering, keep one representative per
+    cluster — the longest document (ties to the smallest doc_id), the
+    usual "best quality wins" retention policy — and account kept vs
+    total per source.  Completes the near-dup story: signatures →
+    candidates → clusters → *resolved corpus*.
+
+    Scale: singleton docs never enter the cluster frame (left join +
+    coalesce to self), so the expensive structure stays proportional to
+    the DUPLICATED subset; the keep-rank window shuffles on cluster_id,
+    whose groups are near-dup cluster sized (bounded by the LSH caps),
+    never corpus sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, NUM_PERM)
+    pairs = dedup.lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND,
+                                      max_bucket=MAX_BUCKET)
+    clusters = dedup.dup_clusters(pairs)
+    labeled = (docs.select("doc_id", "source", "n_chars")
+               .join(clusters, "doc_id", "left")
+               .withColumn("cluster_id",
+                           F.coalesce("cluster_id", "doc_id")))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id"))
+    kept = F.col("rk") == 1
+    return (labeled.withColumn("rk", F.row_number().over(w))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(kept.cast("long")).alias("n_kept"),
+                 F.sum(F.when(kept, F.col("n_chars"))).alias("kept_chars")))

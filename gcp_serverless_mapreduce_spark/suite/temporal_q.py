@@ -4,7 +4,7 @@ oracle: a different algorithm computing the same relation)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import temporal
@@ -73,3 +73,95 @@ def clicks_within_1h_of_error(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("value").cast("decimal(14,2)"))
              .cast("double").alias("click_value_sum"))
     )
+
+
+@register("time_weighted_avg_value", """
+WITH s AS (
+    SELECT user_id, value, epoch_us(ts) AS t_us,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS t_next_us
+    FROM events),
+w AS (
+    SELECT user_id,
+           CAST(round(value * 100) AS BIGINT) * (t_next_us - t_us)
+               AS weighted,
+           t_next_us - t_us AS dur_us
+    FROM s WHERE t_next_us IS NOT NULL)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+       round(CAST(SUM(weighted) AS DOUBLE) / SUM(dur_us) / 100, 6)
+           AS time_weighted_avg
+FROM w GROUP BY user_id
+""")
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per user (TimescaleDB-style
+    ``time_weight('LOCF')``): each observation weighted by how long it
+    remained current (lead-ts delta).  The weights are exact BIGINT
+    micros x integer cents, so the cross-row sums are partition-order-
+    independent; one window sort on user_id, reused by the final agg.
+
+    Scale: the interval sum per user is bounded by max_cents x the
+    user's total time span (durations telescope), so the BIGINT
+    accumulator has ~300x headroom even for a 30-day span at the
+    fixture's value range.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = events.select(
+        "user_id", "value", F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t_next_us"))
+    dur = F.col("t_next_us") - F.col("t_us")
+    weighted = F.round(F.col("value") * 100).cast("long") * dur
+    return (s.filter(F.col("t_next_us").isNotNull())
+            .select("user_id", weighted.alias("weighted"),
+                    dur.alias("dur_us"))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_intervals"),
+                 F.round(F.sum("weighted").cast("double")
+                         / F.sum("dur_us") / 100, 6)
+                 .alias("time_weighted_avg")))
+
+
+@register("m4_downsample_hourly", f"""
+WITH b AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+           row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts, event_id) AS rn_a,
+           row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM events)
+SELECT event_type, strftime(bucket, '{_FMT_DUCK}') AS bucket_start,
+       CAST(count(*) AS BIGINT) AS n_points,
+       min(value) AS v_min, max(value) AS v_max,
+       min(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+       min(CASE WHEN rn_d = 1 THEN value END) AS v_last
+FROM b GROUP BY event_type, bucket
+""")
+def m4_downsample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (min/max/first/last per pixel bucket —
+    the error-free line-chart reduction from Jugel et al.): hourly
+    buckets per event_type.  min/max are plain aggregates; first/last
+    come from two row_number passes over the SAME partition keys (one
+    exchange, two in-partition sorts), with (ts, event_id) making tie
+    order deterministic.  No value accumulates across rows, so doubles
+    pass through bit-exact.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    wa = (Window.partitionBy("event_type", "bucket")
+          .orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+    wd = (Window.partitionBy("event_type", "bucket")
+          .orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+    b = (events.withColumn("bucket", bucket)
+         .withColumn("rn_a", F.row_number().over(wa))
+         .withColumn("rn_d", F.row_number().over(wd)))
+    return (b.groupBy("event_type", "bucket")
+            .agg(F.count("*").alias("n_points"),
+                 F.min("value").alias("v_min"),
+                 F.max("value").alias("v_max"),
+                 F.min(F.when(F.col("rn_a") == 1, F.col("value")))
+                 .alias("v_first"),
+                 F.min(F.when(F.col("rn_d") == 1, F.col("value")))
+                 .alias("v_last"))
+            .select("event_type",
+                    F.date_format("bucket", _FMT).alias("bucket_start"),
+                    "n_points", "v_min", "v_max", "v_first", "v_last"))

@@ -543,3 +543,57 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum(tok_chars).cast("double") / ws, 6)
              .alias("avg_token_len"))
     )
+
+
+@register("bigram_coherence_score", _T_CTE + """,
+bg AS (
+    SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        SELECT doc_id, UNNEST(list_transform(range(1, len(toks)),
+               i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS b
+        FROM t WHERE len(toks) >= 2)),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+       FROM bg GROUP BY w1, w2),
+uc AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+s AS (
+    SELECT doc_id,
+           CAST(round((CAST(c2 AS DOUBLE) / c1) * 1000000000) AS BIGINT) AS q
+    FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(q) AS DOUBLE) / count(*) / 1e9, 6) AS coherence
+FROM s GROUP BY doc_id
+""")
+def bigram_coherence_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fluency score under the corpus's own bigram language
+    model: the mean conditional probability p(w2|w1) = c(w1,w2)/c(w1·)
+    of the document's bigram instances (MLE over bigram-prefix counts,
+    so each row's conditional distribution sums to 1).  The
+    quality-filter signal "does this doc look like the corpus" — word
+    soup and boilerplate score low, corpus-typical text scores high —
+    i.e. the cheap shuffle-friendly stand-in for perplexity filtering.
+
+    Determinism: probabilities are quantized to BIGINT nano-units per
+    bigram instance before the cross-row sum (IEEE division + round are
+    identical in both engines), so no double ever accumulates.  Plan:
+    one explode (size x ~tokens rows), two hash aggs for the LM tables,
+    two shuffle joins back on (w1, w2) / (w1) — all key-partitioned, no
+    broadcast of the (vocabulary-sized) LM, no driver collect.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = (docs.withColumn("toks", textstats.tokens(F.col("text")))
+         .filter(F.size("toks") >= 2))
+    bg = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))")).alias("b")
+    ).select("doc_id", "b.w1", "b.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uc = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    q = F.round((F.col("c2").cast("double") / F.col("c1")) * 1e9) \
+        .cast("long")
+    s = (bg.join(bc, ["w1", "w2"]).join(uc, ["w1"])
+         .select("doc_id", q.alias("q")))
+    return (s.groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.sum("q").cast("double") / F.count("*") / 1e9,
+                         6).alias("coherence")))
