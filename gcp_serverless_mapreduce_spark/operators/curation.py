@@ -316,3 +316,66 @@ def temperature_sample(docs: DataFrame, scale: int,
     return (ranked.join(F.broadcast(counts), source_col)
             .filter(F.col("samp_rank") <= F.col("quota"))
             .select(source_col, id_col, "samp_rank", "quota"))
+
+
+def overlapping_chunks(docs: DataFrame, chunk_words: int, stride: int,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """RAG-style overlapping chunking: windows of ``chunk_words`` tokens
+    starting every ``stride`` tokens (stride < chunk_words ⇒ adjacent
+    chunks overlap by ``chunk_words - stride``), the retrieval-index unit
+    where :func:`doc_chunks`' disjoint segments are the dedup unit.
+
+    -> (doc_id, chunk_idx, n_chunk_tokens, chunk_hash): start offsets are
+    0, stride, 2·stride, … while < n_tokens, so every token is covered
+    and chunk boundaries depend only on integer arithmetic both engines
+    share.  The chunk itself leaves the operator as md5(space-joined
+    words) — fixed-width, join/compare-ready — never as repeated text
+    (an overlap factor of chunk/stride would multiply shuffle bytes).
+    Map-only: explode of per-row offsets, no shuffle at all.
+    """
+    toked = (docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+             .filter(F.size("toks") > 0))
+    return (
+        toked.select(F.col(id_col), "toks",
+                     F.posexplode(
+                         F.sequence(F.lit(0), F.size("toks") - 1,
+                                    F.lit(stride)))
+                     .alias("chunk_idx", "start"))
+        .select(
+            id_col, "chunk_idx",
+            F.size(F.slice("toks", F.col("start") + 1, chunk_words))
+            .cast("long").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(
+                " ", F.slice("toks", F.col("start") + 1, chunk_words)))
+            .alias("chunk_hash"))
+    )
+
+
+def split_assignment(docs: DataFrame, train_hex: str = "e6",
+                     val_hex: str = "f3",
+                     id_col: str = "doc_id",
+                     source_col: str = "source") -> DataFrame:
+    """Deterministic train/val/test split accounting, the
+    leakage-proof-by-construction partition every corpus release needs.
+
+    A doc's split follows the first two hex chars of md5(doc_id):
+    ``< train_hex`` → train (0xe6/0x100 ≈ 89.8%), ``< val_hex`` → val
+    (≈ 5.1%), else test — hash-based so membership is a pure function of
+    the id (stable under re-partitioning, appends, and engine choice),
+    and the SAME doc can never migrate between splits across runs.
+
+    -> (source, split, n_docs, min_doc_id, max_doc_id): per-source split
+    sizes.  Map-only projection + one tiny aggregate.
+    """
+    h2 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    split = (F.when(h2 < train_hex, "train")
+             .when(h2 < val_hex, "val")
+             .otherwise("test"))
+    return (docs
+            .select(F.col(source_col).alias("source"),
+                    split.alias("split"), F.col(id_col))
+            .groupBy("source", "split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min(id_col).alias("min_doc_id"),
+                 F.max(id_col).alias("max_doc_id")))

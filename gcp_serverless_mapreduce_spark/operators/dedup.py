@@ -224,6 +224,89 @@ def jaccard_pairs(docs: DataFrame, threshold: float, k: int = 3,
     )
 
 
+def jaccard_pairs_prefix(docs: DataFrame, threshold: float, k: int = 3,
+                         doc_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """EXACT Jaccard >= threshold pairs via prefix filtering — same output
+    contract as :func:`jaccard_pairs` with ``df_max=None`` (no approximation),
+    different candidate generation.
+
+    Prefix filtering (SSJoin, Chaudhuri/Ganti/Kaushik 2006; All-Pairs,
+    Bayardo/Ma/Srikant 2007): order every doc's shingle set by ONE global
+    total order — ascending document frequency, ties by shingle — and keep
+    only the first ``|S| - ceil(t*|S|) + 1`` shingles as the doc's
+    *prefix*.  Any pair with ``J >= t`` has ``|A n B| >= ceil(t*max(|A|,
+    |B|))``, and two sets whose overlap is >= alpha must share an element
+    within their ``|S| - alpha + 1``-prefixes under a common order, so
+    joining prefix-to-prefix loses no qualifying pair.
+
+    Why this is the 100 TB answer where :func:`jaccard_pairs`'s ``df_max``
+    cap is the approximation: rare shingles sort FIRST, so prefixes are
+    built from the least-shared shingles — a boilerplate n-gram in
+    millions of docs sorts last and never enters a prefix unless a doc is
+    made of nothing but boilerplate.  The candidate join stays sparse
+    without dropping any true pair.
+
+    Verification avoids a second explode join: candidate pairs re-join the
+    per-doc shingle ARRAYS (sorted, one row per doc — bounded by doc
+    length) on each side and compute ``size(array_intersect(sa, sb))``
+    JVM-side.  Two shuffles on doc id over the candidate frame, never the
+    corpus.  Jaccard is a ratio of exact integers — deterministic
+    cross-engine, so the DuckDB oracle can be the plain inverted-index SQL.
+    """
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    # ceil(t * n) in EXACT integer arithmetic: double rounding of e.g.
+    # 0.8*5 yields 4.0000000000000002 whose ceil is 5, silently shortening
+    # the prefix by one and breaking completeness for pairs sitting
+    # exactly at the threshold (J == t happens constantly for subset-like
+    # near-dups).  t as a decimal-string Fraction makes ceil(t*n) =
+    # (num*n + den - 1) div den exact.
+    fr = Fraction(str(threshold))
+    num, den = fr.numerator, fr.denominator
+
+    shingles = (word_shingles(docs, k, doc_col, text_col)
+                .repartition(F.col("shingle")))
+    with_df = shingles.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("shingle")))
+    w_doc = Window.partitionBy("doc").orderBy(F.col("_df").asc(),
+                                              F.col("shingle").asc())
+    alpha = F.expr(f"({num} * _n + {den} - 1) div {den}")  # == ceil(t*_n)
+    ranked = (with_df
+              .withColumn("_rn", F.row_number().over(w_doc))
+              .withColumn("_n", F.count("*").over(Window.partitionBy("doc"))))
+    prefix = (ranked
+              .filter(F.col("_rn") <= F.col("_n") - alpha + 1)
+              .select("doc", "shingle"))
+    cand = (prefix.alias("a")
+            .join(prefix.alias("b"),
+                  (F.col("a.shingle") == F.col("b.shingle"))
+                  & (F.col("a.doc") < F.col("b.doc")))
+            .select(F.col("a.doc").alias("doc_a"),
+                    F.col("b.doc").alias("doc_b"))
+            .distinct())
+    sets = shingles.groupBy("doc").agg(
+        F.sort_array(F.collect_list("shingle")).alias("sh"),
+        F.count("*").alias("n"))
+    return (
+        cand
+        .join(sets.select(F.col("doc").alias("doc_a"),
+                          F.col("sh").alias("sh_a"),
+                          F.col("n").alias("n_a")), "doc_a")
+        .join(sets.select(F.col("doc").alias("doc_b"),
+                          F.col("sh").alias("sh_b"),
+                          F.col("n").alias("n_b")), "doc_b")
+        .withColumn("n_common",
+                    F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn("jaccard", F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def simhash_bits(docs: DataFrame, n_bits: int, doc_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """-> (doc, simhash): ``n_bits``-bit SimHash over the doc's distinct

@@ -1,0 +1,73 @@
+"""Lexical retrieval scoring over the ``documents`` corpus — BM25, the
+inverted-index ranking function a training-data pipeline needs for
+query-targeted corpus selection (and the lexical half of hybrid
+lexical+vector retrieval, whose vector half lives in
+operators/similarity.py).
+
+Scale design: the plan is explode → per-(doc, term) count → joins.  Only
+rows whose token IS a query term survive the explode filter (the query
+set is a tiny literal array), so the shuffle carries |matching postings|
+rows, never the corpus token stream.  The per-term document frequencies
+(|Q| rows) and the global N/avgdl scalar broadcast; the per-doc length
+frame is corpus-sized and shuffle-joins on the doc id the postings
+aggregate already partitioned by.
+
+Cross-engine determinism: tf, df, N, |D| are exact integers; avgdl is one
+double division of two exact integers; IDF is ``ln`` of a double (libm vs
+JVM ``Math.log`` may differ in the last ulp, ~1e-16 relative), so final
+scores are rounded to 6 decimals — fifteen orders of magnitude above the
+noise — and the output carries no rank computed from raw doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_scores(docs: DataFrame, query_terms: list[str],
+                doc_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """-> (doc_id, n_tokens, n_hit_terms, score): Okapi BM25 of every doc
+    containing >= 1 query term, rounded to 6 decimals.
+
+    score(D) = sum_t  IDF(t) * tf * (k1+1) / (tf + k1*(1 - b + b*|D|/avgdl))
+    IDF(t)   = ln( (N - df + 0.5) / (df + 0.5) + 1 )        (Lucene form)
+    """
+    toks = docs.select(F.col(doc_col).alias("doc"),
+                       tokens_col(text_col).alias("t"))
+    lens = toks.select("doc", F.size("t").alias("dl"))
+    # one broadcast-scalar frame: corpus size and average doc length
+    stats = lens.agg(F.count("*").alias("n_docs"),
+                     (F.sum("dl") / F.count("*")).alias("avgdl"))
+    q = F.array(*[F.lit(t) for t in query_terms])
+    postings = (toks
+                .select("doc", F.explode(
+                    F.filter("t", lambda tok: F.array_contains(q, tok)))
+                    .alias("term"))
+                .groupBy("doc", "term").agg(F.count("*").alias("tf")))
+    df_ = postings.groupBy("term").agg(F.count("*").alias("df"))
+    # df_ (|Q| rows) and stats (1 row) broadcast; the doc-length frame is
+    # corpus-sized so it shuffle-joins on the doc id the postings agg
+    # already partitioned by.
+    scored = (postings
+              .join(F.broadcast(df_), "term")
+              .join(lens, "doc")
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    tf = F.col("tf").cast("double")
+    contrib = (idf * tf * (K1 + 1.0)
+               / (tf + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))))
+    return (scored
+            .withColumn("c", contrib)
+            .groupBy("doc")
+            .agg(F.max("dl").alias("n_tokens"),
+                 F.count("*").cast("long").alias("n_hit_terms"),
+                 F.round(F.sum("c"), 6).alias("score"))
+            .withColumnRenamed("doc", "doc_id"))

@@ -160,6 +160,59 @@ def srp_ann_topk(emb: DataFrame, k: int, planes: list[list[int]],
     )
 
 
+def semdedup_discards(emb: DataFrame, planes: list[list[int]],
+                      threshold: float,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      max_bucket: int | None = None) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embedding space, then inside each cluster drop every item
+    that has a near-identical neighbor, keeping one representative.
+
+    -> (vec_id, cell, keep_id, sim): one row per DISCARDED vector —
+    ``keep_id`` is the smallest-id cell-mate with cosine >= ``threshold``
+    (the deterministic "keep first" rule, same contract as chunk-level
+    dedup), ``sim`` that pair's cosine rounded to 4.
+
+    The paper clusters with k-means; here cells are the fixed ±1 SRP
+    signature (scale-invariant, engine-reproducible — the same stand-in
+    trade the IVF family documents).  Plan: one shuffle keyed on the cell
+    id, pair join inside cells only (never all-pairs), one aggregate
+    (min/min_by per discarded id).  ``max_bucket`` bounds the KEEPER side
+    of a degenerate cell exactly like :func:`srp_ann_topk`'s neighbor cap
+    — at O(n·cap) pairs — and only ever loses keeper CHOICE, not discard
+    coverage, because any vector beyond the cap has a cell-mate below it.
+    """
+    units = (
+        unit_vectors(emb, vec_col)
+        .filter(F.col("unit").isNotNull())
+        .select(F.col(id_col), "unit",
+                srp_signature(F.col(vec_col).cast("array<double>"),
+                              planes).alias("cell"))
+    )
+    a = units.select(F.col(id_col).alias("keep_cand"),
+                     F.col("unit").alias("ka"),
+                     F.col("cell").alias("cell_a"))
+    if max_bucket is not None:
+        wb = Window.partitionBy("cell_a").orderBy("keep_cand")
+        a = (a.withColumn("_rn", F.row_number().over(wb))
+             .filter(F.col("_rn") <= max_bucket).drop("_rn"))
+    b = units.select(F.col(id_col).alias("vec_id"),
+                     F.col("unit").alias("kb"), "cell")
+    close = (
+        a.join(b, (F.col("cell_a") == F.col("cell"))
+               & (F.col("keep_cand") < F.col("vec_id")))
+        .select("vec_id", "cell", "keep_cand",
+                dot(F.col("ka"), F.col("kb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+    return (
+        close.groupBy("vec_id", "cell")
+        .agg(F.min("keep_cand").alias("keep_id"),
+             F.round(F.min_by("sim", "keep_cand"), 4).alias("sim"))
+    )
+
+
 def sq8_ann_topk(emb: DataFrame, k: int, planes: list[list[int]],
                  id_col: str = "vec_id",
                  vec_col: str = "embedding",

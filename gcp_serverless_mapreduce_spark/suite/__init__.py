@@ -34,8 +34,13 @@ from . import formats_q  # noqa: F401, E402
 from . import curation_q  # noqa: F401, E402
 from . import layout_q  # noqa: F401, E402
 from . import behavior_q  # noqa: F401, E402
+from . import graph_q  # noqa: F401, E402
+from . import retrieval_q  # noqa: F401, E402
 
 # Round-6 window head (the driver checks the FIRST 50 registered):
+# -1) the six newest queries (BM25, overlapping chunks, split counts,
+#    PageRank, prefix-filtered exact Jaccard, SemDeDup) — never
+#    driver-checked;
 # 0) the six late-round-5 queries (behavioral analytics family, label
 #    centroids, percentile quality gate, stream-static join) — never
 #    driver-checked;
@@ -56,6 +61,12 @@ from . import behavior_q  # noqa: F401, E402
 #    on the regenerated fixtures; ivf_ann_topk's training sample was
 #    re-salted this round.
 promote([
+    "bm25_doc_scores",
+    "doc_overlapping_chunks",
+    "dataset_split_counts",
+    "pagerank_customer_supplier",
+    "jaccard_prefix_dups",
+    "semdedup_discards",
     "funnel_signup_click_purchase",
     "event_transition_matrix",
     "user_retention_cohorts",

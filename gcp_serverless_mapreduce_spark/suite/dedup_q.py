@@ -131,6 +131,31 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, JACCARD_THRESHOLD, df_max=JACCARD_DF_MAX)
 
 
+@register("jaccard_prefix_dups", _SH_CTE + f""",
+sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       n_common / (ca.n + cb.n - n_common) AS jaccard
+FROM inter JOIN sizes ca ON ca.doc = doc_a
+           JOIN sizes cb ON cb.doc = doc_b
+WHERE n_common / (ca.n + cb.n - n_common) >= {JACCARD_THRESHOLD}
+""")
+def jaccard_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= {JACCARD_THRESHOLD} via prefix filtering (SSJoin /
+    All-Pairs): candidates only where two docs share a shingle inside
+    their rarest-first prefixes, then exact array-intersect verification.
+    Same result set as the UNCAPPED inverted-index join — the oracle here
+    is the plain exhaustive SQL, which is the point: prefix filtering is
+    the lossless 100 TB answer where ``ngram_jaccard_dups``'s df cap is
+    the bounded approximation (see operators/dedup.py:
+    jaccard_pairs_prefix for the completeness argument)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs_prefix(docs, JACCARD_THRESHOLD)
+
+
 # The LSH candidate-pair set as a reusable fragment (same text as the
 # minhash_lsh_candidates oracle, minus the final aggregate's aliasing).
 _PAIRS_CTE = _SIG_CTE + f""",

@@ -118,6 +118,45 @@ def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_ann_topk(emb, K, PLANES, max_bucket=MAX_BUCKET)
 
 
+SEM_PLANES_N = 6       # 64 cells — coarse enough that cells hold real
+                       # neighborhoods at fixture scale (~80 vecs/cell at
+                       # sf0.1), the role k-means clusters play in the paper
+SEM_THRESHOLD = 0.25   # fixture embeddings are random; within-cell pairs
+                       # above this are the conditioned-on-bucket tail
+SEM_PLANES = similarity.srp_planes(SEM_PLANES_N, DIM)
+_SEM_CELL = "||".join(
+    f"(CASE WHEN {_dot('v', _plane_literal(p))} >= 0 THEN '1' ELSE '0' END)"
+    for p in SEM_PLANES)
+
+
+@register("semdedup_discards", _UNIT_CTE + f""",
+s AS (SELECT vec_id, u, {_SEM_CELL} AS cell FROM u),
+keepers AS (SELECT vec_id, u, cell FROM s
+            QUALIFY row_number() OVER (PARTITION BY cell ORDER BY vec_id)
+                    <= {MAX_BUCKET}),
+close AS (
+    SELECT b.vec_id AS vec_id, b.cell AS cell, a.vec_id AS keep_cand,
+           {_PAIR_DOT} AS sim
+    FROM keepers a JOIN s b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {_PAIR_DOT} >= {SEM_THRESHOLD})
+SELECT vec_id, cell, MIN(keep_cand) AS keep_id,
+       round(arg_min(sim, keep_cand), 4) AS sim
+FROM close GROUP BY vec_id, cell
+""")
+def semdedup_discards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space ({2**SEM_PLANES_N}
+    SRP cells standing in for k-means centroids), then inside each cell
+    discard every vector with a smaller-id cell-mate at cosine >=
+    {SEM_THRESHOLD} — one row per discard with its kept representative.
+    Pair join runs within cells only (single shuffle on the cell id,
+    keeper side capped at {MAX_BUCKET}); see operators/similarity.py:
+    semdedup_discards."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup_discards(emb, SEM_PLANES, SEM_THRESHOLD,
+                                        max_bucket=MAX_BUCKET)
+
+
 def _int_dot(a: str, b: str) -> str:
     return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
             f"list_transform(generate_series(1, {DIM}), "

@@ -1,0 +1,88 @@
+"""BM25, overlapping chunking, and split assignment vs pure-Python
+oracles on seeded random corpora."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+from gcp_serverless_mapreduce_spark.operators import curation, retrieval
+
+RNG = random.Random(20260814)
+VOCAB = [f"w{i}" for i in range(40)] + ["vector", "join", "scan"]
+
+
+def test_bm25_fuzz_vs_python(spark):
+    texts = {i: " ".join(RNG.choices(VOCAB, k=RNG.randint(1, 30)))
+             for i in range(80)}
+    terms = ["vector", "join", "scan"]
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_tokens"], r["n_hit_terms"], r["score"])
+           for r in retrieval.bm25_scores(docs, terms).collect()}
+
+    toks = {d: t.split() for d, t in texts.items()}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    df = {q: sum(1 for t in toks.values() if q in t) for q in terms}
+    expect = {}
+    for d, t in toks.items():
+        hits = [q for q in terms if q in t]
+        if not hits:
+            continue
+        score = 0.0
+        for q in hits:
+            tf = t.count(q)
+            idf = math.log((n_docs - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
+            score += (idf * tf * (retrieval.K1 + 1.0)
+                      / (tf + retrieval.K1
+                         * (1.0 - retrieval.B
+                            + retrieval.B * len(t) / avgdl)))
+        expect[d] = (len(t), len(hits), round(score, 6))
+    assert set(got) == set(expect)
+    for d in expect:
+        assert got[d][0] == expect[d][0]
+        assert got[d][1] == expect[d][1]
+        assert abs(got[d][2] - expect[d][2]) < 2e-6, (d, got[d], expect[d])
+
+
+def test_overlapping_chunks_fuzz_vs_python(spark):
+    c, s = 7, 5
+    texts = {i: " ".join(RNG.choices(VOCAB, k=RNG.randint(0, 40)))
+             for i in range(60)}
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {(r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"],
+                                           r["chunk_hash"])
+           for r in curation.overlapping_chunks(docs, c, s).collect()}
+    expect = {}
+    for d, text in texts.items():
+        t = text.split()
+        for idx, start in enumerate(range(0, len(t), s)):
+            chunk = t[start:start + c]
+            expect[(d, idx)] = (
+                len(chunk),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest())
+    assert got == expect
+
+
+def test_split_assignment_is_exhaustive_and_sized(spark):
+    docs = spark.createDataFrame(
+        [(i, "srcA" if i % 2 else "srcB") for i in range(4000)],
+        ["doc_id", "source"])
+    rows = curation.split_assignment(docs).collect()
+    by_split: dict[str, int] = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    assert sum(by_split.values()) == 4000          # every doc in one split
+    assert set(by_split) == {"train", "val", "test"}
+    assert 0.85 < by_split["train"] / 4000 < 0.94  # ~0xe6/0x100
+    assert by_split["val"] / 4000 < 0.09
+    assert by_split["test"] / 4000 < 0.09
+
+    # membership is a pure function of doc_id: reversing the input
+    # produces the identical assignment
+    rev = spark.createDataFrame(
+        [(i, "srcA" if i % 2 else "srcB") for i in range(3999, -1, -1)],
+        ["doc_id", "source"])
+    assert (sorted(map(tuple, rows))
+            == sorted(map(tuple, curation.split_assignment(rev).collect())))
