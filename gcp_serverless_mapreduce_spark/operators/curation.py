@@ -379,3 +379,38 @@ def split_assignment(docs: DataFrame, train_hex: str = "e6",
             .agg(F.count("*").alias("n_docs"),
                  F.min(id_col).alias("min_doc_id"),
                  F.max(id_col).alias("max_doc_id")))
+
+
+def weighted_sample(docs: DataFrame, n: int,
+                    weight_col: str = "n_chars",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis 2006): each row draws u ∈ (0,1) and the sample
+    is the n largest u^(1/w) — equivalently the n SMALLEST
+    -ln(u)/w — so inclusion probability is proportional to weight with
+    no global pass over the weights.
+
+    u is md5-derived (first 13 hex nibbles = 52 bits, exact in a double,
+    +0.5 to dodge ln(0)), so the draw is a pure function of the id:
+    reproducible across runs, engines, and partitionings — the property
+    a corpus release needs.  The key is quantized to 9 decimals and
+    tie-broken on the id before ranking: cross-engine ln() may differ in
+    the last ulp, and an UN-quantized float order would let that flip a
+    boundary membership.
+
+    -> (doc_id, weight, samp_key, samp_rank), samp_rank 1..n.  Scale: one
+    map-side projection + one global top-n (TakeOrdered — no full sort).
+    """
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13),
+               16, 10).cast("long")
+    u = (h.cast("double") + 0.5) / F.lit(float(16 ** 13))
+    key = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+    keyed = docs.select(F.col(id_col),
+                        F.col(weight_col).cast("long").alias("weight"),
+                        key.alias("samp_key"))
+    # orderBy().limit(n) compiles to TakeOrderedAndProject — per-partition
+    # top-n then a driver merge of n·P rows, never a global sort.  The
+    # unpartitioned window then ranks only the n survivors.
+    top = keyed.orderBy(F.col("samp_key").asc(), F.col(id_col).asc()).limit(n)
+    w = Window.orderBy(F.col("samp_key").asc(), F.col(id_col).asc())
+    return top.withColumn("samp_rank", F.row_number().over(w).cast("long"))

@@ -71,3 +71,33 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
                  F.count("*").cast("long").alias("n_hit_terms"),
                  F.round(F.sum("c"), 6).alias("score"))
             .withColumnRenamed("doc", "doc_id"))
+
+
+RRF_K = 60
+
+
+def rrf_fuse(rankings: list[DataFrame], k: int = RRF_K,
+             id_col: str = "doc_id",
+             rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009):
+    rrf(d) = sum over rankers of 1 / (k + rank_r(d)), ignoring rankers
+    that did not retrieve d.
+
+    Each input frame carries (id_col, rank_col) with DENSE, deterministic
+    integer ranks (the caller must tie-break on the id — raw float-score
+    ordering is not a contract).  Fusion itself is exact: each reciprocal
+    is one correctly-rounded IEEE division and the per-doc sum is over a
+    fixed, tiny ranker count, re-ordered identically on any engine via
+    the outer union-aggregate.  Scale: |rankers| unioned rank frames
+    (already top-N-bounded upstream) → one aggregate on the doc id.
+    """
+    tagged = [r.select(F.col(id_col),
+                       (F.lit(1.0) / (F.lit(k) + F.col(rank_col).cast("double")))
+                       .alias("rr"))
+              for r in rankings]
+    un = tagged[0]
+    for t in tagged[1:]:
+        un = un.unionByName(t)
+    return (un.groupBy(id_col)
+            .agg(F.sum("rr").alias("rrf_score"),
+                 F.count("*").cast("long").alias("n_rankers")))

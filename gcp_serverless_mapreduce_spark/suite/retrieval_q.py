@@ -6,6 +6,7 @@ train/val/test split accounting.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import curation, retrieval
 from ..registry import register
@@ -107,3 +108,135 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/curation.py:split_assignment."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.split_assignment(docs)
+
+
+# ---- hybrid lexical+vector retrieval (RRF) --------------------------------
+
+TOP_N_PER_RANKER = 100
+HYBRID_TOP = 50
+PROBE_VEC_ID = 0
+
+# fold-exact dot product (same contract as similarity_q: left-to-right,
+# seeded 0.0 double)
+_FOLD0 = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {terms}), "
+          "(acc, x) -> acc + x)")
+_VNORM = "sqrt(" + _FOLD0.format(terms="list_transform(v, x -> x * x)") + ")"
+_PDOT = _FOLD0.format(
+    terms="list_transform(generate_series(1, 64), i -> u[i] * p.pu[i])")
+
+_HYBRID_SQL = f"""
+WITH bm AS ({_BM25_SQL}),
+lex AS (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM bm
+    QUALIFY rank <= {TOP_N_PER_RANKER}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, {_VNORM} AS nrm FROM e),
+uv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+       FROM n WHERE nrm <> 0),
+p AS (SELECT u AS pu FROM uv WHERE vec_id = {PROBE_VEC_ID}),
+sims AS (
+    SELECT vec_id AS doc_id, round({_PDOT}, 4) AS sim
+    FROM uv CROSS JOIN p
+    WHERE vec_id <> {PROBE_VEC_ID}),
+vec AS (
+    SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
+    FROM sims
+    QUALIFY rank <= {TOP_N_PER_RANKER}),
+fused AS (
+    SELECT doc_id, SUM(1.0 / (60 + CAST(rank AS DOUBLE))) AS rrf_score,
+           CAST(COUNT(*) AS BIGINT) AS n_rankers
+    FROM (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+    GROUP BY doc_id)
+SELECT doc_id, round(rrf_score, 6) AS rrf_score, n_rankers,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+           AS hybrid_rank
+FROM fused
+QUALIFY hybrid_rank <= {HYBRID_TOP}
+"""
+
+
+@register("hybrid_rrf_topk", _HYBRID_SQL)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with an
+    embedding-cosine ranking (probe = vector {PROBE_VEC_ID}) by
+    reciprocal-rank fusion, top {HYBRID_TOP}.  Both input rankings are
+    top-{TOP_N_PER_RANKER}-bounded and tie-broken on the id over QUANTIZED
+    scores (6dp BM25 / 4dp cosine), so the fused order is deterministic
+    cross-engine; the fusion sum itself is 1-2 exact IEEE reciprocals.
+    See operators/retrieval.py:rrf_fuse."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import unit_vectors
+    from ..functions.vectors import dot
+
+    docs = load_table(spark, sf_dir, "documents")
+    # orderBy().limit() = TakeOrderedAndProject (per-partition top-N +
+    # driver merge, no global sort); the rank window then covers only the
+    # N survivors.
+    lex_w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    lex = (retrieval.bm25_scores(docs, QUERY_TERMS)
+           .select("doc_id", "score")
+           .orderBy(F.col("score").desc(), F.col("doc_id"))
+           .limit(TOP_N_PER_RANKER)
+           .withColumn("rank", F.row_number().over(lex_w))
+           .select("doc_id", "rank"))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    units = (unit_vectors(emb).filter(F.col("unit").isNotNull())
+             .select("vec_id", "unit"))
+    probe = (units.filter(F.col("vec_id") == PROBE_VEC_ID)
+             .select(F.col("unit").alias("pu")))
+    vec_w = Window.orderBy(F.col("sim").desc(), F.col("doc_id"))
+    vec = (units.filter(F.col("vec_id") != PROBE_VEC_ID)
+           .crossJoin(F.broadcast(probe))
+           .select(F.col("vec_id").alias("doc_id"),
+                   F.round(dot(F.col("unit"), F.col("pu")), 4).alias("sim"))
+           .orderBy(F.col("sim").desc(), F.col("doc_id"))
+           .limit(TOP_N_PER_RANKER)
+           .withColumn("rank", F.row_number().over(vec_w))
+           .select("doc_id", "rank"))
+
+    fused = retrieval.rrf_fuse([lex, vec])
+    hyb_w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return (fused
+            .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+            .limit(2 * TOP_N_PER_RANKER)
+            .withColumn("hybrid_rank",
+                        F.row_number().over(hyb_w).cast("long"))
+            .filter(F.col("hybrid_rank") <= HYBRID_TOP)
+            .select("doc_id", F.round("rrf_score", 6).alias("rrf_score"),
+                    "n_rankers", "hybrid_rank"))
+
+
+# ---- weighted sampling -----------------------------------------------------
+
+SAMPLE_N = 100
+
+_HEX_FOLD = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+             "list_transform(generate_series(1, 13), "
+             "i -> CAST(strpos('0123456789abcdef', "
+             "substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))), "
+             "(acc, x) -> acc * 16 + x)")
+
+
+@register("weighted_sample_bychars", f"""
+WITH keyed AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           round(-ln((CAST({_HEX_FOLD} AS DOUBLE) + 0.5) / {float(16 ** 13)})
+                 / CAST(n_chars AS DOUBLE), 9) AS samp_key
+    FROM documents)
+SELECT doc_id, weight, samp_key,
+       CAST(row_number() OVER (ORDER BY samp_key, doc_id) AS BIGINT)
+           AS samp_rank
+FROM keyed
+QUALIFY samp_rank <= {SAMPLE_N}
+""")
+def weighted_sample_bychars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample of {SAMPLE_N} docs with
+    inclusion odds ∝ n_chars: md5-derived uniform per id, keys quantized
+    to 9dp + id tie-break so cross-engine ln() ulps can't flip a
+    boundary membership; Spark side is a TakeOrdered top-n, never a
+    global sort.  See operators/curation.py:weighted_sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.weighted_sample(docs, SAMPLE_N)

@@ -86,3 +86,51 @@ def test_split_assignment_is_exhaustive_and_sized(spark):
         ["doc_id", "source"])
     assert (sorted(map(tuple, rows))
             == sorted(map(tuple, curation.split_assignment(rev).collect())))
+
+
+def test_rrf_fuse_vs_python(spark):
+    from gcp_serverless_mapreduce_spark.operators.retrieval import rrf_fuse
+    r1 = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"])
+    r2 = spark.createDataFrame([(3, 1), (4, 2)], ["doc_id", "rank"])
+    got = {r["doc_id"]: (r["rrf_score"], r["n_rankers"])
+           for r in rrf_fuse([r1, r2], k=60).collect()}
+    expect = {1: (1 / 61, 1), 2: (1 / 62, 1),
+              3: (1 / 63 + 1 / 61, 2), 4: (1 / 62, 1)}
+    assert set(got) == set(expect)
+    for d, (s, n) in expect.items():
+        assert got[d][1] == n
+        assert abs(got[d][0] - s) < 1e-15
+
+
+def test_weighted_sample_vs_python(spark):
+    import hashlib
+    import math
+
+    from gcp_serverless_mapreduce_spark.operators.curation import (
+        weighted_sample)
+
+    rows = [(i, (i * 37) % 500 + 50) for i in range(800)]
+    docs = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    got = [(r["doc_id"], r["weight"], r["samp_rank"])
+           for r in weighted_sample(docs, 50).collect()]
+
+    keyed = []
+    for i, w in rows:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+        u = (h + 0.5) / 16 ** 13
+        keyed.append((round(-math.log(u) / w, 9), i, w))
+    keyed.sort()
+    expect = [(i, w, rank + 1) for rank, (_, i, w) in enumerate(keyed[:50])]
+    assert sorted(got, key=lambda t: t[2]) == expect
+
+
+def test_weighted_sample_favors_heavy_docs(spark):
+    from gcp_serverless_mapreduce_spark.operators.curation import (
+        weighted_sample)
+
+    # weight 1000 vs weight 1: heavy ids should dominate the sample
+    rows = [(i, 1000 if i < 400 else 1) for i in range(800)]
+    docs = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    picked = [r["doc_id"] for r in weighted_sample(docs, 50).collect()]
+    heavy = sum(1 for d in picked if d < 400)
+    assert heavy >= 45  # P[any light doc beats a heavy one] is tiny
