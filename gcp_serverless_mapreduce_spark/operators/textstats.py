@@ -82,3 +82,69 @@ def poly_fingerprint(s: Column) -> Column:
         codes, F.lit(FP_SEED).cast("long"),
         lambda acc, c: (acc * FP_MULT + c) % FP_MOD)
     return F.when(F.length(s) > 0, fold).otherwise(F.lit(FP_SEED).cast("long"))
+
+
+def build_vocab(docs: DataFrame, size: int,
+                text_col: str = "text") -> DataFrame:
+    """Tokenizer-style vocabulary construction: the ``size`` most frequent
+    corpus tokens with dense ids assigned by (freq desc, token asc) — the
+    deterministic tie-break every release needs so two builds of the same
+    corpus emit the same ids.
+
+    -> (vocab_id, word, freq).  Scale: explode → map-side-combined count
+    (one shuffle on the token), then TakeOrdered top-``size`` + a rank
+    window over only the survivors — never a global sort of the
+    vocabulary candidate space.
+    """
+    from pyspark.sql import Window
+
+    counts = (docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+              .groupBy("word").agg(F.count("*").alias("freq")))
+    top = counts.orderBy(F.col("freq").desc(), F.col("word")).limit(size)
+    w = Window.orderBy(F.col("freq").desc(), F.col("word"))
+    return (top.withColumn("vocab_id", F.row_number().over(w).cast("long"))
+            .select("vocab_id", "word", "freq"))
+
+
+def cooccurrence_pmi(docs: DataFrame, max_gap: int = 2, min_count: int = 5,
+                     text_col: str = "text") -> DataFrame:
+    """Directed word co-occurrence with pointwise mutual information over
+    a forward window of ``max_gap`` tokens (the word2vec/GloVe statistic).
+
+    pmi(a,b) = ln( (c_ab / T_pairs) / ((c_a / T_words) * (c_b / T_words)) )
+
+    computed from exact integer counts and one ln() per surviving pair,
+    rounded to 6 decimals (cross-engine ln ulp noise is ~1e-16).  Pair
+    generation is IN-ROW — ``arrays_zip`` of the token array against its
+    gap-shifted self, one explode, NO self-join — so the only shuffles
+    are the two counting aggregates.  ``min_count`` keeps the long tail
+    out of the output (and out of the broadcast-scalar totals join).
+
+    -> (word_a, word_b, n_pair, pmi) for pairs with c_ab >= min_count.
+    """
+    toks = docs.select(tokens(F.col(text_col)).alias("t"))
+    pair_arrays = [
+        F.arrays_zip(F.slice("t", 1, F.greatest(F.size("t") - g, F.lit(0))),
+                     F.slice("t", 1 + g,
+                             F.greatest(F.size("t") - g, F.lit(0))))
+        for g in range(1, max_gap + 1)
+    ]
+    pairs = (toks.select(F.explode(F.concat(*pair_arrays)).alias("p"))
+             .select(F.col("p.0").alias("word_a"),
+                     F.col("p.1").alias("word_b")))
+    pc = pairs.groupBy("word_a", "word_b").agg(F.count("*").alias("n_pair"))
+    wc = (docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+          .groupBy("word").agg(F.count("*").alias("n_word")))
+    totals = (pc.agg(F.sum("n_pair").alias("t_pairs"))
+              .crossJoin(wc.agg(F.sum("n_word").alias("t_words"))))
+    pmi = F.round(
+        F.log((F.col("n_pair").cast("double") / F.col("t_pairs"))
+              / ((F.col("na").cast("double") / F.col("t_words"))
+                 * (F.col("nb").cast("double") / F.col("t_words")))), 6)
+    return (pc.filter(F.col("n_pair") >= min_count)
+            .join(wc.select(F.col("word").alias("word_a"),
+                            F.col("n_word").alias("na")), "word_a")
+            .join(wc.select(F.col("word").alias("word_b"),
+                            F.col("n_word").alias("nb")), "word_b")
+            .crossJoin(F.broadcast(totals))
+            .select("word_a", "word_b", "n_pair", pmi.alias("pmi")))

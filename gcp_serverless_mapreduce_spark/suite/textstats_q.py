@@ -597,3 +597,60 @@ def bigram_coherence_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_bigrams"),
                  F.round(F.sum("q").cast("double") / F.count("*") / 1e9,
                          6).alias("coherence")))
+
+
+# ---- vocabulary building + co-occurrence PMI ------------------------------
+
+VOCAB_SIZE = 30
+PMI_MAX_GAP = 2
+PMI_MIN_COUNT = 5
+
+
+@register("vocab_top_words", _T_CTE + f""",
+w AS (SELECT unnest(toks) AS word FROM t),
+c AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word)
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT)
+           AS vocab_id,
+       word, freq
+FROM c
+QUALIFY vocab_id <= {VOCAB_SIZE}
+""")
+def vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary construction: top {VOCAB_SIZE} corpus tokens
+    with dense ids assigned by (freq desc, word) — deterministic
+    tie-break, TakeOrdered top-n, rank window only over the survivors.
+    See operators/textstats.py:build_vocab."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.build_vocab(docs, VOCAB_SIZE)
+
+
+@register("word_cooccurrence_pmi", _T_CTE + f""",
+idx1 AS (SELECT toks AS tk, unnest(generate_series(1, len(toks) - 1)) AS i
+         FROM t),
+p1 AS (SELECT tk[i] AS word_a, tk[i + 1] AS word_b FROM idx1),
+idx2 AS (SELECT toks AS tk, unnest(generate_series(1, len(toks) - 2)) AS i
+         FROM t),
+p2 AS (SELECT tk[i] AS word_a, tk[i + 2] AS word_b FROM idx2),
+pairs AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2),
+pc AS (SELECT word_a, word_b, COUNT(*) AS n_pair FROM pairs GROUP BY 1, 2),
+wc AS (SELECT word, COUNT(*) AS n_word
+       FROM (SELECT unnest(toks) AS word FROM t) GROUP BY word),
+tot AS (SELECT CAST((SELECT SUM(n_pair) FROM pc) AS DOUBLE) AS t_pairs,
+               CAST((SELECT SUM(n_word) FROM wc) AS DOUBLE) AS t_words)
+SELECT word_a, word_b, n_pair,
+       round(ln((CAST(n_pair AS DOUBLE) / t_pairs)
+                / ((CAST(na.n_word AS DOUBLE) / t_words)
+                   * (CAST(nb.n_word AS DOUBLE) / t_words))), 6) AS pmi
+FROM pc JOIN wc na ON na.word = pc.word_a
+        JOIN wc nb ON nb.word = pc.word_b
+        CROSS JOIN tot
+WHERE n_pair >= {PMI_MIN_COUNT}
+""")
+def word_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed co-occurrence PMI over a forward ±{PMI_MAX_GAP} window
+    (the word2vec/GloVe statistic): in-row pair generation (arrays_zip of
+    the token array against its shifted self — NO self-join), two counting
+    shuffles, exact integer counts into one ln() rounded to 6dp.  See
+    operators/textstats.py:cooccurrence_pmi."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.cooccurrence_pmi(docs, PMI_MAX_GAP, PMI_MIN_COUNT)

@@ -134,3 +134,44 @@ def test_weighted_sample_favors_heavy_docs(spark):
     picked = [r["doc_id"] for r in weighted_sample(docs, 50).collect()]
     heavy = sum(1 for d in picked if d < 400)
     assert heavy >= 45  # P[any light doc beats a heavy one] is tiny
+
+
+def test_vocab_and_pmi_fuzz_vs_python(spark):
+    import collections
+    import math
+
+    from gcp_serverless_mapreduce_spark.operators import textstats
+
+    texts = {i: " ".join(RNG.choices(VOCAB[:12], k=RNG.randint(0, 25)))
+             for i in range(50)}
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+
+    wc = collections.Counter()
+    pc = collections.Counter()
+    for t in texts.values():
+        toks = t.split()
+        wc.update(toks)
+        for g in (1, 2):
+            for i in range(len(toks) - g):
+                pc[(toks[i], toks[i + g])] += 1
+
+    got_v = [(r["vocab_id"], r["word"], r["freq"])
+             for r in textstats.build_vocab(docs, 8).collect()]
+    expect_v = [(i + 1, w, c) for i, (w, c) in enumerate(
+        sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:8])]
+    assert sorted(got_v) == expect_v
+
+    got_p = {(r["word_a"], r["word_b"]): (r["n_pair"], r["pmi"])
+             for r in textstats.cooccurrence_pmi(docs, 2, 3).collect()}
+    t_pairs = sum(pc.values())
+    t_words = sum(wc.values())
+    expect_p = {}
+    for (a, b), c in pc.items():
+        if c >= 3:
+            pmi = math.log((c / t_pairs)
+                           / ((wc[a] / t_words) * (wc[b] / t_words)))
+            expect_p[(a, b)] = (c, round(pmi, 6))
+    assert set(got_p) == set(expect_p)
+    for k, (c, pmi) in expect_p.items():
+        assert got_p[k][0] == c
+        assert abs(got_p[k][1] - pmi) < 2e-6
