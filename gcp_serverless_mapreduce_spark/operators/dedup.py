@@ -521,3 +521,70 @@ def symspell_matches(queries: DataFrame, dictionary: DataFrame,
     cand = lv.join(rv, "v").select("q", "d").distinct()
     return (cand.withColumn("dist", F.levenshtein("q", "d").cast("long"))
             .filter(F.col("dist") <= 1))
+
+
+def containment_pairs(docs: DataFrame, threshold: float, k: int = 3,
+                      doc_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """DIRECTED set containment C(A→B) = |A∩B| / |A| >= threshold — the
+    quote/subset-detection asymmetric cousin of Jaccard (a short doc fully
+    quoted inside a long one scores ~1.0 here but low on Jaccard, which
+    its union denominator dilutes).
+
+    Exact, via one-sided prefix filtering: C >= t implies |A∩B| >=
+    ceil(t·|A|) (integer-exact alpha, same Fraction arithmetic as
+    :func:`jaccard_pairs_prefix`), and the smallest common element under
+    the global (df, shingle) order must then sit inside A's
+    ``|A| - alpha + 1``-prefix — so candidates come from joining A's
+    PREFIX against B's full posting list, never full-x-full.  Only the
+    probing side shrinks (the lemma bounds nothing about B), but the
+    prefix is built from A's globally RAREST shingles, so the B-side
+    posting lists it probes are short by construction.  Verification is
+    the same sorted-array ``array_intersect`` re-join as the Jaccard
+    prefix join.  Containment is a ratio of exact integers.
+
+    -> (doc_a, doc_b, containment): ordered pairs, doc_a ≠ doc_b,
+    doc_a's shingles covered by doc_b.
+    """
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    fr = Fraction(str(threshold))
+    num, den = fr.numerator, fr.denominator
+
+    shingles = (word_shingles(docs, k, doc_col, text_col)
+                .repartition(F.col("shingle")))
+    with_df = shingles.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("shingle")))
+    w_doc = Window.partitionBy("doc").orderBy(F.col("_df").asc(),
+                                              F.col("shingle").asc())
+    alpha = F.expr(f"({num} * _n + {den} - 1) div {den}")  # == ceil(t*_n)
+    ranked = (with_df
+              .withColumn("_rn", F.row_number().over(w_doc))
+              .withColumn("_n", F.count("*").over(Window.partitionBy("doc"))))
+    prefix = (ranked
+              .filter(F.col("_rn") <= F.col("_n") - alpha + 1)
+              .select(F.col("doc").alias("doc_a"), "shingle"))
+    cand = (prefix
+            .join(shingles.select(F.col("doc").alias("doc_b"), "shingle"),
+                  "shingle")
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct())
+    sets = shingles.groupBy("doc").agg(
+        F.sort_array(F.collect_list("shingle")).alias("sh"),
+        F.count("*").alias("n"))
+    return (
+        cand
+        .join(sets.select(F.col("doc").alias("doc_a"),
+                          F.col("sh").alias("sh_a"),
+                          F.col("n").alias("n_a")), "doc_a")
+        .join(sets.select(F.col("doc").alias("doc_b"),
+                          F.col("sh").alias("sh_b")), "doc_b")
+        .withColumn("containment",
+                    F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+                    / F.col("n_a"))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )

@@ -449,3 +449,27 @@ def dedup_resolution_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_docs"),
                  F.sum(kept.cast("long")).alias("n_kept"),
                  F.sum(F.when(kept, F.col("n_chars"))).alias("kept_chars")))
+
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@register("containment_dups", _SH_CTE + f""",
+sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc <> b.doc
+    GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_common / ca.n AS containment
+FROM inter JOIN sizes ca ON ca.doc = doc_a
+WHERE n_common / ca.n >= {CONTAINMENT_THRESHOLD}
+""")
+def containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED near-containment pairs (C(A→B) = |A∩B|/|A| >=
+    {CONTAINMENT_THRESHOLD}) — quote/subset detection, which Jaccard's
+    union denominator misses for short-inside-long pairs.  Exact via
+    one-sided prefix filtering (rarest-first probe side); the oracle is
+    the plain exhaustive inverted-index SQL.  See operators/dedup.py:
+    containment_pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, CONTAINMENT_THRESHOLD)

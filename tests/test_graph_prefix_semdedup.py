@@ -153,3 +153,38 @@ def test_semdedup_fuzz_vs_bruteforce(spark):
                 expect[v] = (sig, min(keeps))
     assert got == expect
     assert 200 in got and 201 in got  # the seeded duplicates are caught
+
+
+# ---- directed containment join -----------------------------------------
+
+def test_containment_fuzz_vs_bruteforce(spark):
+    vocab = [f"w{i}" for i in range(25)]
+    texts = {i: " ".join(RNG.choices(vocab, k=RNG.randint(3, 25)))
+             for i in range(50)}
+    # seed subset pairs: doc 101's tokens are a prefix of doc 100's
+    base = " ".join(RNG.choices(vocab, k=24))
+    texts[100] = base
+    texts[101] = " ".join(base.split()[:15])
+    k, t = 3, 0.7
+
+    def shingles(text):
+        toks = text.strip().lower().split()
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+    sets = {d: shingles(x) for d, x in texts.items()}
+    expect = {}
+    for a, sa in sets.items():
+        if not sa:
+            continue
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= t:
+                expect[(a, b)] = round(c, 9)
+
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {(r["doc_a"], r["doc_b"]): round(r["containment"], 9)
+           for r in dedup.containment_pairs(docs, t, k).collect()}
+    assert got == expect
+    assert (101, 100) in got  # the seeded subset pair is found
