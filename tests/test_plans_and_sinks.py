@@ -136,3 +136,36 @@ def test_runtime_bloom_filter_prunes_selective_fact_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_overlapping_chunks_is_map_only(spark):
+    from gcp_serverless_mapreduce_spark.operators.curation import (
+        overlapping_chunks)
+    from gcp_serverless_mapreduce_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(overlapping_chunks(docs, 40, 30))
+    assert _exchanges(plan) == 0  # chunking never shuffles payload text
+
+
+def test_weighted_sample_uses_take_ordered_not_global_sort(spark):
+    from gcp_serverless_mapreduce_spark.operators.curation import (
+        weighted_sample)
+    from gcp_serverless_mapreduce_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(weighted_sample(docs, 100))
+    assert "TakeOrderedAndProject" in plan
+    # the only sort allowed is the bounded post-limit rank window
+    assert plan.count("Sort ") <= 1
+
+
+def test_pagerank_iterations_share_one_edge_scan(spark):
+    from gcp_serverless_mapreduce_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(200)], ["src", "dst"])
+    plan = _plan(graph.pagerank(graph.bidirect(edges), iters=3))
+    # the checkpointed edge list appears as scans of an existing RDD, not
+    # as three re-runs of the edge-build exchange
+    assert "Scan ExistingRDD" in plan
