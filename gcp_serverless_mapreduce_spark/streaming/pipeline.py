@@ -181,6 +181,47 @@ def distinct_user_event_pairs(events: DataFrame) -> DataFrame:
     return events.select("user_id", "event_type").dropDuplicates()
 
 
+def click_purchase_left_join(events: DataFrame) -> DataFrame:
+    """LEFT-OUTER stream-stream join: every click, matched or not.
+
+    Matches emit immediately (like the inner join); an UNMATCHED click
+    emits its null row only when the global watermark proves no purchase
+    can still arrive for it — i.e. watermark > click_ts + 1h, where the
+    multiple-watermark policy (default "min") sets watermark =
+    min(max click_ts, max purchase_ts) - 1h.  This eviction-driven null
+    emission is the semantic that makes outer stream joins safe at scale:
+    state for a click is dropped at the same moment its null row emits,
+    so neither grows unboundedly.  The DuckDB oracle reproduces exactly
+    this set: all matches plus unmatched clicks older than the terminal
+    watermark (rule pinned by probe at sf0.001: 204 of 205 batch-unmatched
+    clicks emit; the one younger than watermark - 1h stays in state).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour"))
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour"))
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+            "leftOuter")
+        .select(
+            F.col("c_user").alias("user_id"), "click_id", "purchase_id",
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"))
+    )
+
+
 def run_available_now(result: DataFrame, name: str,
                       mode: str = "complete") -> DataFrame:
     """Execute a streaming query to completion (availableNow) into a

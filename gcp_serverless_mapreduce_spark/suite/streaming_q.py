@@ -370,3 +370,35 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("user_id").cast("long").alias("n_users"),
                  F.sum(F.col("value").cast("decimal(14,2)"))
                  .cast("double").alias("total_value")))
+
+
+@register("stream_click_purchase_left_join", """
+WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+wm AS (SELECT least((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+              - INTERVAL 1 HOUR AS w)
+SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM c JOIN p ON c.user_id = p.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+UNION ALL
+SELECT c.user_id, c.event_id, NULL,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S'), NULL
+FROM c, wm
+WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+                  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+  AND c.ts + INTERVAL 1 HOUR < wm.w
+""")
+def stream_click_purchase_left_join(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream join: watermark-driven null emission for
+    unmatched clicks (state eviction == null output — the bounded-state
+    outer-join semantic).  The oracle reproduces the terminal-watermark
+    rule exactly: matches plus unmatched clicks with click_ts + 1h <
+    min(max click_ts, max purchase_ts) - 1h.  See
+    streaming/pipeline.py:click_purchase_left_join."""
+    ev = pipeline.stream_events(spark, sf_dir)
+    return pipeline.run_available_now(
+        pipeline.click_purchase_left_join(ev),
+        "click_purchase_left_join_sink", mode="append")

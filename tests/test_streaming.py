@@ -60,3 +60,40 @@ def test_rate_source_matches_file_source(spark):
     finally:
         q.stop()
     assert got == file_result
+
+
+def test_left_outer_join_null_emission_matches_watermark_rule(spark):
+    """Unmatched clicks emit their null row iff the terminal watermark
+    (min of both sides' max event time, minus the 1 h delay) has passed
+    click_ts + 1 h — eviction == emission.  Matches are identical to the
+    batch range join."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    got = pipeline.run_available_now(
+        pipeline.click_purchase_left_join(pipeline.stream_events(spark, SF_DIR)),
+        "loj_rule_sink", mode="append").collect()
+
+    static = load_table(spark, SF_DIR, "events")
+    clicks = [(r["event_id"], r["user_id"], r["ts"]) for r in
+              static.filter(F.col("event_type") == "click").collect()]
+    purchases = [(r["user_id"], r["ts"]) for r in
+                 static.filter(F.col("event_type") == "purchase").collect()]
+    hour = datetime.timedelta(hours=1)
+    wm = min(max(t for _, _, t in clicks),
+             max(t for _, t in purchases)) - hour
+
+    matched_ids = {r["click_id"] for r in got if r["purchase_id"] is not None}
+    null_ids = {r["click_id"] for r in got if r["purchase_id"] is None}
+
+    expect_matched, expect_null = set(), set()
+    for cid, u, ct in clicks:
+        has = any(pu == u and ct <= pt <= ct + hour for pu, pt in purchases)
+        if has:
+            expect_matched.add(cid)
+        elif ct + hour < wm:
+            expect_null.add(cid)
+    assert matched_ids == expect_matched
+    assert null_ids == expect_null
+    assert len(expect_null) > 0  # the rule actually fires on the fixture
