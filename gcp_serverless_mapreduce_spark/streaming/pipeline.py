@@ -222,6 +222,42 @@ def click_purchase_left_join(events: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_full_join(events: DataFrame) -> DataFrame:
+    """FULL-OUTER stream-stream join — both sides' state evicts into null
+    rows: an unmatched click emits once the watermark passes click_ts + 1h
+    (no purchase can still arrive for its window), an unmatched purchase
+    once the watermark passes purchase_ts (no older click can still turn
+    up).  Both rules pinned by probe at sf0.001 (204 unmatched clicks,
+    195 of 197 unmatched purchases emit against the terminal watermark
+    min(max click_ts, max purchase_ts) - 1h).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour"))
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour"))
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+            "fullOuter")
+        .select(
+            F.coalesce("c_user", "p_user").alias("user_id"),
+            "click_id", "purchase_id",
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"))
+    )
+
+
 def run_available_now(result: DataFrame, name: str,
                       mode: str = "complete") -> DataFrame:
     """Execute a streaming query to completion (availableNow) into a

@@ -402,3 +402,41 @@ def stream_click_purchase_left_join(spark: SparkSession,
     return pipeline.run_available_now(
         pipeline.click_purchase_left_join(ev),
         "click_purchase_left_join_sink", mode="append")
+
+
+@register("stream_click_purchase_full_join", """
+WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+wm AS (SELECT least((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+              - INTERVAL 1 HOUR AS w)
+SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM c JOIN p ON c.user_id = p.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+UNION ALL
+SELECT c.user_id, c.event_id, NULL,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S'), NULL
+FROM c, wm
+WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+                  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+  AND c.ts + INTERVAL 1 HOUR < wm.w
+UNION ALL
+SELECT p.user_id, NULL, p.event_id,
+       NULL, strftime(p.ts, '%Y-%m-%d %H:%M:%S')
+FROM p, wm
+WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+                  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+  AND p.ts < wm.w
+""")
+def stream_click_purchase_full_join(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """FULL-OUTER stream-stream join: null emission on BOTH sides, each at
+    its own state-eviction moment (clicks at click_ts + 1h, purchases at
+    purchase_ts, against the min-policy terminal watermark) — the
+    bounded-state outer-join pair completing the inner and left variants.
+    See streaming/pipeline.py:click_purchase_full_join."""
+    ev = pipeline.stream_events(spark, sf_dir)
+    return pipeline.run_available_now(
+        pipeline.click_purchase_full_join(ev),
+        "click_purchase_full_join_sink", mode="append")

@@ -97,3 +97,42 @@ def test_left_outer_join_null_emission_matches_watermark_rule(spark):
     assert matched_ids == expect_matched
     assert null_ids == expect_null
     assert len(expect_null) > 0  # the rule actually fires on the fixture
+
+
+def test_full_outer_join_emits_both_sides_on_eviction(spark):
+    """Full outer: unmatched clicks null-emit at click_ts + 1h, unmatched
+    purchases at purchase_ts — each against the min-policy terminal
+    watermark."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    got = pipeline.run_available_now(
+        pipeline.click_purchase_full_join(pipeline.stream_events(spark, SF_DIR)),
+        "foj_rule_sink", mode="append").collect()
+
+    static = load_table(spark, SF_DIR, "events")
+    clicks = [(r["event_id"], r["user_id"], r["ts"]) for r in
+              static.filter(F.col("event_type") == "click").collect()]
+    purchases = [(r["event_id"], r["user_id"], r["ts"]) for r in
+                 static.filter(F.col("event_type") == "purchase").collect()]
+    hour = datetime.timedelta(hours=1)
+    wm = min(max(t for _, _, t in clicks),
+             max(t for _, _, t in purchases)) - hour
+
+    null_p = {r["click_id"] for r in got
+              if r["purchase_id"] is None}            # unmatched clicks
+    null_c = {r["purchase_id"] for r in got
+              if r["click_id"] is None}               # unmatched purchases
+
+    expect_null_p = {cid for cid, u, ct in clicks
+                     if not any(pu == u and ct <= pt <= ct + hour
+                                for _, pu, pt in purchases)
+                     and ct + hour < wm}
+    expect_null_c = {pid for pid, u, pt in purchases
+                     if not any(cu == u and ct <= pt <= ct + hour
+                                for _, cu, ct in clicks)
+                     and pt < wm}
+    assert null_p == expect_null_p
+    assert null_c == expect_null_c
+    assert expect_null_p and expect_null_c  # both rules fire on the fixture
