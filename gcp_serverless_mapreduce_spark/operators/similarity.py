@@ -303,24 +303,58 @@ def sq8_ann_topk(emb: DataFrame, k: int, planes: list[list[int]],
             srp_signature(F.col(vec_col).cast("array<double>"),
                           planes).alias("bucket"))
     )
-    a = units.select(F.col(id_col).alias("query_id"),
-                     F.col("q").alias("qa"), "bucket")
-    b = units.select(F.col(id_col).alias("neighbor_id"),
-                     F.col("q").alias("qb"), "bucket")
-    if max_bucket is not None:
-        wb = Window.partitionBy("bucket").orderBy("neighbor_id")
-        b = (b.withColumn("_rn", F.row_number().over(wb))
-             .filter(F.col("_rn") <= max_bucket).drop("_rn"))
-    int_dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: (x * y).cast("long")),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-    pairs = (
-        a.join(b, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", int_dot.alias("qsim"))
-    )
-    return topk_per_query(pairs, k, sim_col="qsim").select(
-        "query_id", "neighbor_id", "rank", "qsim")
+    # Per-bucket vectorized kernel (same shape as srp_ann_topk's): the
+    # integer dot is EXACT under any summation order, so here a straight
+    # int64 matmul is bit-identical to the oracle's fold with no
+    # op-sequence care needed.  Stable argsort on -score breaks ties by
+    # candidate position = ascending vec_id.  Wall-clock gain at sf0.1
+    # is modest (4.5 s → 4.2 s: the quantize + signature expressions and
+    # Arrow transfer dominate, not the pairs), but the kernel removes the
+    # exploded |bucket|² pair rows from the exchange — the term that
+    # grows quadratically in bucket size at corpus scale.
+    import numpy as np
+
+    cap = max_bucket
+
+    def bucket_topk_int(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vid").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [],
+                                 "rank": [], "qsim": []}).astype(
+                {"query_id": "int64", "neighbor_id": "int64",
+                 "rank": "int32", "qsim": "int64"})
+        q = np.vstack(pdf["q"].to_numpy()).astype(np.int64)   # n × dim
+        n_cand = n if cap is None else min(n, cap)
+        acc = q @ q[:n_cand].T                                # exact int64
+        ids = pdf["vid"].to_numpy()
+        rows = np.arange(n)
+        self_mask = rows[:, None] == np.arange(n_cand)[None, :]
+        # min+1: np.argsort(-x) negates, and -int64.min overflows back
+        # to itself (would sort the self-sentinel FIRST instead of last)
+        lowest = np.iinfo(np.int64).min + 1
+        acc_m = np.where(self_mask, lowest, acc)
+        width = min(k + 1, n_cand)
+        order = np.argsort(-acc_m, axis=1, kind="stable")[:, :width]
+        scores = np.take_along_axis(acc_m, order, axis=1)
+        sp_hit = order == rows[:, None]
+        sp = np.where(sp_hit.any(1), sp_hit.argmax(1), width + 1)
+        pos = np.arange(width)[None, :]
+        rank = pos + 1 - (sp[:, None] < pos)
+        keep = (~sp_hit) & (rank <= k) & (scores != lowest)
+        qi, ci = np.nonzero(keep)
+        return pd.DataFrame({
+            "query_id": ids[qi],
+            "neighbor_id": ids[order[qi, ci]],
+            "rank": rank[qi, ci].astype("int32"),
+            "qsim": scores[qi, ci]})
+
+    raw = (units.select(F.col(id_col).alias("vid"), "q", "bucket")
+           .groupBy("bucket")
+           .applyInPandas(bucket_topk_int,
+                          "query_id long, neighbor_id long, "
+                          "rank int, qsim long"))
+    return raw.select("query_id", "neighbor_id", "rank", "qsim")
 
 
 def fixed_centroids(n_cells: int, dim: int) -> list[list[float]]:
