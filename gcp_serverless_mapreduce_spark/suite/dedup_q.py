@@ -293,23 +293,10 @@ WHERE {_DOT_UNIT} >= {COSINE_THRESHOLD}
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, blocked by label (the blocking key stands
     in for an IVF/LSH bucket at scale — pair join only within blocks)."""
-    from ..operators.similarity import unit_vectors
-    from ..functions.vectors import dot
+    from ..operators.similarity import blocked_cosine_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    units = (unit_vectors(emb).filter(F.col("unit").isNotNull())
-             .select("vec_id", "label", "unit"))
-    a = units.select(F.col("vec_id").alias("vec_a"), "label",
-                     F.col("unit").alias("ua"))
-    b = units.select(F.col("vec_id").alias("vec_b"), "label",
-                     F.col("unit").alias("ub"))
-    return (
-        a.join(b, ["label"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("_sim", dot(F.col("ua"), F.col("ub")))
-        .filter(F.col("_sim") >= COSINE_THRESHOLD)
-        .select("vec_a", "vec_b", F.round("_sim", 4).alias("sim"))
-    )
+    return blocked_cosine_pairs(emb, "label", COSINE_THRESHOLD)
 
 
 # SymSpell fuzzy-match gate: the fixture vocabulary is tiny word soup, so
