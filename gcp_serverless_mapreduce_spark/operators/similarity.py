@@ -277,6 +277,92 @@ def semdedup_discards(emb: DataFrame, planes: list[list[int]],
                       F.round("sim", 4).alias("sim"))
 
 
+def srp_multiprobe_topk(emb: DataFrame, k: int, planes: list[list[int]],
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        max_bucket: int | None = None) -> DataFrame:
+    """Multi-probe SRP ANN (Lv et al. 2007, multi-probe LSH): each query
+    searches its home bucket PLUS the ``len(planes)`` hamming-1 buckets
+    (one sign bit flipped) — the standard recall lever that avoids the
+    alternative of more tables/replicas.  -> (query_id, neighbor_id,
+    rank, sim), exact cosine rank over the probed candidate union.
+
+    Plan: the probe explosion is a per-row 1→(P+1) map (bit-string
+    surgery, no data growth beyond P+1×), then ONE cogrouped shuffle on
+    the bucket id — probe rows meet each bucket's (capped) members in a
+    vectorized kernel that scores and keeps the per-bucket top-k per
+    query (a superset of every global top-k member, since any global
+    winner ranks ≤ k inside its own bucket too); the global window then
+    ranks only ≤ (P+1)·k rows per query.  Dots accumulate dimension by
+    dimension (oracle fold order), ties break on the neighbor id.
+    """
+    import numpy as np
+
+    num_p = len(planes)
+    cap = max_bucket
+
+    units = (
+        unit_vectors(emb, vec_col)
+        .filter(F.col("unit").isNotNull())
+        .select(F.col(id_col).alias("vid"), "unit",
+                srp_signature(F.col(vec_col).cast("array<double>"),
+                              planes).alias("bucket"))
+    )
+    index = units
+    if cap is not None:
+        wb = Window.partitionBy("bucket").orderBy("vid")
+        index = (index.withColumn("_rn", F.row_number().over(wb))
+                 .filter(F.col("_rn") <= cap).drop("_rn"))
+    flip = [
+        F.concat(
+            F.substring("bucket", 1, p),
+            F.when(F.substring("bucket", p + 1, 1) == "1", "0").otherwise("1"),
+            F.substring("bucket", p + 2, num_p - p - 1))
+        for p in range(num_p)
+    ]
+    probes = units.select(
+        "vid", "unit",
+        F.explode(F.array(F.col("bucket"), *flip)).alias("bucket"))
+
+    def probe_bucket(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [],
+                              "sim": []}).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "sim": "float64"})
+        if left.empty or right.empty:
+            return empty
+        right = right.sort_values("vid").reset_index(drop=True)
+        q = np.vstack(left["unit"].to_numpy()).astype(np.float64)
+        c = np.vstack(right["unit"].to_numpy()).astype(np.float64)
+        acc = np.zeros((len(left), len(right)))
+        for i in range(q.shape[1]):                 # fold order = oracle
+            acc += q[:, i:i + 1] * c[None, :, i]
+        qids = left["vid"].to_numpy()
+        cids = right["vid"].to_numpy()
+        self_mask = qids[:, None] == cids[None, :]
+        acc_m = np.where(self_mask, -np.inf, acc)
+        width = min(k + 1, len(right))
+        order = np.argsort(-acc_m, axis=1, kind="stable")[:, :width]
+        sims = np.take_along_axis(acc_m, order, axis=1)
+        # the self hit (-inf) sorts last, so finite entries are a prefix
+        # of each sorted row and the first k finite ARE the bucket top-k
+        keep = np.isfinite(sims) & (np.arange(width)[None, :] < k)
+        qi, ci = np.nonzero(keep)
+        return pd.DataFrame({"query_id": qids[qi],
+                             "neighbor_id": cids[order[qi, ci]],
+                             "sim": sims[qi, ci]})
+
+    cand = (probes.groupBy("bucket")
+            .cogroup(index.groupBy("bucket"))
+            .applyInPandas(probe_bucket,
+                           "query_id long, neighbor_id long, sim double"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("sim", 4).alias("sim")))
+
+
 def blocked_cosine_pairs(emb: DataFrame, block_col: str,
                          threshold: float,
                          id_col: str = "vec_id",

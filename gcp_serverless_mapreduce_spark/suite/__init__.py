@@ -61,6 +61,7 @@ from . import retrieval_q  # noqa: F401, E402
 #    on the regenerated fixtures; ivf_ann_topk's training sample was
 #    re-salted this round.
 promote([
+    "srp_multiprobe_topk",
     "stream_click_purchase_full_join",
     "stream_click_purchase_left_join",
     "containment_dups",

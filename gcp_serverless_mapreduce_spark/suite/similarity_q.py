@@ -442,3 +442,49 @@ def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.label").cast("long").alias("label_a"),
                     F.col("b.label").cast("long").alias("label_b"),
                     F.round(l2, 6).alias("l2_dist")))
+
+
+# ---- multi-probe SRP ------------------------------------------------------
+
+def _flip_sql(p: int) -> str:
+    """Probe bucket with sign bit ``p`` (0-based) flipped."""
+    return (f"substr(bucket, 1, {p}) || "
+            f"(CASE WHEN substr(bucket, {p + 1}, 1) = '1' "
+            f"THEN '0' ELSE '1' END) || "
+            f"substr(bucket, {p + 2}, {NUM_PLANES - p - 1})")
+
+
+_PROBE_SELECTS = " UNION ALL ".join(
+    ["SELECT vec_id, u, bucket AS pbucket FROM s"]
+    + [f"SELECT vec_id, u, {_flip_sql(p)} AS pbucket FROM s"
+       for p in range(NUM_PLANES)])
+
+
+@register("srp_multiprobe_topk", _UNIT_CTE + f""",
+s AS (SELECT vec_id, u, {_BUCKET} AS bucket FROM u),
+nb AS (SELECT vec_id, u, bucket FROM s
+       QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
+               <= {MAX_BUCKET}),
+probes AS ({_PROBE_SELECTS}),
+cand AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           {_PAIR_DOT} AS sim
+    FROM probes a JOIN nb b
+      ON b.bucket = a.pbucket AND b.vec_id <> a.vec_id)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, neighbor_id) AS rank,
+       round(sim, 4) AS sim
+FROM cand
+QUALIFY rank <= {K}
+""")
+def srp_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP ANN (Lv et al. 2007): each query searches its home
+    bucket plus all {NUM_PLANES} hamming-1 buckets — the recall lever that
+    beats adding index replicas.  One cogrouped shuffle on the bucket id;
+    per-bucket vectorized scoring keeps bucket top-{K} per query (a
+    superset of the global top-{K}); candidates capped at {MAX_BUCKET} per
+    bucket.  See operators/similarity.py:srp_multiprobe_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.srp_multiprobe_topk(emb, K, PLANES,
+                                          max_bucket=MAX_BUCKET)

@@ -188,3 +188,32 @@ def test_containment_fuzz_vs_bruteforce(spark):
            for r in dedup.containment_pairs(docs, t, k).collect()}
     assert got == expect
     assert (101, 100) in got  # the seeded subset pair is found
+
+
+# ---- multi-probe SRP ---------------------------------------------------
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe (home + all hamming-1 buckets) must recover at least
+    every true neighbor single-probe finds, and strictly more on the
+    fixture (that's the point of probing)."""
+    import numpy as np
+
+    from gcp_serverless_mapreduce_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    planes = similarity.srp_planes(8, 64)
+    k = 5
+
+    def topk_set(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    single = topk_set(similarity.srp_ann_topk(emb, k, planes))
+    multi = topk_set(similarity.srp_multiprobe_topk(emb, k, planes))
+    exact = topk_set(similarity.brute_force_topk(emb, k, 10**9))
+
+    hits_single = len(single & exact)
+    hits_multi = len(multi & exact)
+    assert hits_multi > hits_single, (hits_multi, hits_single)
+    # probing more buckets can only improve the candidate pool
+    assert hits_multi / len(exact) > hits_single / len(exact)
