@@ -75,4 +75,10 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
                  .alias("dst"))
          .distinct())
-    return graph.pagerank_rounded(graph.bidirect(e), PR_ITERS, PR_DAMPING)
+    # NOT graph.bidirect(): the C-/S- prefixes make the two directions
+    # disjoint, so the union of an already-distinct edge set needs no
+    # second distinct — skipping it saves a full shuffle of the
+    # bidirected frame.
+    bi = e.unionByName(e.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+    return graph.pagerank_rounded(bi, PR_ITERS, PR_DAMPING)
