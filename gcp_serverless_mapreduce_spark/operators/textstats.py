@@ -14,7 +14,7 @@ integer arithmetic mod 1e9+7 (bigint-safe: max acc*31+code < 2^63).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Marker-word profiles for the n-gram/stopword language heuristic.  Tiny on
@@ -148,3 +148,56 @@ def cooccurrence_pmi(docs: DataFrame, max_gap: int = 2, min_count: int = 5,
                             F.col("n_word").alias("nb")), "word_b")
             .crossJoin(F.broadcast(totals))
             .select("word_a", "word_b", "n_pair", pmi.alias("pmi")))
+
+
+def token_entropy(docs: DataFrame, doc_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """-> (doc_id, n_tokens, n_distinct, entropy): per-document unigram
+    Shannon entropy (nats), rounded to 6 — the repetitiveness signal a
+    quality filter reads (boilerplate/spam ≈ low entropy at high length).
+
+    H(doc) = -Σ_tok (c/n)·ln(c/n) from exact integer counts; ln last-ulp
+    noise is absorbed by the rounding.  One explode → per-(doc, tok)
+    count → per-doc aggregate: two shuffles, both on the doc id, so AQE
+    coalesces them into one effective exchange chain.
+    """
+    toks = docs.select(F.col(doc_col).alias("doc"),
+                       F.explode(tokens(F.col(text_col))).alias("tok"))
+    tc = toks.groupBy("doc", "tok").agg(F.count("*").alias("c"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (tc.withColumn("n", F.sum("c").over(Window.partitionBy("doc")))
+            .groupBy("doc")
+            .agg(F.max("n").cast("long").alias("n_tokens"),
+                 F.count("*").cast("long").alias("n_distinct"),
+                 F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+            .withColumnRenamed("doc", "doc_id"))
+
+
+def source_token_kl(docs: DataFrame, source_col: str = "source",
+                    text_col: str = "text") -> DataFrame:
+    """-> (source, n_tokens, kl_from_corpus): KL(P_source ‖ P_corpus) of
+    each source's unigram distribution from the whole-corpus distribution
+    (nats, rounded 6) — the distribution-shift diagnostic a data-mixing
+    pipeline runs per domain before choosing mixture weights.
+
+    KL = Σ_tok p_s(tok) · ln(p_s(tok) / p_c(tok)); every source token
+    also appears in the corpus distribution, so the ratio is always
+    defined.  Counts are exact integers; the per-source and corpus
+    count frames join on the token (one shuffle each), the totals
+    broadcast as scalars.
+    """
+    toks = docs.select(F.col(source_col).alias("source"),
+                       F.explode(tokens(F.col(text_col))).alias("tok"))
+    sc = toks.groupBy("source", "tok").agg(F.count("*").alias("cs"))
+    cc = toks.groupBy("tok").agg(F.count("*").alias("cc"))
+    stot = sc.groupBy("source").agg(F.sum("cs").alias("ns"))
+    ctot = cc.agg(F.sum("cc").alias("nc"))
+    ps = F.col("cs").cast("double") / F.col("ns")
+    pc = F.col("cc").cast("double") / F.col("nc")
+    return (sc.join(cc, "tok")
+            .join(F.broadcast(stot), "source")
+            .crossJoin(F.broadcast(ctot))
+            .groupBy("source")
+            .agg(F.max("ns").cast("long").alias("n_tokens"),
+                 F.round(F.sum(ps * F.log(ps / pc)), 6)
+                 .alias("kl_from_corpus")))

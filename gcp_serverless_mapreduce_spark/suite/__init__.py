@@ -38,15 +38,12 @@ from . import graph_q  # noqa: F401, E402
 from . import retrieval_q  # noqa: F401, E402
 
 # Round-6 window head (the driver checks the FIRST 50 registered):
-# -1) the six newest queries (BM25, overlapping chunks, split counts,
-#    PageRank, prefix-filtered exact Jaccard, SemDeDup) — never
-#    driver-checked;
-# 0) the six late-round-5 queries (behavioral analytics family, label
-#    centroids, percentile quality gate, stream-static join) — never
-#    driver-checked;
-# 1) the five queries NEW this round (streaming replay-dedup, corpus
-#    domain cap, CDC compaction, z-order layout, ANN recall eval) —
-#    never driver-checked;
+# 0) every round-5 query that has never been driver-checked, newest
+#    first (multi-probe ANN, outer stream joins, containment, vocab/PMI,
+#    hybrid RRF, weighted sampling, BM25/chunks/splits, PageRank,
+#    prefix-Jaccard, SemDeDup, then the behavioral/centroid/percentile/
+#    stream-static and replay-dedup/domain-cap/CDC/z-order/recall
+#    batches);
 # 2) the three roundtrip fingerprints — the only queries never green in
 #    any round (r3 hash mismatch, r4 NTZ err; the NTZ fix + local parity
 #    now passes them at sf0.01);
@@ -61,6 +58,8 @@ from . import retrieval_q  # noqa: F401, E402
 #    on the regenerated fixtures; ivf_ann_topk's training sample was
 #    re-salted this round.
 promote([
+    "doc_token_entropy",
+    "source_token_kl",
     "srp_multiprobe_topk",
     "stream_click_purchase_full_join",
     "stream_click_purchase_left_join",

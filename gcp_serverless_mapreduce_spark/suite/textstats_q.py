@@ -654,3 +654,52 @@ def word_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/textstats.py:cooccurrence_pmi."""
     docs = load_table(spark, sf_dir, "documents")
     return textstats.cooccurrence_pmi(docs, PMI_MAX_GAP, PMI_MIN_COUNT)
+
+
+@register("doc_token_entropy", _T_CTE + """,
+tc AS (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+    GROUP BY doc_id, tok),
+n AS (SELECT doc_id, tok, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM tc)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       round(-SUM((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 6)
+           AS entropy
+FROM n GROUP BY doc_id
+""")
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats, 6dp) — the
+    repetitiveness signal a quality filter reads; exact integer counts
+    into one ln() per distinct token.  See operators/textstats.py:
+    token_entropy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.token_entropy(docs)
+
+
+@register("source_token_kl", _T_CTE + """,
+sc AS (
+    SELECT source, tok, COUNT(*) AS cs
+    FROM (SELECT source, unnest(toks) AS tok FROM t)
+    GROUP BY source, tok),
+cc AS (SELECT tok, SUM(cs) AS cc FROM sc GROUP BY tok),
+stot AS (SELECT source, SUM(cs) AS ns FROM sc GROUP BY source),
+ctot AS (SELECT SUM(cc) AS nc FROM cc)
+SELECT sc.source,
+       CAST(MAX(stot.ns) AS BIGINT) AS n_tokens,
+       round(SUM((CAST(sc.cs AS DOUBLE) / stot.ns)
+                 * ln((CAST(sc.cs AS DOUBLE) / stot.ns)
+                      / (CAST(cc.cc AS DOUBLE) / ctot.nc))), 6)
+           AS kl_from_corpus
+FROM sc JOIN cc USING (tok)
+        JOIN stot USING (source)
+        CROSS JOIN ctot
+GROUP BY sc.source
+""")
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(P_source ‖ P_corpus) of each source's unigram distribution
+    (nats, 6dp) — the distribution-shift diagnostic behind data-mixing
+    weights.  See operators/textstats.py:source_token_kl."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.source_token_kl(docs)

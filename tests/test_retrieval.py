@@ -175,3 +175,43 @@ def test_vocab_and_pmi_fuzz_vs_python(spark):
     for k, (c, pmi) in expect_p.items():
         assert got_p[k][0] == c
         assert abs(got_p[k][1] - pmi) < 2e-6
+
+
+def test_entropy_and_kl_fuzz_vs_python(spark):
+    import collections
+    import math
+
+    from gcp_serverless_mapreduce_spark.operators import textstats
+
+    texts = {i: (" ".join(RNG.choices(VOCAB[:10], k=RNG.randint(1, 30))),
+                 f"src{i % 4}") for i in range(60)}
+    docs = spark.createDataFrame(
+        [(d, t, s) for d, (t, s) in texts.items()],
+        ["doc_id", "text", "source"])
+
+    got_e = {r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["entropy"])
+             for r in textstats.token_entropy(docs).collect()}
+    for d, (t, _) in texts.items():
+        c = collections.Counter(t.split())
+        n = sum(c.values())
+        h = -sum((v / n) * math.log(v / n) for v in c.values())
+        assert got_e[d][0] == n and got_e[d][1] == len(c)
+        assert abs(got_e[d][2] - round(h, 6)) < 2e-6
+
+    got_k = {r["source"]: (r["n_tokens"], r["kl_from_corpus"])
+             for r in textstats.source_token_kl(docs).collect()}
+    corpus = collections.Counter()
+    per_src: dict[str, collections.Counter] = collections.defaultdict(
+        collections.Counter)
+    for t, s in texts.values():
+        toks = t.split()
+        corpus.update(toks)
+        per_src[s].update(toks)
+    nc = sum(corpus.values())
+    for s, cnt in per_src.items():
+        ns = sum(cnt.values())
+        kl = sum((v / ns) * math.log((v / ns) / (corpus[tok] / nc))
+                 for tok, v in cnt.items())
+        assert got_k[s][0] == ns
+        assert abs(got_k[s][1] - round(kl, 6)) < 2e-6
+    assert set(got_k) == set(per_src)
