@@ -58,6 +58,8 @@ from . import retrieval_q  # noqa: F401, E402
 #    on the regenerated fixtures; ivf_ann_topk's training sample was
 #    re-salted this round.
 promote([
+    "doc_token_ids_fingerprint",
+    "leakage_safe_split_counts",
     "doc_token_entropy",
     "source_token_kl",
     "srp_multiprobe_topk",

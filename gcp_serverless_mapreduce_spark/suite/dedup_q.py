@@ -460,3 +460,66 @@ def containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment_pairs."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.containment_pairs(docs, CONTAINMENT_THRESHOLD)
+
+
+@register("leakage_safe_split_counts", "WITH RECURSIVE "
+          + _PAIRS_CTE.lstrip().removeprefix("WITH ") + """,
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach(doc, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.doc),
+clusters AS (SELECT doc, MIN(r) AS cluster_id FROM reach GROUP BY doc),
+assigned AS (
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS rep,
+           c.doc IS NOT NULL AS clustered
+    FROM documents d LEFT JOIN clusters c ON c.doc = d.doc_id),
+s AS (
+    SELECT doc_id, clustered,
+           CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'train'
+                WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < 'f3'
+                    THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clustered,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM s GROUP BY split
+""")
+def leakage_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-AWARE train/val/test split: a document's split follows the
+    md5 of its near-dup CLUSTER representative (min doc id of its LSH
+    connected component; singletons use their own id), so near-duplicate
+    documents can never straddle the train/test boundary — the leakage
+    mode a plain per-doc hash split (``dataset_split_counts``) permits.
+    Spark side: dup_clusters' pointer-doubling CC + one left join + the
+    same md5 hex-range rule; the oracle recomputes the components as a
+    recursive transitive closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, NUM_PERM)
+    pairs = dedup.lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND,
+                                      max_bucket=MAX_BUCKET)
+    clusters = dedup.dup_clusters(pairs)
+    assigned = (docs.select("doc_id")
+                .join(clusters, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("cluster_id", "doc_id").alias("rep"),
+                        F.col("cluster_id").isNotNull().alias("clustered")))
+    h2 = F.substring(F.md5(F.col("rep").cast("string")), 1, 2)
+    split = (F.when(h2 < "e6", "train")
+             .when(h2 < "f3", "val")
+             .otherwise("test"))
+    return (assigned
+            .select(split.alias("split"), "doc_id", "clustered")
+            .groupBy("split")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.col("clustered").cast("int")).cast("long")
+                 .alias("n_clustered"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.max("doc_id").alias("max_doc_id")))

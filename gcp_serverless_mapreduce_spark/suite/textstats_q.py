@@ -703,3 +703,53 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights.  See operators/textstats.py:source_token_kl."""
     docs = load_table(spark, sf_dir, "documents")
     return textstats.source_token_kl(docs)
+
+
+_VOCAB_CTE = _T_CTE + f""",
+w AS (SELECT unnest(toks) AS word FROM t),
+vc AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word),
+vocab AS (
+    SELECT word,
+           CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT)
+               AS vocab_id
+    FROM vc
+    QUALIFY vocab_id <= {VOCAB_SIZE})
+"""
+
+
+@register("doc_token_ids_fingerprint", _VOCAB_CTE + """,
+idx AS (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks))) AS i
+        FROM t WHERE len(toks) > 0),
+ids AS (SELECT idx.doc_id, idx.i,
+               COALESCE(vocab.vocab_id, 0) AS id
+        FROM idx LEFT JOIN vocab ON vocab.word = idx.toks[i])
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       md5(array_to_string(list(id ORDER BY i), ' ')) AS ids_md5
+FROM ids GROUP BY doc_id
+""")
+def doc_token_ids_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus→id-stream encode step closing the vocabulary loop: every
+    token mapped to its `vocab_top_words` id (OOV → 0), the per-doc id
+    sequence gated via md5 so BYTE-exact encoded output is what both
+    engines must agree on, plus an OOV-rate accounting column.  The
+    vocab (V={VOCAB_SIZE}) broadcasts; encode is map-side."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = textstats.build_vocab(docs, VOCAB_SIZE).select("word", "vocab_id")
+    toks = (docs.select("doc_id",
+                        F.posexplode(textstats.tokens(F.col("text")))
+                        .alias("i", "word")))
+    ids = (toks.join(F.broadcast(vocab), "word", "left")
+           .select("doc_id", "i",
+                   F.coalesce("vocab_id", F.lit(0)).alias("id")))
+    return (ids.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum(F.when(F.col("id") == 0, 1).otherwise(0))
+                 .cast("long").alias("n_oov"),
+                 F.md5(F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(F.struct("i", "id"))),
+                     lambda s: s["id"].cast("string")))).alias("ids_md5")))

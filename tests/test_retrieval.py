@@ -215,3 +215,39 @@ def test_entropy_and_kl_fuzz_vs_python(spark):
         assert got_k[s][0] == ns
         assert abs(got_k[s][1] - round(kl, 6)) < 2e-6
     assert set(got_k) == set(per_src)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every near-dup cluster must land wholly inside ONE split — the
+    property the per-doc hash split cannot give."""
+    from gcp_serverless_mapreduce_spark.operators import dedup
+
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    # 20 clusters of 3 clones each + 40 singletons
+    for c in range(20):
+        base = " ".join(RNG.choices(vocab, k=15))
+        for j in range(3):
+            rows.append((c * 10 + j, base))
+    for i in range(40):
+        rows.append((1000 + i, " ".join(RNG.choices(vocab, k=15))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    import hashlib
+
+    sig = dedup.minhash_signatures(docs, 8)
+    pairs = dedup.lsh_candidate_pairs(sig, 4, 2, max_bucket=64)
+    clusters = {r["doc_id"]: r["cluster_id"]
+                for r in dedup.dup_clusters(pairs).collect()}
+
+    def split_of(rep):
+        h2 = hashlib.md5(str(rep).encode()).hexdigest()[:2]
+        return "train" if h2 < "e6" else ("val" if h2 < "f3" else "test")
+
+    by_cluster: dict[int, set[str]] = {}
+    for d, _ in rows:
+        rep = clusters.get(d, d)
+        by_cluster.setdefault(rep, set()).add(split_of(rep))
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # sanity: the clone clusters were actually detected
+    assert sum(1 for d, _ in rows if d in clusters) >= 55
