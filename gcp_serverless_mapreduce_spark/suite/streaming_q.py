@@ -440,3 +440,4 @@ def stream_click_purchase_full_join(spark: SparkSession,
     return pipeline.run_available_now(
         pipeline.click_purchase_full_join(ev),
         "click_purchase_full_join_sink", mode="append")
+

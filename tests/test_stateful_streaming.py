@@ -35,3 +35,36 @@ def test_stateful_totals_match_batch(spark):
     for uid, (n, v) in batch.items():
         assert got[uid][0] == n
         assert math.isclose(got[uid][1], v, rel_tol=1e-9)
+
+
+def test_transform_with_state_totals_or_env_skip(spark):
+    """transformWithStateInPandas port of the running totals: equal to the
+    batch aggregate where the runtime supports it; skipped (not silently
+    passed) where the TWS worker's protobuf dependency is unusable."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unusable: TWS worker cannot start")
+
+    from pyspark.sql import functions as F
+
+    from gcp_serverless_mapreduce_spark.streaming import pipeline, stateful
+    from gcp_serverless_mapreduce_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = pipeline.stream_events(spark, sf)
+    updates = pipeline.run_available_now(
+        stateful.running_user_totals_tws(ev), "tws_test_sink", mode="update")
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in
+           (updates.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.max_by("total_value", "n_events").alias("total_value"))
+            .collect())}
+    expect = {r["user_id"]: (r["n"], float(r["tv"])) for r in
+              (load_table(spark, sf, "events").groupBy("user_id")
+               .agg(F.count("*").alias("n"),
+                    F.sum(F.col("value").cast("decimal(14,2)"))
+                    .cast("double").alias("tv")).collect())}
+    assert got == expect
