@@ -1,0 +1,129 @@
+"""Mergeable-sketch operators: Count-Min heavy hitters and KMV
+(k-minimum-values) distinct-count estimation.
+
+Both sketches are the standard answer to "I need a frequency / distinct
+profile of a 100 TB stream without shuffling its full key cardinality":
+
+- **Count-Min** (Cormode & Muthukrishnan 2005): d hash rows x w counter
+  columns.  The distributed build is one map-side explode + ONE exchange
+  whose key space is the FIXED d*w cell grid — at 100 TB the shuffle
+  volume is bounded by d*w*partitions counters, not by the number of
+  distinct keys.  Point estimates are min over the d cells, which
+  upper-bounds the true count (one-sided error <= eps*N with
+  w = ceil(e/eps), probability 1 - delta with d = ceil(ln 1/delta)).
+- **KMV** (Bar-Yossef et al. 2002; the theta-sketch core): keep the k
+  smallest values of a uniform hash of the key; the k-th smallest value
+  v_k (as a fraction of the hash space) estimates the distinct count as
+  (k-1)/v_k.  Mergeable by unioning candidate sets and re-truncating to
+  k — the per-group state is bounded by k regardless of data volume.
+
+Cross-engine determinism (the suite's md5 convention, operators/dedup.py):
+every hash is a prefix of md5 hex parsed as an integer — Spark
+``conv(substr(md5(x),1,n), 16, 10)`` == DuckDB
+``CAST('0x' || substr(md5(x),1,n) AS BIGINT)`` — so the DuckDB oracle
+reproduces the sketches bit-for-bit, including the estimation error.
+
+No counterpart in the reference (its aggregation surface is exact
+count/set-union, mapphase/map.go + reducephase/reduce.go); these extend
+§2.3 with the bounded-state aggregates a telemetry / corpus-profiling
+deployment needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Count-Min geometry: 4 rows x 512 columns.  At the fixture vocabulary
+# (~31 words) collisions are rare, so estimates mostly equal exact counts
+# — the oracle still gates the exact cell arithmetic, collisions and all.
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+# KMV: keep the 64 smallest hashes per group; 48-bit hash space.
+KMV_K = 64
+KMV_HEX_DIGITS = 12  # 48 bits: exact in double (2^48 < 2^53) and BIGINT
+KMV_SPACE = float(16 ** KMV_HEX_DIGITS)
+# (k-1) * hash-space, pre-folded to ONE python double so both engines
+# divide the identical numerator (the product 63 * 2^48 > 2^53 would
+# otherwise round inside each engine).
+KMV_NUMER = float(KMV_K - 1) * KMV_SPACE
+
+
+def h_cell(key: Column, seed: int, width: int = CMS_WIDTH) -> Column:
+    """Row-``seed`` Count-Min cell of ``key``: md5-prefix hash mod width."""
+    hx = F.substring(F.md5(F.concat(F.lit(f"{seed}|"), key)), 1, 8)
+    return (F.conv(hx, 16, 10).cast("long") % width).alias(f"c{seed}")
+
+
+def cms_build(keyed: DataFrame, key_col: str = "key") -> DataFrame:
+    """Build the sketch: -> (row, cell, cnt), at most DEPTH*WIDTH rows.
+
+    One projection computes all d cells per input row, a posexplode turns
+    them into (row, cell) pairs, and a single hash-aggregate (partial
+    map-side combine into at most d*w cells per task, then one exchange
+    over the fixed grid) produces the counters.  This is the property
+    that matters at 100 TB: shuffle width is d*w, independent of key
+    cardinality.
+    """
+    cells = F.array(*[h_cell(F.col(key_col), r) for r in range(CMS_DEPTH)])
+    return (keyed
+            .select(F.posexplode(cells).alias("row", "cell"))
+            .groupBy("row", "cell")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_estimate(candidates: DataFrame, sketch: DataFrame,
+                 key_col: str = "key") -> DataFrame:
+    """Point-estimate each candidate key: min over its d cells.
+
+    The sketch is at most d*w rows -> broadcast; candidates stream
+    through it without shuffling.  Missing cells (never incremented)
+    read as 0.
+    """
+    probes = candidates.select(
+        key_col,
+        F.posexplode(F.array(*[
+            h_cell(F.col(key_col), r) for r in range(CMS_DEPTH)
+        ])).alias("row", "cell"))
+    return (probes
+            .join(F.broadcast(sketch), ["row", "cell"], "left")
+            .groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("cms_est")))
+
+
+def kmv_hash(key: Column) -> Column:
+    """48-bit uniform hash of ``key`` (md5-prefix), as a bigint."""
+    return F.conv(F.substring(F.md5(key), 1, KMV_HEX_DIGITS), 16, 10) \
+            .cast("long")
+
+
+def kmv_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Per-group KMV distinct estimate -> (group, kmv_est, n_hashes).
+
+    Duplicate keys hash identically, so the distinct-hash step is a
+    hash-aggregate with map-side partial dedup (per-task state bounded
+    by the group's distinct count, and a production build would truncate
+    to k *inside* the partial aggregate — the bounded-state property the
+    sketch exists for).  The rank-k selection is a per-group window over
+    at most the distinct hashes; the estimate is (k-1)/frac_k when the
+    group has >= k distinct hashes, else the exact distinct count.
+    """
+    hashed = df.select(F.col(group_col).alias("grp"),
+                       kmv_hash(F.col(key_col)).alias("h")).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    ranked = hashed.withColumn("rk", F.row_number().over(w))
+    return (ranked
+            .where(F.col("rk") <= KMV_K)
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n_hashes"),
+                 F.max("h").alias("h_k"))
+            .select(
+                F.col("grp").alias(group_col),
+                F.when(F.col("n_hashes") < KMV_K,
+                       F.col("n_hashes").cast("double"))
+                 .otherwise(F.lit(KMV_NUMER)
+                            / F.col("h_k").cast("double"))
+                 .alias("kmv_est"),
+                F.col("n_hashes").cast("long").alias("n_hashes")))

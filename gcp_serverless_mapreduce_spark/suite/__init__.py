@@ -36,6 +36,7 @@ from . import layout_q  # noqa: F401, E402
 from . import behavior_q  # noqa: F401, E402
 from . import graph_q  # noqa: F401, E402
 from . import retrieval_q  # noqa: F401, E402
+from . import sketch_q  # noqa: F401, E402
 
 # Round-6 window head (the driver checks the FIRST 50 registered):
 # 0) every round-5 query that has never been driver-checked, newest
@@ -58,6 +59,8 @@ from . import retrieval_q  # noqa: F401, E402
 #    on the regenerated fixtures; ivf_ann_topk's training sample was
 #    re-salted this round.
 promote([
+    "cms_heavy_hitter_words",
+    "kmv_distinct_users",
     "doc_token_ids_fingerprint",
     "leakage_safe_split_counts",
     "doc_token_entropy",

@@ -1,0 +1,116 @@
+"""Sketch queries (Count-Min heavy hitters, KMV distinct counts) with
+exact DuckDB oracle twins.
+
+The SQL rebuilds each sketch bit-for-bit — same md5-prefix hashes, same
+cell grid, same rank-k selection — so the oracle gates the *estimates
+including their error*, not just the exact answers they approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import sketches
+from ..operators.sketches import (CMS_DEPTH, CMS_WIDTH, KMV_HEX_DIGITS,
+                                  KMV_K, KMV_NUMER)
+from ..registry import register
+from ..tables import load_table
+from .textstats_q import _TOKS
+
+# Heavy-hitter threshold: phi = 1% of total token mass.
+CMS_PHI_PCT = 1
+
+_ROWS = "(SELECT unnest(generate_series(0, {d})) AS r) rr".format(
+    d=CMS_DEPTH - 1)
+
+
+def _cell_sql(key_expr: str, seed_expr: str) -> str:
+    """DuckDB twin of sketches.h_cell: md5-prefix hash mod width."""
+    return (f"CAST('0x' || substr(md5(CAST({seed_expr} AS VARCHAR) || '|' "
+            f"|| {key_expr}), 1, 8) AS BIGINT) % {CMS_WIDTH}")
+
+
+@register("cms_heavy_hitter_words", f"""
+WITH t AS (SELECT unnest({_TOKS}) AS w FROM documents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t),
+cells AS (
+    SELECT rr.r, {_cell_sql('t.w', 'rr.r')} AS cell
+    FROM t, {_ROWS}),
+sk AS (SELECT r, cell, CAST(count(*) AS BIGINT) AS cnt
+       FROM cells GROUP BY r, cell),
+cand AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_cnt
+         FROM t GROUP BY w),
+pc AS (
+    SELECT c.w, c.exact_cnt, rr.r, {_cell_sql('c.w', 'rr.r')} AS cell
+    FROM cand c, {_ROWS}),
+probe AS (
+    SELECT pc.w, pc.exact_cnt,
+           min(COALESCE(sk.cnt, 0)) AS cms_est
+    FROM pc LEFT JOIN sk ON sk.r = pc.r AND sk.cell = pc.cell
+    GROUP BY pc.w, pc.exact_cnt)
+SELECT w AS word, exact_cnt, cms_est
+FROM probe, n
+WHERE cms_est * 100 >= n.total * {CMS_PHI_PCT}
+""")
+def cms_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Count-Min: words whose *estimated* frequency is
+    >= 1% of total token mass, with the exact count alongside.  The
+    sketch build is one explode + one exchange over the fixed
+    {CMS_DEPTH}x{CMS_WIDTH} cell grid — at 100 TB the shuffle volume is
+    bounded by the grid, not the vocabulary; the sketch is then
+    broadcast to estimate candidates without another wide exchange.
+    CMS point estimates are one-sided (est >= exact), which the oracle
+    reproduces exactly, collisions included."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.textstats import tokens
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("key"))
+    sketch = sketches.cms_build(toks)
+    cand = toks.groupBy("key").agg(
+        F.count(F.lit(1)).alias("exact_cnt"))
+    est = sketches.cms_estimate(cand.select("key"), sketch)
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    return (cand.join(est, "key")
+            .crossJoin(F.broadcast(total))
+            .where(F.col("cms_est") * 100 >= F.col("total") * CMS_PHI_PCT)
+            .select(F.col("key").alias("word"), "exact_cnt", "cms_est"))
+
+
+@register("kmv_distinct_users", f"""
+WITH h AS (
+    SELECT DISTINCT event_type AS grp,
+           CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1,
+                               {KMV_HEX_DIGITS}) AS BIGINT) AS h
+    FROM events),
+rk AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+       FROM h),
+sk AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_hashes, max(h) AS h_k
+       FROM rk WHERE rk <= {KMV_K} GROUP BY grp),
+ex AS (SELECT event_type AS grp,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+       FROM events GROUP BY event_type)
+SELECT sk.grp AS event_type,
+       round(CASE WHEN sk.n_hashes < {KMV_K}
+                  THEN CAST(sk.n_hashes AS DOUBLE)
+                  ELSE CAST({KMV_NUMER!r} AS DOUBLE)
+                       / CAST(sk.h_k AS DOUBLE) END, 6) AS kmv_est,
+       sk.n_hashes, ex.exact_distinct
+FROM sk JOIN ex USING (grp)
+""")
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via a KMV (theta-style) sketch —
+    keep the {KMV_K} smallest 48-bit hashes per group, estimate
+    (k-1)/frac_k — next to the exact answer.  Per-group sketch state is
+    bounded by k regardless of data volume and merges by union+truncate,
+    which is what replaces count(DISTINCT) when the group count and user
+    cardinality both explode at 100 TB.  The oracle rebuilds the sketch
+    hash-for-hash, so the estimation error itself is gated."""
+    ev = load_table(spark, sf_dir, "events")
+    est = sketches.kmv_distinct(
+        ev.select("event_type", F.col("user_id").cast("string").alias("u")),
+        "event_type", "u")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    return (est.withColumn("kmv_est", F.round("kmv_est", 6))
+            .join(exact, "event_type")
+            .select("event_type", "kmv_est", "n_hashes", "exact_distinct"))
