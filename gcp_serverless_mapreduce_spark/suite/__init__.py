@@ -37,6 +37,7 @@ from . import behavior_q  # noqa: F401, E402
 from . import graph_q  # noqa: F401, E402
 from . import retrieval_q  # noqa: F401, E402
 from . import sketch_q  # noqa: F401, E402
+from . import linkage_q  # noqa: F401, E402
 
 # Round-6 window head (the driver checks the FIRST 50 registered):
 # 0) every round-5 query that has never been driver-checked, newest
@@ -61,6 +62,8 @@ from . import sketch_q  # noqa: F401, E402
 promote([
     "cms_heavy_hitter_words",
     "kmv_distinct_users",
+    "sorted_neighborhood_dups",
+    "customer_record_linkage",
     "doc_token_ids_fingerprint",
     "leakage_safe_split_counts",
     "doc_token_entropy",
