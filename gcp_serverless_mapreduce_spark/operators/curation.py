@@ -32,7 +32,7 @@ surface (map.go:82-151) to corpus curation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textstats import tokens
@@ -414,3 +414,115 @@ def weighted_sample(docs: DataFrame, n: int,
     top = keyed.orderBy(F.col("samp_key").asc(), F.col(id_col).asc()).limit(n)
     w = Window.orderBy(F.col("samp_key").asc(), F.col(id_col).asc())
     return top.withColumn("samp_rank", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling") and a fixed-weight logistic quality
+# classifier — the two standard "which documents do I keep" scorers.
+
+DSIR_BUCKETS = 128
+
+# Logistic quality-model weights (fixed, engine-portable doubles).  A
+# production pipeline trains these; the *plan* — feature projection +
+# linear model + sigmoid, all inside codegen — is what carries to 100 TB.
+QL_BIAS = -2.0
+QL_W_LOGLEN = 0.55      # ln(1 + n_tokens): longer docs score higher
+QL_W_MEANLEN = 0.25     # mean token length
+QL_W_STOPRATIO = 1.5    # stop-word ratio (natural prose has stopwords)
+QL_W_DIGITRATIO = -3.0  # digit-character ratio (tables/logs score lower)
+QL_W_DISTINCT = 1.0     # distinct-token ratio (boilerplate scores lower)
+
+
+def dsir_bucket(tok: Column) -> Column:
+    """Hashed-unigram feature bucket: md5-prefix hash mod DSIR_BUCKETS."""
+    return (F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+            % DSIR_BUCKETS)
+
+
+def dsir_importance(docs: DataFrame, target_lang: str = "en",
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """-> (doc_id, lang, n_tokens, dsir_logw): per-document DSIR
+    importance log-weight, sum over tokens of
+    ln(p_target(bucket)/p_raw(bucket)) under hashed-unigram features
+    with add-1 smoothing.  Target = docs in ``target_lang``; raw =
+    everything else.
+
+    Plan: ONE explode of the corpus; per-(doc, bucket) counts reduce it
+    to at most DSIR_BUCKETS rows per doc; the global per-bucket
+    target/raw distributions aggregate FROM those counts (no second
+    scan) into <= 2*DSIR_BUCKETS rows that broadcast back — so the
+    corpus is read once and the only wide exchange is keyed on
+    (doc, bucket).  At 100 TB the bucket distribution is a fixed-size
+    broadcast regardless of vocabulary.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"), F.col("lang"),
+        (F.col("lang") == target_lang).alias("is_t"),
+        F.explode(tokens(F.col(text_col))).alias("tok"))
+    db = (toks
+          .select("doc", "lang", "is_t", dsir_bucket(F.col("tok")).alias("b"))
+          .groupBy("doc", "lang", "is_t", "b")
+          .agg(F.count(F.lit(1)).alias("c")))
+    dist = (db.groupBy("b")
+            .agg(F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(0))
+                 .alias("ct"),
+                 F.sum(F.when(~F.col("is_t"), F.col("c")).otherwise(0))
+                 .alias("cr")))
+    tot = dist.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    logr = (F.log((F.col("ct") + 1).cast("double")
+                  / (F.col("tt") + DSIR_BUCKETS).cast("double"))
+            - F.log((F.col("cr") + 1).cast("double")
+                    / (F.col("tr") + DSIR_BUCKETS).cast("double")))
+    rates = (dist.crossJoin(F.broadcast(tot))
+             .select("b", logr.alias("logr")))
+    return (db.join(F.broadcast(rates), "b")
+            .groupBy("doc", "lang")
+            .agg(F.sum("c").cast("long").alias("n_tokens"),
+                 F.round(F.sum(F.col("c").cast("double") * F.col("logr")), 6)
+                 .alias("dsir_logw"))
+            .withColumnRenamed("doc", "doc_id"))
+
+
+def quality_logit(docs: DataFrame, stopwords: tuple[str, ...],
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """-> (doc_id, n_tokens, mean_tok_len, stop_ratio, digit_ratio,
+    distinct_ratio, quality, keep): fixed-weight logistic quality score
+    sigmoid(w . features) per document with keep = quality >= 0.5.
+
+    Every feature is a pure column expression over one scan — token
+    counts via the shared tokenizer, ratios as exact-integer divisions —
+    so the whole scorer is a map-only projection inside whole-stage
+    codegen: zero shuffles at any scale.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks).cast("long")
+    nd = F.size(F.array_distinct(toks)).cast("long")
+    nstop = F.size(F.filter(toks, lambda t: t.isin(*stopwords))).cast("long")
+    tok_chars = F.aggregate(toks, F.lit(0),
+                            lambda acc, t: acc + F.length(t)).cast("long")
+    ndigit = (F.length(F.col(text_col))
+              - F.length(F.regexp_replace(F.col(text_col), "[0-9]", "")))
+    textlen = F.length(F.col(text_col)).cast("long")
+    mean_len = tok_chars.cast("double") / n.cast("double")
+    stop_r = nstop.cast("double") / n.cast("double")
+    digit_r = ndigit.cast("double") / textlen.cast("double")
+    dist_r = nd.cast("double") / n.cast("double")
+    z = (F.lit(QL_BIAS)
+         + F.lit(QL_W_LOGLEN) * F.log(F.lit(1.0) + n.cast("double"))
+         + F.lit(QL_W_MEANLEN) * mean_len
+         + F.lit(QL_W_STOPRATIO) * stop_r
+         + F.lit(QL_W_DIGITRATIO) * digit_r
+         + F.lit(QL_W_DISTINCT) * dist_r)
+    quality = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return (docs.where(F.size(toks) > 0)
+            .select(F.col(id_col),
+                    n.alias("n_tokens"),
+                    F.round(mean_len, 6).alias("mean_tok_len"),
+                    F.round(stop_r, 6).alias("stop_ratio"),
+                    F.round(digit_r, 6).alias("digit_ratio"),
+                    F.round(dist_r, 6).alias("distinct_ratio"),
+                    quality.alias("quality"))
+            .withColumn("keep", F.col("quality") >= 0.5))

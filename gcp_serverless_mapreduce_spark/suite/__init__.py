@@ -39,35 +39,51 @@ from . import retrieval_q  # noqa: F401, E402
 from . import sketch_q  # noqa: F401, E402
 from . import linkage_q  # noqa: F401, E402
 
-# Round-6 window head (the driver checks the FIRST 50 registered):
-# 0) every round-5 query that has never been driver-checked, newest
-#    first (multi-probe ANN, outer stream joins, containment, vocab/PMI,
-#    hybrid RRF, weighted sampling, BM25/chunks/splits, PageRank,
-#    prefix-Jaccard, SemDeDup, then the behavioral/centroid/percentile/
-#    stream-static and replay-dedup/domain-cap/CDC/z-order/recall
-#    batches);
-# 2) the three roundtrip fingerprints — the only queries never green in
-#    any round (r3 hash mismatch, r4 NTZ err; the NTZ fix + local parity
-#    now passes them at sf0.01);
-# 3) the last-green-r2 block — not reconfirmed since the fixtures were
-#    regenerated, and it contains the two NTZ-repaired batch queries
-#    (window_event_value_delta, clicks_within_1h_of_error);
-# 4) ngram_jaccard_dups + dup_clusters — the Jaccard oracle gained the
+# Round-5 window head (the driver checks the FIRST ~50 registered).
+# Priority order:
+# 1) the queries RED in CORRECTNESS_r04 — the three roundtrip
+#    fingerprints (never green in any round; NTZ fix + unix_micros
+#    rewrite now pass locally), window_event_value_delta,
+#    clicks_within_1h_of_error, and the NTZ-broken streaming family
+#    (all repaired by the load_table TIMESTAMP_NTZ normalization);
+# 2) ngram_jaccard_dups + dup_clusters — the Jaccard oracle gained the
 #    df_max hot-shingle cap this round and needs a fresh driver green;
-# 5) the whole streaming family — NTZ-repaired this round (was green r3,
-#    before the fixture regeneration);
-# 6) the rest: oldest r3 greens (dedup/ANN/textstats) for reconfirmation
-#    on the regenerated fixtures; ivf_ann_topk's training sample was
-#    re-salted this round.
+# 3) queries NEW this round (sketches, linkage, DSIR/quality scoring,
+#    token-id fingerprints, splits, entropy/KL);
+# 4) as many of the earlier never-driver-checked round-5 additions as
+#    fit (multi-probe ANN, outer stream joins, containment, vocab/PMI,
+#    hybrid RRF, weighted sampling, BM25/chunks/splits, PageRank,
+#    prefix-Jaccard, SemDeDup, behavioral analytics, CDC, z-order);
+#    the remainder rotates into the round-6 window.  Local full-suite
+#    parity evidence for everything: PARITY_LOCAL.txt / PARITY_SF01.txt.
 promote([
+    # -- red in r4: must turn green --
+    "events_json_roundtrip_fingerprint",
+    "events_csv_roundtrip_fingerprint",
+    "events_orc_roundtrip_fingerprint",
+    "window_event_value_delta",
+    "clicks_within_1h_of_error",
+    "stream_windowed_event_stats",
+    "stream_windowed_event_stats_rate",
+    "stream_click_purchase_join",
+    "stream_session_stats",
+    "sessionize_user_events",
+    "stream_user_totals_stateful",
+    # -- oracle changed this round --
+    "ngram_jaccard_dups",
+    "dup_clusters",
+    # -- new this round --
     "cms_heavy_hitter_words",
     "kmv_distinct_users",
     "sorted_neighborhood_dups",
     "customer_record_linkage",
+    "dsir_importance_weights",
+    "quality_logit_scores",
     "doc_token_ids_fingerprint",
     "leakage_safe_split_counts",
     "doc_token_entropy",
     "source_token_kl",
+    # -- earlier round-5 additions, never driver-checked --
     "srp_multiprobe_topk",
     "stream_click_purchase_full_join",
     "stream_click_purchase_left_join",
@@ -105,46 +121,6 @@ promote([
     "latest_event_per_user",
     "zorder_layout_keys",
     "ann_recall_eval",
-    "events_json_roundtrip_fingerprint",
-    "events_csv_roundtrip_fingerprint",
-    "events_orc_roundtrip_fingerprint",
-    "window_event_value_delta",
-    "clicks_within_1h_of_error",
-    "distinct_status_priority",
-    "q3_top_unshipped_orders",
-    "q5_supplier_volume_by_nation",
-    "orders_per_nation",
-    "customers_without_orders",
-    "customers_with_big_orders",
-    "order_fill_stats",
-    "window_running_spend",
-    "ngram_jaccard_dups",
-    "dup_clusters",
-    "stream_windowed_event_stats",
-    "stream_windowed_event_stats_rate",
-    "stream_click_purchase_join",
-    "stream_session_stats",
-    "sessionize_user_events",
-    "stream_user_totals_stateful",
-    "stream_distinct_user_event_pairs",
-    "multires_event_rollup",
-    "anagram_groups",
-    "anagram_pairs",
-    "exact_dedup_groups",
-    "minhash_signatures",
-    "minhash_lsh_candidates",
-    "simhash_fingerprints",
-    "simhash_near_dups",
-    "embedding_near_dup_pairs",
-    "cosine_topk_bruteforce",
-    "srp_bucket_stats",
-    "srp_ann_topk",
-    "sq8_ann_topk",
-    "ivf_fixed_cells_topk",
-    "ivf_ann_topk",
-    "language_id",
-    "language_confusion",
-    "doc_quality_scores",
 ])
 
 # Re-export the flagship for __spark_entry__.entry

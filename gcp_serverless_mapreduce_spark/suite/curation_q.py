@@ -279,3 +279,104 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_kept"),
                  F.round(F.min("score"), 6).alias("threshold_score"),
                  F.sum("n_chars").alias("kept_chars")))
+
+
+from ..functions.text import STOPWORDS as _STOPWORDS
+from .textstats_q import _STOP_SQL as _STOPS
+from ..operators.curation import (DSIR_BUCKETS, QL_BIAS, QL_W_DIGITRATIO,
+                                  QL_W_DISTINCT, QL_W_LOGLEN, QL_W_MEANLEN,
+                                  QL_W_STOPRATIO)
+
+DSIR_TARGET_LANG = "en"
+
+
+@register("dsir_importance_weights", f"""
+WITH t AS (SELECT doc_id, lang, lang = '{DSIR_TARGET_LANG}' AS is_t,
+                  unnest({_TOKS}) AS tok
+           FROM documents),
+db AS (SELECT doc_id, lang, is_t,
+              CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+                  % {DSIR_BUCKETS} AS b,
+              COUNT(*) AS c
+       FROM t GROUP BY doc_id, lang, is_t,
+              CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+                  % {DSIR_BUCKETS}),
+dist AS (SELECT b, SUM(CASE WHEN is_t THEN c ELSE 0 END) AS ct,
+                SUM(CASE WHEN NOT is_t THEN c ELSE 0 END) AS cr
+         FROM db GROUP BY b),
+tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM dist),
+rates AS (SELECT b,
+                 ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + {DSIR_BUCKETS}
+                                                  AS DOUBLE))
+               - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + {DSIR_BUCKETS}
+                                                  AS DOUBLE)) AS logr
+          FROM dist CROSS JOIN tot)
+SELECT db.doc_id, db.lang,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       round(SUM(CAST(c AS DOUBLE) * logr), 6) AS dsir_logw
+FROM db JOIN rates USING (b)
+GROUP BY db.doc_id, db.lang
+""")
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023): hashed-unigram
+    bucket distributions for target (lang={DSIR_TARGET_LANG}) vs raw,
+    add-1 smoothing, per-doc sum of bucket log-ratios — the importance-
+    resampling scorer for matching a pretraining corpus to a target
+    domain.  One corpus scan; the bucket distribution is a fixed
+    {DSIR_BUCKETS}-row broadcast at any corpus size.  See
+    operators/curation.py:dsir_importance."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.dsir_importance(docs, DSIR_TARGET_LANG)
+
+
+@register("quality_logit_scores", f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+f AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+             CAST(len(list_filter(toks, x -> x IN ({_STOPS})))
+                  AS BIGINT) AS nstop,
+             CAST(list_sum(list_transform(toks, x -> len(x)))
+                  AS BIGINT) AS tok_chars,
+             CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS BIGINT) AS ndig,
+             CAST(len(text) AS BIGINT) AS textlen
+      FROM t WHERE len(toks) > 0),
+z AS (SELECT doc_id, n,
+             CAST(tok_chars AS DOUBLE) / n AS mean_tok_len,
+             CAST(nstop AS DOUBLE) / n AS stop_ratio,
+             CAST(ndig AS DOUBLE) / textlen AS digit_ratio,
+             CAST(nd AS DOUBLE) / n AS distinct_ratio
+      FROM f)
+SELECT doc_id, n AS n_tokens,
+       round(mean_tok_len, 6) AS mean_tok_len,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(digit_ratio, 6) AS digit_ratio,
+       round(distinct_ratio, 6) AS distinct_ratio,
+       round(1.0 / (1.0 + exp(-(CAST({QL_BIAS!r} AS DOUBLE)
+           + CAST({QL_W_LOGLEN!r} AS DOUBLE)
+             * ln(CAST(1 AS DOUBLE) + CAST(n AS DOUBLE))
+           + CAST({QL_W_MEANLEN!r} AS DOUBLE) * mean_tok_len
+           + CAST({QL_W_STOPRATIO!r} AS DOUBLE) * stop_ratio
+           + CAST({QL_W_DIGITRATIO!r} AS DOUBLE) * digit_ratio
+           + CAST({QL_W_DISTINCT!r} AS DOUBLE) * distinct_ratio))), 6)
+           AS quality,
+       round(1.0 / (1.0 + exp(-(CAST({QL_BIAS!r} AS DOUBLE)
+           + CAST({QL_W_LOGLEN!r} AS DOUBLE)
+             * ln(CAST(1 AS DOUBLE) + CAST(n AS DOUBLE))
+           + CAST({QL_W_MEANLEN!r} AS DOUBLE) * mean_tok_len
+           + CAST({QL_W_STOPRATIO!r} AS DOUBLE) * stop_ratio
+           + CAST({QL_W_DIGITRATIO!r} AS DOUBLE) * digit_ratio
+           + CAST({QL_W_DISTINCT!r} AS DOUBLE) * distinct_ratio))), 6)
+           >= 0.5 AS keep
+FROM z
+""")
+def quality_logit_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight logistic quality classifier (the fastText-style
+    "educational value" scorer every corpus pipeline runs): engineered
+    features — log-length, mean token length, stop-word ratio, digit
+    ratio, distinct-token ratio — through sigmoid(w.x), thresholded
+    into keep/drop.  Map-only projection, zero shuffles at any scale.
+    See operators/curation.py:quality_logit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.quality_logit(docs, _STOPWORDS)
