@@ -128,3 +128,46 @@ def range_join_binned(left: DataFrame, right: DataFrame, on: str,
         F.col("_rts").alias(f"{right_ts}_right"),
         *[F.col(f"_r_{c}").alias(c) for c in right_cols],
     )
+
+
+DAY_US = 86_400_000_000
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame, key: str,
+                          bin_us: int = DAY_US,
+                          strict: bool = True) -> DataFrame:
+    """Interval x interval overlap join per key — the third temporal-join
+    shape next to as-of (point x latest-point) and range (point x window).
+
+    Inputs carry ``(key, id, s_us, e_us)`` with s <= e in epoch
+    microseconds.  Both sides explode each interval into the time bins
+    it covers (``sequence`` of floor(s/bin) .. floor(e/bin)); the join is
+    an EQUI-join on (key, bin), so fan-out is bounded by
+    intervals-per-key-per-bin — never the O(n*m) theta join a naive
+    ``s_a <= e_b AND s_b <= e_a`` predicate would execute.  A pair
+    spanning several shared bins is counted exactly once WITHOUT a
+    distinct exchange: it is kept only in the bin containing the overlap
+    start (floor(max(s_a, s_b)/bin)).
+
+    -> left columns + right columns + ``overlap_us``.  ``strict`` keeps
+    only pairs with positive-length overlap (touching endpoints drop).
+    """
+    def binned(df: DataFrame, tag: str) -> DataFrame:
+        return (df.select(
+            F.col(key),
+            F.col("id").alias(f"{tag}_id"),
+            F.col("s_us").alias(f"s_{tag}"),
+            F.col("e_us").alias(f"e_{tag}"),
+            F.explode(F.sequence(F.floor(F.col("s_us") / bin_us),
+                                 F.floor(F.col("e_us") / bin_us)))
+             .alias("bin")))
+
+    a, b = binned(left, "a"), binned(right, "b")
+    start = F.greatest(F.col("s_a"), F.col("s_b"))
+    overlap = F.least(F.col("e_a"), F.col("e_b")) - start
+    out = (a.join(b, [key, "bin"])
+           .where(F.floor(start / bin_us) == F.col("bin"))
+           .withColumn("overlap_us", overlap)
+           .drop("bin"))
+    return out.where(F.col("overlap_us") > 0) if strict \
+        else out.where(F.col("overlap_us") >= 0)

@@ -73,6 +73,8 @@ promote([
     "ngram_jaccard_dups",
     "dup_clusters",
     # -- new this round --
+    "user_error_purchase_overlap",
+    "pmi_graph_triangles",
     "cms_heavy_hitter_words",
     "kmv_distinct_users",
     "sorted_neighborhood_dups",

@@ -19,9 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import graph
+from ..operators import graph, textstats
 from ..registry import register
 from ..tables import load_table
+from .textstats_q import _T_CTE, PMI_MAX_GAP, PMI_MIN_COUNT
 
 PR_ITERS = 5
 PR_DAMPING = 0.85
@@ -82,3 +83,59 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = e.unionByName(e.select(F.col("dst").alias("src"),
                                 F.col("src").alias("dst")))
     return graph.pagerank_rounded(bi, PR_ITERS, PR_DAMPING)
+
+
+# ---- triangle counting over the PMI word graph ----------------------------
+
+TRI_PMI_MIN = 0.0    # keep positively-associated pairs as edges
+TRI_PAIR_MIN = 5     # same support floor as word_cooccurrence_pmi
+
+
+@register("pmi_graph_triangles", _T_CTE + f""",
+idx1 AS (SELECT toks AS tk, unnest(generate_series(1, len(toks) - 1)) AS i
+         FROM t),
+p1 AS (SELECT tk[i] AS word_a, tk[i + 1] AS word_b FROM idx1),
+idx2 AS (SELECT toks AS tk, unnest(generate_series(1, len(toks) - 2)) AS i
+         FROM t),
+p2 AS (SELECT tk[i] AS word_a, tk[i + 2] AS word_b FROM idx2),
+pairs AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2),
+pc AS (SELECT word_a, word_b, COUNT(*) AS n_pair FROM pairs GROUP BY 1, 2),
+wc AS (SELECT word, COUNT(*) AS n_word
+       FROM (SELECT unnest(toks) AS word FROM t) GROUP BY word),
+tot AS (SELECT CAST((SELECT SUM(n_pair) FROM pc) AS DOUBLE) AS t_pairs,
+               CAST((SELECT SUM(n_word) FROM wc) AS DOUBLE) AS t_words),
+pmi AS (
+    SELECT word_a, word_b,
+           round(ln((CAST(n_pair AS DOUBLE) / t_pairs)
+                    / ((CAST(na.n_word AS DOUBLE) / t_words)
+                       * (CAST(nb.n_word AS DOUBLE) / t_words))), 6) AS pmi
+    FROM pc JOIN wc na ON na.word = pc.word_a
+            JOIN wc nb ON nb.word = pc.word_b
+            CROSS JOIN tot
+    WHERE n_pair >= {TRI_PAIR_MIN}),
+e AS (
+    SELECT DISTINCT least(word_a, word_b) AS u,
+                    greatest(word_a, word_b) AS v
+    FROM pmi WHERE pmi >= {TRI_PMI_MIN!r} AND word_a <> word_b),
+w AS (
+    SELECT e1.u AS x, e1.v AS y, e2.v AS z
+    FROM e e1 JOIN e e2 ON e1.v = e2.u),
+tri AS (
+    SELECT w.x, w.y, w.z
+    FROM w JOIN e e3 ON e3.u = w.x AND e3.v = w.z),
+n AS (SELECT unnest([x, y, z]) AS node FROM tri)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM n GROUP BY node
+""")
+def pmi_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (the clustering-coefficient / community-density
+    primitive) over the word-association graph: edges are co-occurring
+    word pairs with PMI >= {TRI_PMI_MIN} at support >= {TRI_PAIR_MIN},
+    canonicalized undirected; triangles enumerated once each as ordered
+    wedges x<y<z closed by a third equi-join (operators/graph.py:
+    triangle_counts) — no theta join, no dedup pass.  Per-node counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    pmi = textstats.cooccurrence_pmi(docs, PMI_MAX_GAP, PMI_MIN_COUNT)
+    edges = graph.undirect(
+        pmi.where(F.col("pmi") >= TRI_PMI_MIN))
+    return graph.triangle_counts(edges)

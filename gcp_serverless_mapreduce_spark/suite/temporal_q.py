@@ -165,3 +165,51 @@ def m4_downsample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type",
                     F.date_format("bucket", _FMT).alias("bucket_start"),
                     "n_points", "v_min", "v_max", "v_first", "v_last"))
+
+
+# ---- interval x interval overlap join -------------------------------------
+
+OV_DUR_US = "CAST(floor(value * 60000000) AS BIGINT)"  # value minutes -> us
+
+
+@register("user_error_purchase_overlap", f"""
+WITH iv AS (
+    SELECT user_id, event_id, event_type,
+           epoch_us(ts) AS s_us,
+           epoch_us(ts) + {OV_DUR_US} AS e_us
+    FROM events WHERE event_type IN ('error', 'purchase'))
+SELECT a.user_id,
+       a.event_id AS error_id, b.event_id AS purchase_id,
+       round(CAST(least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us)
+                  AS DOUBLE) / 1000000.0, 6) AS overlap_secs
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'error' AND b.event_type = 'purchase'
+ AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+WHERE least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) > 0
+""")
+def user_error_purchase_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: each event defines an activity interval
+    [ts, ts + value minutes]; find, per user, every (error, purchase)
+    interval pair that overlaps, with the overlap length — "purchases
+    made while an error condition was live".  The Spark plan bins both
+    interval sets into days and equi-joins on (user, day) with the
+    overlap-start-bin dedup rule (operators/temporal.py:
+    interval_overlap_join) — bounded fan-out, no theta join; the oracle
+    states the same pairs declaratively (DuckDB's IEJoin handles the
+    inequality form at fixture scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_micros("ts")
+    e = s + F.floor(F.col("value") * 60000000).cast("long")
+    iv = ev.where(F.col("event_type").isin("error", "purchase")).select(
+        "user_id", F.col("event_id").alias("id"), "event_type",
+        s.alias("s_us"), e.alias("e_us"))
+    errors = iv.where(F.col("event_type") == "error").drop("event_type")
+    purchases = iv.where(F.col("event_type") == "purchase").drop("event_type")
+    out = temporal.interval_overlap_join(errors, purchases, "user_id")
+    return out.select(
+        "user_id",
+        F.col("a_id").alias("error_id"),
+        F.col("b_id").alias("purchase_id"),
+        F.round(F.col("overlap_us").cast("double") / 1000000.0, 6)
+         .alias("overlap_secs"))

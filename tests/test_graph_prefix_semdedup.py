@@ -217,3 +217,24 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     assert hits_multi > hits_single, (hits_multi, hits_single)
     # probing more buckets can only improve the candidate pool
     assert hits_multi / len(exact) > hits_single / len(exact)
+
+
+def test_triangle_counts_ordered_wedges(spark):
+    from gcp_serverless_mapreduce_spark.operators import graph
+    # K4 on a,b,c,d (4 triangles, each node in 3) plus a pendant edge.
+    nodes = ["a", "b", "c", "d"]
+    edges = spark.createDataFrame(
+        [(u, v) for i, u in enumerate(nodes) for v in nodes[i + 1:]]
+        + [("d", "e")], "u string, v string")
+    got = {r.node: r.n_triangles for r in
+           graph.triangle_counts(edges).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_undirect_dedups_both_directions(spark):
+    from gcp_serverless_mapreduce_spark.operators import graph
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "b"), ("c", "a")],
+        "word_a string, word_b string")
+    got = {(r.u, r.v) for r in graph.undirect(pairs).collect()}
+    assert got == {("a", "b"), ("a", "c")}

@@ -53,3 +53,23 @@ def test_asof_join_rejects_colliding_value_columns(spark):
         [(1, 9, 7.0)], ["k", "ts", "price"])  # "price" collides
     with pytest.raises(ValueError, match="price"):
         temporal.asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+
+
+def test_interval_overlap_join_bins_and_dedup(spark):
+    from gcp_serverless_mapreduce_spark.operators import temporal
+    DAY = temporal.DAY_US
+    # a1 spans 3 day-bins and overlaps b1 in two of them -> ONE output row.
+    left = spark.createDataFrame(
+        [(1, 10, int(0.5 * DAY), int(2.5 * DAY)),
+         (1, 11, 0, 100),           # touches b2 at a point -> dropped
+         (2, 12, 0, DAY)],          # other key: never joins key 1
+        "user_id long, id long, s_us long, e_us long")
+    right = spark.createDataFrame(
+        [(1, 20, int(1.5 * DAY), int(3.5 * DAY)),
+         (1, 21, 100, 200)],
+        "user_id long, id long, s_us long, e_us long")
+    rows = temporal.interval_overlap_join(left, right, "user_id").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.a_id, r.b_id) == (10, 20)
+    assert r.overlap_us == DAY  # [1.5d, 2.5d]
