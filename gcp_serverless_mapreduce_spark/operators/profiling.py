@@ -1,0 +1,124 @@
+"""Data-profiling / maintenance operators: mergeable-histogram quantile
+estimation, trailing-window anomaly scoring, and incremental aggregate
+maintenance (delta merge).
+
+Three patterns a 100 TB deployment leans on daily:
+
+- **Histogram quantiles**: exact percentiles sort every group
+  (price_quantiles_by_flag); sketches are engine-specific
+  (approx_stats_parts).  A fixed-width counting histogram is the middle
+  road — per-group state is a bounded, MERGEABLE (group, bin) count
+  grid, and the quantile estimate (linear interpolation inside the
+  covering bin) is pure deterministic arithmetic, so a DuckDB oracle
+  can gate the estimate bit-for-bit.  This is how monitoring pipelines
+  (e.g. Prometheus-style histograms) compute p99 at scale.
+- **Trailing z-score anomalies**: per-series rolling mean/stddev over
+  the previous k buckets, flag |z| spikes.  One exchange on the series
+  key; the window never re-scans history beyond k rows.
+- **Incremental view maintenance**: merge a small delta's partial
+  aggregate into a base aggregate (full outer join on the group key +
+  coalesced combination) instead of re-aggregating the world — the
+  lakehouse MERGE pattern.  Correctness contract: merged(base, delta)
+  == full recompute, which the oracle twin checks by computing the
+  full aggregate directly.
+
+No counterpart in the reference (exact one-shot aggregation only);
+extends SURVEY §2.3 / §2.6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HIST_BIN_WIDTH = 5.0   # events.value spans [0, ~500): 100 live bins
+HIST_QS = (0.5, 0.9, 0.99)
+
+ANOM_TRAIL = 24        # trailing buckets per series for mean/stddev
+ANOM_Z = 2.0           # |z| at or above this flags an anomaly
+
+
+def histogram_quantiles(df: DataFrame, group_col: str, value_col: str,
+                        bin_width: float = HIST_BIN_WIDTH,
+                        qs: tuple[float, ...] = HIST_QS) -> DataFrame:
+    """-> (group, q, est): per-group quantile estimates from a
+    fixed-width counting histogram.
+
+    Build: one hash-aggregate over (group, bin) — map-side combinable,
+    mergeable across partitions/days, state bounded by live bins.
+    Estimate: for target mass t = q*n, find the first bin whose running
+    count reaches t and interpolate linearly inside it:
+    ``bin*w + w*(t - cum_before)/c_bin``.  All arithmetic is exact
+    integers into IEEE doubles, so the estimate (and its quantization
+    error) reproduces identically in the SQL twin.
+    """
+    bins = (df.select(F.col(group_col).alias("grp"),
+                      F.floor(F.col(value_col) / bin_width).alias("bin"))
+            .groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("c")))
+    w = (Window.partitionBy("grp").orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (bins.withColumn("cum", F.sum("c").over(w))
+           .withColumn("n", F.sum("c").over(Window.partitionBy("grp"))))
+    targets = F.explode(F.array(*[F.lit(q) for q in qs])).alias("q")
+    probe = cum.select("grp", "bin", "c", "cum", "n", targets)
+    t = F.col("q") * F.col("n").cast("double")
+    covers = ((F.col("cum").cast("double") >= t)
+              & ((F.col("cum") - F.col("c")).cast("double") < t))
+    est = (F.col("bin").cast("double") * bin_width
+           + bin_width * (t - (F.col("cum") - F.col("c")).cast("double"))
+             / F.col("c").cast("double"))
+    return (probe.where(covers)
+            .select(F.col("grp").alias(group_col), "q",
+                    F.round(est, 6).alias("est")))
+
+
+def trailing_zscore(df: DataFrame, series_col: str, bucket_col: str,
+                    count_col: str, trail: int = ANOM_TRAIL,
+                    z_flag: float = ANOM_Z) -> DataFrame:
+    """-> input + (mean_t, sd_t, z, is_anomaly) per (series, bucket).
+
+    mean/stddev over the ``trail`` PRECEDING buckets only (never the
+    current one — self-inclusion would dampen the very spike being
+    scored).  Rows without a full trailing window emit NULL z (no
+    partial-window false positives).  A CONSTANT baseline (sd = 0) has
+    no finite z, but any deviation from it is the clearest spike there
+    is — flagged with NULL z rather than suppressed.  Sample stddev; z
+    rounded to 4 to absorb cross-engine Welford-vs-sum-of-squares ulp
+    noise.
+    """
+    w = (Window.partitionBy(series_col).orderBy(bucket_col)
+         .rowsBetween(-trail, -1))
+    full = F.count(F.lit(1)).over(w) == trail
+    mean_t = F.avg(F.col(count_col)).over(w)
+    sd_t = F.stddev(F.col(count_col)).over(w)
+    z = F.when(full & (sd_t > 0),
+               (F.col(count_col) - mean_t) / sd_t)
+    flat_spike = (full & (sd_t == 0)
+                  & (F.col(count_col).cast("double") != mean_t))
+    return (df
+            .withColumn("mean_t", F.when(full, F.round(mean_t, 6)))
+            .withColumn("sd_t", F.when(full, F.round(sd_t, 6)))
+            .withColumn("z", F.round(z, 4))
+            .withColumn("is_anomaly",
+                        F.coalesce(F.abs(F.col("z")) >= z_flag, F.lit(False))
+                        | F.coalesce(flat_spike, F.lit(False))))
+
+
+def merge_agg_delta(base: DataFrame, delta: DataFrame,
+                    key_cols: list[str],
+                    sum_cols: list[str]) -> DataFrame:
+    """Incremental view maintenance for SUM/COUNT-shaped aggregates:
+    full-outer-join base and delta partial aggregates on the group key
+    and add coalesced parts.  One join keyed on the group key — the
+    delta side is typically tiny (a day against years), so at scale the
+    join broadcasts or AQE picks a cheap plan; the base is NEVER
+    re-aggregated from raw data.
+    """
+    d = delta.select(
+        *key_cols, *[F.col(c).alias(f"_d_{c}") for c in sum_cols])
+    merged = base.join(d, key_cols, "full_outer")
+    for c in sum_cols:
+        merged = merged.withColumn(
+            c, F.coalesce(F.col(c), F.lit(0))
+            + F.coalesce(F.col(f"_d_{c}"), F.lit(0)))
+    return merged.drop(*[f"_d_{c}" for c in sum_cols])

@@ -38,6 +38,7 @@ from . import graph_q  # noqa: F401, E402
 from . import retrieval_q  # noqa: F401, E402
 from . import sketch_q  # noqa: F401, E402
 from . import linkage_q  # noqa: F401, E402
+from . import profiling_q  # noqa: F401, E402
 
 # Round-5 window head (the driver checks the FIRST ~50 registered).
 # Priority order:
@@ -73,6 +74,9 @@ promote([
     "ngram_jaccard_dups",
     "dup_clusters",
     # -- new this round --
+    "value_histogram_quantiles",
+    "hourly_event_anomalies",
+    "incremental_order_totals",
     "user_error_purchase_overlap",
     "pmi_graph_triangles",
     "cms_heavy_hitter_words",

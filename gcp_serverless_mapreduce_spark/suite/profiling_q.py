@@ -1,0 +1,135 @@
+"""Profiling / maintenance queries: mergeable-histogram quantiles,
+trailing-window anomaly detection, incremental aggregate maintenance.
+Exact DuckDB oracle twins throughout; quantile targets are computed in
+DOUBLE on both sides (a DECIMAL target could pick a different covering
+bin at exact integer boundaries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import profiling
+from ..operators.profiling import ANOM_TRAIL, ANOM_Z, HIST_BIN_WIDTH, HIST_QS
+from ..registry import register
+from ..tables import load_table
+from .temporal_q import _FMT, _FMT_DUCK
+
+IVM_SPLIT_DATE = "2000-01-01"
+
+_QS_SQL = ", ".join(repr(q) for q in HIST_QS)
+
+
+@register("value_histogram_quantiles", f"""
+WITH b AS (
+    SELECT event_type AS grp,
+           CAST(floor(value / CAST({HIST_BIN_WIDTH!r} AS DOUBLE))
+                AS BIGINT) AS bin,
+           COUNT(*) AS c
+    FROM events GROUP BY 1, 2),
+cum AS (
+    SELECT grp, bin, c,
+           SUM(c) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+           SUM(c) OVER (PARTITION BY grp) AS n
+    FROM b),
+probe AS (
+    SELECT grp, bin, c, cum, n, CAST(qq.q AS DOUBLE) AS q
+    FROM cum, (SELECT unnest([{_QS_SQL}]) AS q) qq)
+SELECT grp AS event_type, q,
+       round(CAST(bin AS DOUBLE) * CAST({HIST_BIN_WIDTH!r} AS DOUBLE)
+             + CAST({HIST_BIN_WIDTH!r} AS DOUBLE)
+               * (q * CAST(n AS DOUBLE) - CAST(cum - c AS DOUBLE))
+               / CAST(c AS DOUBLE), 6) AS est
+FROM probe
+WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
+  AND CAST(cum - c AS DOUBLE) < q * CAST(n AS DOUBLE)
+""")
+def value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a fixed-width counting histogram (the
+    Prometheus/monitoring pattern): per-event-type p50/p90/p99 of
+    ``value`` interpolated inside the covering {HIST_BIN_WIDTH}-wide
+    bin.  Unlike exact percentile (sorts each group) or
+    approx_percentile (engine-specific sketch), the histogram state is
+    a bounded MERGEABLE (group, bin) grid and the estimate is pure
+    arithmetic — so the DuckDB oracle gates the estimate exactly,
+    quantization error included.  See operators/profiling.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return profiling.histogram_quantiles(ev, "event_type", "value")
+
+
+@register("hourly_event_anomalies", f"""
+WITH c AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2),
+w AS (
+    SELECT *, COUNT(*) OVER tw AS k,
+           AVG(n) OVER tw AS m,
+           stddev_samp(n) OVER tw AS sd
+    FROM c
+    WINDOW tw AS (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN {ANOM_TRAIL} PRECEDING AND 1 PRECEDING))
+SELECT event_type, strftime(bucket, '{_FMT_DUCK}') AS bucket_start, n,
+       CASE WHEN k = {ANOM_TRAIL} THEN round(m, 6) END AS mean_t,
+       CASE WHEN k = {ANOM_TRAIL} THEN round(sd, 6) END AS sd_t,
+       CASE WHEN k = {ANOM_TRAIL} AND sd > 0
+            THEN round((CAST(n AS DOUBLE) - m) / sd, 4) END AS z,
+       COALESCE(CASE WHEN k = {ANOM_TRAIL} AND sd > 0
+                     THEN abs(round((CAST(n AS DOUBLE) - m) / sd, 4))
+                          >= CAST({ANOM_Z!r} AS DOUBLE) END,
+                FALSE)
+       OR COALESCE(k = {ANOM_TRAIL} AND sd = 0
+                   AND CAST(n AS DOUBLE) <> m, FALSE) AS is_anomaly
+FROM w
+""")
+def hourly_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: hourly event counts per type,
+    z-scored against the mean/stddev of the {ANOM_TRAIL} PRECEDING
+    hours (self-excluded; partial windows emit NULL), flagged at
+    |z| >= {ANOM_Z}.  One exchange on the series key; the window state
+    is {ANOM_TRAIL} rows per series forever, independent of history
+    length.  See operators/profiling.py:trailing_zscore."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.withColumn("bucket", F.date_trunc("hour", F.col("ts")))
+              .groupBy("event_type", "bucket")
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    scored = profiling.trailing_zscore(hourly, "event_type", "bucket", "n")
+    return scored.select(
+        "event_type", F.date_format("bucket", _FMT).alias("bucket_start"),
+        "n", "mean_t", "sd_t", "z", "is_anomaly")
+
+
+@register("incremental_order_totals", f"""
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_spend
+FROM orders GROUP BY o_custkey
+""")
+def incremental_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: per-customer order count + spend
+    maintained by MERGING a delta partial aggregate (orders on/after
+    {IVM_SPLIT_DATE}) into the base aggregate (orders before it) via
+    one full-outer join on the key — the base is never re-aggregated
+    from raw rows.  The oracle is the FULL recompute over all orders,
+    so the gate is exactly the IVM contract merge(base, delta) ==
+    recompute.  Money sums in DECIMAL (order-independent), cast to
+    DOUBLE at the edge.  See operators/profiling.py:merge_agg_delta."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+
+    def agg(part: DataFrame) -> DataFrame:
+        return (part.groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     spend.alias("spend")))
+
+    cut = F.lit(IVM_SPLIT_DATE).cast("timestamp")
+    base = agg(orders.where(F.col("o_orderdate") < cut))
+    delta = agg(orders.where(F.col("o_orderdate") >= cut))
+    merged = profiling.merge_agg_delta(base, delta, ["o_custkey"],
+                                       ["n_orders", "spend"])
+    return merged.select(
+        "o_custkey",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("spend").cast("double").alias("total_spend"))
