@@ -526,3 +526,58 @@ def quality_logit(docs: DataFrame, stopwords: tuple[str, ...],
                     F.round(dist_r, 6).alias("distinct_ratio"),
                     quality.alias("quality"))
             .withColumn("keep", F.col("quality") >= 0.5))
+
+
+# ---------------------------------------------------------------------------
+# Training-run data-order and mixture operators.
+
+SHUFFLE_SHARDS = 8
+
+
+def epoch_shuffle_plan(docs: DataFrame, epochs: int = 2,
+                       n_shards: int = SHUFFLE_SHARDS,
+                       id_col: str = "doc_id") -> DataFrame:
+    """-> (doc_id, epoch, shard, pos): a deterministic, epoch-varying
+    global shuffle plan — the data-order contract of a reproducible
+    training run.
+
+    Each epoch permutes the corpus by the md5 of (epoch, id): shard =
+    hash-prefix mod n_shards routes the row, pos = rank of the full hash
+    WITHIN the shard orders it.  Work per epoch is one exchange on the
+    shard key + an in-shard sort — there is NO global sort, and shards
+    stay balanced because the hash is uniform.  The plan is a pure
+    function of (id, epoch): re-running it, on any cluster layout,
+    yields byte-identical training order.
+    """
+    e = F.explode(F.array(*[F.lit(i) for i in range(epochs)])).alias("epoch")
+    keyed = docs.select(F.col(id_col), e).withColumn(
+        "h", F.md5(F.concat_ws(":", F.col("epoch"), F.col(id_col))))
+    shard = (F.conv(F.substring("h", 1, 4), 16, 10).cast("long")
+             % n_shards)
+    w = Window.partitionBy("epoch", "shard").orderBy("h")
+    return (keyed.withColumn("shard", shard)
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .select(id_col, F.col("epoch").cast("long").alias("epoch"),
+                    "shard", "pos"))
+
+
+def mixture_reweight(docs: DataFrame, group_col: str = "lang") -> DataFrame:
+    """-> (group, n_docs, actual_share, target_share, weight): per-group
+    sampling weights that rebalance the corpus to a UNIFORM target
+    mixture — weight = target_share / actual_share, the multiplier a
+    sampler applies per group (the data-mixing step after source_token_kl
+    diagnoses the shift).  One aggregate + scalar broadcast; group count
+    is assumed small (languages/domains), as in practice.
+    """
+    counts = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("total"),
+                       F.count(F.lit(1)).alias("n_groups"))
+    actual = F.col("n_docs").cast("double") / F.col("total").cast("double")
+    target = F.lit(1.0) / F.col("n_groups").cast("double")
+    return (counts.crossJoin(F.broadcast(total))
+            .select(F.col("grp").alias(group_col),
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.round(actual, 6).alias("actual_share"),
+                    F.round(target, 6).alias("target_share"),
+                    F.round(target / actual, 6).alias("weight")))

@@ -74,6 +74,9 @@ promote([
     "ngram_jaccard_dups",
     "dup_clusters",
     # -- new this round --
+    "stream_hourly_topk_events",
+    "epoch_shuffle_plan",
+    "lang_mixture_reweight",
     "value_histogram_quantiles",
     "hourly_event_anomalies",
     "incremental_order_totals",

@@ -380,3 +380,57 @@ def quality_logit_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/curation.py:quality_logit."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.quality_logit(docs, _STOPWORDS)
+
+
+from ..operators.curation import SHUFFLE_SHARDS
+
+SHUFFLE_EPOCHS = 2
+
+
+@register("epoch_shuffle_plan", f"""
+WITH e AS (
+    SELECT doc_id, ep.epoch,
+           md5(CAST(ep.epoch AS VARCHAR) || ':'
+               || CAST(doc_id AS VARCHAR)) AS h
+    FROM documents,
+         (SELECT unnest(generate_series(0, {SHUFFLE_EPOCHS - 1}))
+              AS epoch) ep)
+SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+       CAST('0x' || substr(h, 1, 4) AS BIGINT) % {SHUFFLE_SHARDS} AS shard,
+       CAST(row_number() OVER (
+            PARTITION BY epoch,
+                CAST('0x' || substr(h, 1, 4) AS BIGINT) % {SHUFFLE_SHARDS}
+            ORDER BY h) AS BIGINT) AS pos
+FROM e
+""")
+def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch shuffle plan: per epoch, route each doc
+    to shard md5(epoch:id) mod {SHUFFLE_SHARDS} and order shards by the
+    hash — a reproducible, epoch-varying global permutation with NO
+    global sort (one exchange on the shard key + in-shard sort).  See
+    operators/curation.py:epoch_shuffle_plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.epoch_shuffle_plan(docs, SHUFFLE_EPOCHS)
+
+
+@register("lang_mixture_reweight", """
+WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY lang),
+t AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_groups FROM c)
+SELECT lang, n_docs,
+       round(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE), 6)
+           AS actual_share,
+       round(CAST(1 AS DOUBLE) / CAST(n_groups AS DOUBLE), 6)
+           AS target_share,
+       round((CAST(1 AS DOUBLE) / CAST(n_groups AS DOUBLE))
+             / (CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+           AS weight
+FROM c CROSS JOIN t
+""")
+def lang_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights to a uniform language target: per-lang
+    sampling multiplier target_share/actual_share — the rebalancing
+    step a pretraining mixture applies after distribution-shift
+    diagnostics.  See operators/curation.py:mixture_reweight."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.mixture_reweight(docs, "lang")

@@ -441,3 +441,37 @@ def stream_click_purchase_full_join(spark: SparkSession,
         pipeline.click_purchase_full_join(ev),
         "click_purchase_full_join_sink", mode="append")
 
+
+
+TOPK_PER_WINDOW = 3
+
+
+@register("stream_hourly_topk_events", f"""
+WITH c AS (
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2)
+SELECT window_start, event_type, n_events,
+       CAST(row_number() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, event_type)
+            AS BIGINT) AS rk
+FROM c
+QUALIFY rk <= {TOPK_PER_WINDOW}
+""")
+def stream_hourly_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k rollup, the dashboard pattern: the windowed
+    aggregation runs as a genuine streaming query (file source →
+    watermark → tumbling 1-h counts → sink), and the top-{TOPK_PER_WINDOW}
+    rank per window is a batch query OVER THE SINK — exactly how
+    production stacks split it, because rank-over-window isn't an
+    incremental streaming operator.  Deterministic tie-break
+    (count desc, event_type) keeps the oracle exact."""
+    stats = pipeline.windowed_event_stats(
+        pipeline.stream_events(spark, sf_dir))
+    done = pipeline.run_available_now(stats, "hourly_topk_sink")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type"))
+    return (done.select("window_start", "event_type", "n_events")
+            .withColumn("rk", F.row_number().over(w).cast("long"))
+            .where(F.col("rk") <= TOPK_PER_WINDOW))
