@@ -544,3 +544,58 @@ def resize_images(media: DataFrame, target_w: int = 224) -> DataFrame:
 
     return (media.filter(F.col("media_type") == "image")
             .mapInPandas(batches, schema=RESIZED_SCHEMA))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (image near-dup dedup).
+
+PHASH_GW = 4   # block grid width  -> 8 bits total
+PHASH_GH = 2   # block grid height
+
+PHASH_SCHEMA = "media_id long, px_w long, px_h long, phash long"
+
+
+def image_phash(images: DataFrame) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint of REAL image bytes:
+    decode (format sniffed), grayscale by integer mean, downsample onto
+    a {PHASH_GH}x{PHASH_GW} block grid, one bit per block = "block mean
+    above global mean".  -> (media_id, px_w, px_h, phash).
+
+    All arithmetic is EXACT integers — grayscale is (r+g+b)//3 and the
+    threshold compares cross-multiplied sums (block_sum * n_total >
+    total_sum * n_block), never a float mean — so a DuckDB oracle can
+    recompute the hash bit-for-bit from the closed-form pixel pattern.
+    aHash is brightness-shift tolerant by construction (a constant
+    offset moves block and global means together), which is exactly the
+    near-dup class it exists to catch.  Map-only mapInPandas; payloads
+    never shuffle — at 100 TB only the 8-byte hashes reach the dedup
+    exchange.
+    """
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "px_w", "px_h", "phash")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    px = decode_bmp(payload)
+                except ValueError:
+                    px = decode_ppm(payload)
+                h, w = px.shape[:2]
+                g = px.astype(np.int64).sum(axis=2) // 3  # (h, w) ints
+                tsum, tn = int(g.sum()), h * w
+                phash = 0
+                for by in range(PHASH_GH):
+                    ylo, yhi = by * h // PHASH_GH, (by + 1) * h // PHASH_GH
+                    for bx in range(PHASH_GW):
+                        xlo = bx * w // PHASH_GW
+                        xhi = (bx + 1) * w // PHASH_GW
+                        blk = g[ylo:yhi, xlo:xhi]
+                        if int(blk.sum()) * tn > tsum * blk.size:
+                            phash |= 1 << (by * PHASH_GW + bx)
+                out["media_id"].append(mid)
+                out["px_w"].append(w)
+                out["px_h"].append(h)
+                out["phash"].append(phash)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(batches, schema=PHASH_SCHEMA)

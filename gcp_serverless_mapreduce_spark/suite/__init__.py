@@ -74,6 +74,7 @@ promote([
     "ngram_jaccard_dups",
     "dup_clusters",
     # -- new this round --
+    "image_phash_groups",
     "stream_hourly_topk_events",
     "epoch_shuffle_plan",
     "lang_mixture_reweight",

@@ -268,3 +268,72 @@ def image_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize-stub geometry (aspect-preserving, integer-exact); the pixel
     pass is the clearly-marked stub in operators/multimodal.py."""
     return multimodal.resize_images(_media(spark, sf_dir))
+
+
+@register("image_phash_groups", f"""
+WITH img AS (
+    SELECT doc_id AS media_id, doc_id % 5 + 4 AS w, doc_id % 3 + 3 AS h
+    FROM documents),
+g AS (
+    SELECT media_id, w, h,
+           list_transform(generate_series(0, w * h - 1),
+               k -> (((media_id * 31 + (3 * k) * 7) % 256)
+                   + ((media_id * 31 + (3 * k + 1) * 7) % 256)
+                   + ((media_id * 31 + (3 * k + 2) * 7) % 256)) // 3)
+               AS gl
+    FROM img),
+t AS (SELECT media_id, w, h, gl, list_sum(gl) AS tsum, w * h AS tn FROM g),
+b AS (
+    SELECT media_id, w, h, gl, tsum, tn,
+           bb.by * {multimodal.PHASH_GW} + bb.bx AS j,
+           (bb.bx * w) // {multimodal.PHASH_GW} AS xlo,
+           ((bb.bx + 1) * w) // {multimodal.PHASH_GW} AS xhi,
+           (bb.by * h) // {multimodal.PHASH_GH} AS ylo,
+           ((bb.by + 1) * h) // {multimodal.PHASH_GH} AS yhi
+    FROM t, (SELECT x.x AS bx, y.y AS by
+             FROM (SELECT unnest(generate_series(
+                       0, {multimodal.PHASH_GW - 1})) AS x) x,
+                  (SELECT unnest(generate_series(
+                       0, {multimodal.PHASH_GH - 1})) AS y) y) bb),
+bits AS (
+    SELECT media_id, j, tsum, tn,
+           list_sum(list_transform(generate_series(0, tn - 1),
+               k -> CASE WHEN k % w >= xlo AND k % w < xhi
+                          AND k // w >= ylo AND k // w < yhi
+                         THEN gl[k + 1] ELSE 0 END)) AS bsum,
+           list_sum(list_transform(generate_series(0, tn - 1),
+               k -> CASE WHEN k % w >= xlo AND k % w < xhi
+                          AND k // w >= ylo AND k // w < yhi
+                         THEN 1 ELSE 0 END)) AS bn
+    FROM b),
+ph AS (
+    SELECT media_id,
+           CAST(SUM(CASE WHEN bsum * tn > tsum * bn
+                         THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+                AS BIGINT) AS phash
+    FROM bits GROUP BY media_id)
+SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_images,
+       string_agg(CAST(media_id AS VARCHAR), ' ' ORDER BY media_id)
+           AS media_ids
+FROM ph GROUP BY phash
+""")
+def image_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup by PERCEPTUAL hash: every document's real
+    encoded image (BMP/PPM bytes) is decoded and average-hashed —
+    integer grayscale, {multimodal.PHASH_GH}x{multimodal.PHASH_GW}
+    block grid, one bit per block via exact cross-multiplied mean
+    comparison — then images are grouped by identical hash.  The
+    fixture corpus differs largely by per-image brightness offsets,
+    which aHash is invariant to by design, so genuine dedup groups
+    emerge; the oracle recomputes every hash analytically from the
+    closed-form pixel pattern.  Only 8-byte hashes reach the exchange;
+    payload bytes never shuffle.  See operators/multimodal.py:
+    image_phash."""
+    docs = load_table(spark, sf_dir, "documents")
+    ph = multimodal.image_phash(multimodal.image_corpus(docs))
+    ids_str = F.concat_ws(
+        " ", F.transform(F.array_sort(F.collect_list("media_id")),
+                         lambda m: m.cast("string")))
+    return (ph.groupBy("phash")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_images"),
+                 ids_str.alias("media_ids")))

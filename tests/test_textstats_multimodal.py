@@ -127,3 +127,22 @@ def test_wav_roundtrip_exact_and_strict():
     for bad in (b"RIFFxxxx", b"RIFF0000WAVE", b"plain text"):
         with pytest.raises(ValueError):
             multimodal.decode_wav(bad)
+
+
+def test_image_phash_brightness_invariant(spark):
+    import numpy as np
+    from gcp_serverless_mapreduce_spark.operators import multimodal as mm
+    # Structured image and a +40-brightness copy -> identical aHash;
+    # its vertical flip -> different hash (structure moved).
+    base = np.zeros((6, 8, 3), dtype=np.uint8)
+    base[:3, :, :] = 200   # bright top half
+    base[3:, :, :] = 20    # dark bottom half
+    brighter = np.clip(base.astype(int) + 40, 0, 255).astype(np.uint8)
+    flipped = base[::-1, :, :].copy()
+    imgs = spark.createDataFrame(
+        [(1, mm.encode_bmp(base)), (2, mm.encode_ppm(brighter)),
+         (3, mm.encode_bmp(flipped))],
+        "media_id long, payload binary")
+    got = {r.media_id: r.phash for r in mm.image_phash(imgs).collect()}
+    assert got[1] == got[2] != got[3]
+    assert got[1] == 0b00001111  # top row of blocks above the mean
