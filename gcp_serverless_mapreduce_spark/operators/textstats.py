@@ -201,3 +201,54 @@ def source_token_kl(docs: DataFrame, source_col: str = "source",
             .agg(F.max("ns").cast("long").alias("n_tokens"),
                  F.round(F.sum(ps * F.log(ps / pc)), 6)
                  .alias("kl_from_corpus")))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenization (rank-sequential replace-all formulation).
+
+# A BPE merge table in learned order: every merge's inputs exist before
+# it (parents precede children), as a trained table guarantees.  Chains
+# exercise multi-level merges (t+h -> th, th+e -> the).
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("a", "n"), ("i", "n"), ("e", "r"),
+    ("a", "r"), ("s", "t"), ("o", "r"), ("l", "e"), ("a", "s"),
+    ("h", "a"), ("ha", "s"), ("r", "o"), ("ro", "w"), ("k", "e"),
+    ("ke", "y"),
+)
+
+
+def bpe_pieces(text: Column) -> Column:
+    """Apply the BPE merge table to a document and return its piece
+    stream as a delimited string ``<p1><p2>...`` (spaces separate words
+    and are never wrapped, so merges cannot cross word boundaries).
+
+    Formulation: wrap every non-space character as ``<c>``, then apply
+    each merge IN RANK ORDER as a literal replace-all of ``<a><b>`` with
+    ``<ab>`` — deterministic left-to-right non-overlapping replacement,
+    identical semantics in the JVM, DuckDB, and Python.  (This is the
+    rank-sequential formulation: each rank is applied exactly once, in
+    table order — well-defined for any table whose parents precede
+    children, and entirely expression-based: the whole tokenizer runs
+    inside whole-stage codegen with NO Python on the hot path, unlike a
+    priority-queue BPE which would need a UDF.)
+    """
+    s = F.regexp_replace(F.lower(F.trim(text)), r"(\S)", "<$1>")
+    for a, b in BPE_MERGES:
+        s = F.replace(s, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+    return s
+
+
+def bpe_piece_stats(docs: DataFrame, doc_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """-> (doc_id, n_chars_sym, n_pieces, pieces_md5): per-document BPE
+    piece count and an exact fingerprint of the piece stream.  Map-only
+    projection — the merge loop is a fixed chain of string replaces, so
+    at 100 TB this is one codegen'd scan, no shuffle, no UDF."""
+    s = bpe_pieces(F.col(text_col))
+    n_open = F.length(s) - F.length(F.replace(s, F.lit("<"), F.lit("")))
+    raw = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s", "")
+    return docs.select(
+        F.col(doc_col),
+        F.length(raw).cast("long").alias("n_chars_sym"),
+        n_open.cast("long").alias("n_pieces"),
+        F.md5(s).alias("pieces_md5"))

@@ -74,6 +74,8 @@ promote([
     "ngram_jaccard_dups",
     "dup_clusters",
     # -- new this round --
+    "bpe_piece_stats",
+    "walkforward_fold_counts",
     "image_phash_groups",
     "stream_hourly_topk_events",
     "epoch_shuffle_plan",

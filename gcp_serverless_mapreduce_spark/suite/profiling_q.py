@@ -133,3 +133,57 @@ def incremental_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.col("n_orders").cast("long").alias("n_orders"),
         F.col("spend").cast("double").alias("total_spend"))
+
+
+# ---- walk-forward (expanding-window) backtest folds -----------------------
+
+WF_START = "1998-01-01"
+WF_FOLDS = 4
+WF_STEP_MONTHS = 6
+
+
+@register("walkforward_fold_counts", f"""
+WITH f AS (SELECT unnest(generate_series(0, {WF_FOLDS - 1})) AS fold),
+b AS (
+    SELECT f.fold,
+           TIMESTAMP '{WF_START}'
+               + INTERVAL ({WF_STEP_MONTHS}) MONTH * f.fold AS cut,
+           TIMESTAMP '{WF_START}'
+               + INTERVAL ({WF_STEP_MONTHS}) MONTH * (f.fold + 1) AS hi
+    FROM f),
+s AS (
+    SELECT b.fold,
+           CASE WHEN o.o_orderdate < b.cut THEN 'train' ELSE 'test' END
+               AS split,
+           CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+    FROM b JOIN orders o
+      ON o.o_orderdate < b.hi)
+SELECT fold, split,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(price) AS DOUBLE) AS total_spend
+FROM s GROUP BY fold, split
+""")
+def walkforward_fold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward (expanding-window) backtest folds — the
+    leakage-free evaluation protocol for temporal models: fold k trains
+    on everything before {WF_START} + k*{WF_STEP_MONTHS} months and
+    tests on the following {WF_STEP_MONTHS}-month slice.  One scan of
+    orders range-joined to a {WF_FOLDS}-row broadcast fold table (each
+    row lands in every fold whose horizon covers it) — no per-fold
+    re-scan.  Money in DECIMAL, cast at the edge."""
+    orders = load_table(spark, sf_dir, "orders")
+    folds = spark.range(WF_FOLDS).select(F.col("id").cast("int").alias("fold"))
+    start = F.lit(WF_START).cast("timestamp")
+    cut = F.expr(f"timestampadd(MONTH, {WF_STEP_MONTHS} * fold, "
+                 f"TIMESTAMP '{WF_START}')")
+    hi = F.expr(f"timestampadd(MONTH, {WF_STEP_MONTHS} * (fold + 1), "
+                f"TIMESTAMP '{WF_START}')")
+    b = folds.select("fold", cut.alias("cut"), hi.alias("hi"))
+    s = (F.broadcast(b).join(orders, orders["o_orderdate"] < b["hi"])
+         .select("fold",
+                 F.when(F.col("o_orderdate") < F.col("cut"), "train")
+                  .otherwise("test").alias("split"),
+                 F.col("o_totalprice").cast("decimal(18,2)").alias("price")))
+    return (s.groupBy("fold", "split")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum("price").cast("double").alias("total_spend")))

@@ -753,3 +753,35 @@ def doc_token_ids_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.md5(F.concat_ws(" ", F.transform(
                      F.array_sort(F.collect_list(F.struct("i", "id"))),
                      lambda s: s["id"].cast("string")))).alias("ids_md5")))
+
+
+def _bpe_sql(col: str) -> str:
+    """DuckDB twin of textstats.bpe_pieces: wrap chars, replace in rank
+    order (literal, left-to-right, non-overlapping in both engines)."""
+    s = f"regexp_replace(lower(trim({col})), '(\\S)', '<\\1>', 'g')"
+    for a, b in textstats.BPE_MERGES:
+        s = f"replace({s}, '<{a}><{b}>', '<{a}{b}>')"
+    return s
+
+
+@register("bpe_piece_stats", f"""
+WITH s AS (SELECT doc_id, {_bpe_sql('text')} AS pieces,
+                  regexp_replace(lower(trim(text)), '\\s', '', 'g') AS raw
+           FROM documents)
+SELECT doc_id,
+       CAST(len(raw) AS BIGINT) AS n_chars_sym,
+       CAST(len(pieces) - len(replace(pieces, '<', '')) AS BIGINT)
+           AS n_pieces,
+       md5(pieces) AS pieces_md5
+FROM s
+""")
+def bpe_piece_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization as pure column expressions: every non-space char
+    wrapped as a symbol, then the {len(textstats.BPE_MERGES)}-entry merge
+    table applied in rank order as literal replace-alls — the
+    rank-sequential BPE formulation, running entirely inside
+    whole-stage codegen (no UDF, no shuffle).  The oracle gates the
+    exact piece stream via md5, so one mis-merged byte anywhere in the
+    corpus fails the hash.  See operators/textstats.py:bpe_pieces."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.bpe_piece_stats(docs)
