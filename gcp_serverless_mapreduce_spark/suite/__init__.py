@@ -74,6 +74,8 @@ promote([
     "ngram_jaccard_dups",
     "dup_clusters",
     # -- new this round --
+    "event_pattern_matches",
+    "embedding_dim_stats",
     "bpe_piece_stats",
     "walkforward_fold_counts",
     "image_phash_groups",

@@ -142,3 +142,46 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     return behavior.retention_cohorts(events, COHORT_EPOCH)
+
+
+# ---- CEP-style sequence pattern matching ----------------------------------
+
+CEP_PATTERN = "c[ve]*p"   # click, any views/errors, purchase
+
+
+@register("event_pattern_matches", f"""
+WITH s AS (
+    SELECT user_id,
+           string_agg(substr(event_type, 1, 1), ''
+                      ORDER BY ts, event_id) AS seq
+    FROM events GROUP BY user_id)
+SELECT user_id,
+       CAST(len(seq) AS BIGINT) AS seq_len,
+       CAST(len(regexp_extract_all(seq, '{CEP_PATTERN}')) AS BIGINT)
+           AS n_patterns,
+       md5(seq) AS seq_md5
+FROM s
+""")
+def event_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern matching, the MATCH_RECOGNIZE
+    shape: each user's event history becomes an ordered initial-letter
+    string (one char per event, (ts, event_id)-ordered), and the
+    click->...->purchase pattern `{CEP_PATTERN}` is counted by the
+    regex engine — non-overlapping left-to-right in both engines.  One
+    exchange on user_id; the sequence string is gated byte-exact via
+    md5, so one out-of-order event anywhere fails the hash.  At 100 TB
+    the per-user window would sessionize first (bounded sequence
+    length) — the fixture's per-user histories are already bounded."""
+    from pyspark.sql import functions as F
+    ev = load_table(spark, sf_dir, "events")
+    item = F.struct(F.unix_micros("ts").alias("t"),
+                    F.col("event_id").alias("i"),
+                    F.substring("event_type", 1, 1).alias("c"))
+    seq = F.concat_ws("", F.transform(
+        F.array_sort(F.collect_list(item)), lambda s: s["c"]))
+    return (ev.groupBy("user_id").agg(seq.alias("seq"))
+            .select("user_id",
+                    F.length("seq").cast("long").alias("seq_len"),
+                    F.regexp_count("seq", F.lit(CEP_PATTERN)).cast("long")
+                     .alias("n_patterns"),
+                    F.md5("seq").alias("seq_md5")))

@@ -488,3 +488,54 @@ def srp_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.srp_multiprobe_topk(emb, K, PLANES,
                                           max_bucket=MAX_BUCKET)
+
+
+# ---- per-dimension embedding statistics -----------------------------------
+
+DIM_Q = 1_000_000  # fixed-point quantum: floor(x * 1e6) fits exact BIGINTs
+
+
+@register("embedding_dim_stats", f"""
+WITH x AS (
+    SELECT d.dim - 1 AS dim,
+           CAST(floor(CAST(embedding[d.dim] AS DOUBLE) * {DIM_Q})
+                AS BIGINT) AS q
+    FROM embeddings,
+         LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                      AS dim) d),
+s AS (
+    SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(q) AS sq, SUM(q * q) AS sqq
+    FROM x GROUP BY dim)
+SELECT dim, n,
+       round(CAST(sq AS DOUBLE) / ({DIM_Q}.0 * n), 6) AS mean,
+       round(CAST(sqq AS DOUBLE) / ({DIM_Q}.0 * {DIM_Q}.0 * n)
+             - (CAST(sq AS DOUBLE) / ({DIM_Q}.0 * n))
+               * (CAST(sq AS DOUBLE) / ({DIM_Q}.0 * n)), 6) AS variance
+FROM s
+""")
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the embedding matrix — the
+    normalization-statistics pass (feature scaling, whitening, dead-dim
+    detection) over a vector column.  Components are quantized to
+    fixed-point BIGINTs BEFORE any cross-row sum (float summation order
+    varies with partitioning; integer sums are exact and
+    order-independent — same convention as label_centroid_distances),
+    with mean/variance derived from the exact moments in one final
+    double expression.  One posexplode + one 64-group hash-agg with
+    map-side partials: the shuffle is 64 rows per task at any scale."""
+    from pyspark.sql import functions as F
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.floor(F.col("x").cast("double") * DIM_Q).cast("long")
+    x = emb.select(F.posexplode("embedding").alias("dim", "x")) \
+           .select("dim", q.alias("q"))
+    qd = float(DIM_Q)
+    mean = F.col("sq").cast("double") / (F.lit(qd) * F.col("n"))
+    var = (F.col("sqq").cast("double") / (F.lit(qd) * F.lit(qd) * F.col("n"))
+           - mean * mean)
+    return (x.groupBy("dim")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("q").alias("sq"),
+                 F.sum(F.col("q") * F.col("q")).alias("sqq"))
+            .select("dim", "n", F.round(mean, 6).alias("mean"),
+                    F.round(var, 6).alias("variance")))
