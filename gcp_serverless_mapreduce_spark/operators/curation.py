@@ -581,3 +581,26 @@ def mixture_reweight(docs: DataFrame, group_col: str = "lang") -> DataFrame:
                     F.round(actual, 6).alias("actual_share"),
                     F.round(target, 6).alias("target_share"),
                     F.round(target / actual, 6).alias("weight")))
+
+
+def weighted_sample_per_group(docs: DataFrame, group_col: str, n: int,
+                              id_col: str = "doc_id",
+                              weight_col: str = "n_chars") -> DataFrame:
+    """Per-GROUP Efraimidis-Spirakis weighted sample: the distributed
+    per-key reservoir — top ``n`` rows per group by the same quantized
+    -ln(u)/w key as :func:`weighted_sample` (md5-derived u, 9dp
+    quantization + id tie-break).  One exchange on the group key; the
+    rank window never sees more than a group's rows, so this is how a
+    per-domain sample is drawn from a 100 TB corpus without a global
+    sort.  -> (group, doc_id, weight, samp_key, samp_rank<=n)."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13),
+               16, 10).cast("long")
+    u = (h.cast("double") + 0.5) / F.lit(float(16 ** 13))
+    key = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.col("samp_key").asc(), F.col(id_col).asc()))
+    return (docs.select(F.col(group_col), F.col(id_col),
+                        F.col(weight_col).cast("long").alias("weight"),
+                        key.alias("samp_key"))
+            .withColumn("samp_rank", F.row_number().over(w).cast("long"))
+            .where(F.col("samp_rank") <= n))

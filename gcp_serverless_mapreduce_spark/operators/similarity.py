@@ -871,3 +871,40 @@ def pq_code_histogram(emb: DataFrame, codebooks: list[list[list[float]]],
         .groupBy("m", "code")
         .agg(F.count("*").alias("n_vecs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive negative sampling.
+
+NEG_POOL = 64   # broadcast candidate pool size
+NEG_K = 4       # negatives per anchor
+
+
+def contrastive_negatives(emb: DataFrame, pool: int = NEG_POOL,
+                          k: int = NEG_K) -> DataFrame:
+    """-> (vec_id, neg_rank, neg_id, neg_label): deterministic negative
+    sampling for contrastive training — for every anchor, ``k``
+    different-label negatives drawn from a small GLOBAL candidate pool.
+
+    The pool is the ``pool`` vectors with the smallest md5(vec_id)
+    (a deterministic uniform sample) and is broadcast, so the join is
+    anchors x pool — O(N * pool), never O(N^2) — and each anchor ranks
+    its candidates by md5(anchor:candidate), a per-anchor-fresh
+    deterministic order.  Re-running on any partitioning yields the
+    same negatives, the reproducibility a training-data release needs.
+    """
+    ids = emb.select(F.col("vec_id"), F.col("label"))
+    pool_df = (ids.select(F.col("vec_id").alias("neg_id"),
+                          F.col("label").alias("neg_label"),
+                          F.md5(F.col("vec_id").cast("string")).alias("ph"))
+               .orderBy("ph", "neg_id").limit(pool)
+               .drop("ph"))
+    pair_h = F.md5(F.concat_ws(":", F.col("vec_id"), F.col("neg_id")))
+    w = Window.partitionBy("vec_id").orderBy("pair_h", "neg_id")
+    return (ids.join(F.broadcast(pool_df),
+                     (F.col("label") != F.col("neg_label"))
+                     & (F.col("vec_id") != F.col("neg_id")))
+            .withColumn("pair_h", pair_h)
+            .withColumn("neg_rank", F.row_number().over(w).cast("long"))
+            .where(F.col("neg_rank") <= k)
+            .select("vec_id", "neg_rank", "neg_id", "neg_label"))

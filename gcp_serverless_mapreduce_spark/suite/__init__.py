@@ -74,6 +74,9 @@ promote([
     "ngram_jaccard_dups",
     "dup_clusters",
     # -- new this round --
+    "corpus_prep_pipeline_v2",
+    "weighted_sample_per_source",
+    "contrastive_negatives",
     "event_pattern_matches",
     "embedding_dim_stats",
     "bpe_piece_stats",

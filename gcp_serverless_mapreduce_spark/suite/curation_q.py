@@ -434,3 +434,81 @@ def lang_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnostics.  See operators/curation.py:mixture_reweight."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.mixture_reweight(docs, "lang")
+
+
+# ---- composed corpus-prep pipeline v2 -------------------------------------
+
+from .textstats_q import _bpe_sql as _BPE_SQL_FN
+
+# The quality-logit keep predicate, identical to quality_logit_scores.
+_QL_Z = f"""(CAST({QL_BIAS!r} AS DOUBLE)
+    + CAST({QL_W_LOGLEN!r} AS DOUBLE)
+      * ln(CAST(1 AS DOUBLE) + CAST(len(toks) AS DOUBLE))
+    + CAST({QL_W_MEANLEN!r} AS DOUBLE)
+      * (CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+         / len(toks))
+    + CAST({QL_W_STOPRATIO!r} AS DOUBLE)
+      * (CAST(len(list_filter(toks, x -> x IN ({_STOPS}))) AS DOUBLE)
+         / len(toks))
+    + CAST({QL_W_DIGITRATIO!r} AS DOUBLE)
+      * (CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+              AS DOUBLE) / len(text))
+    + CAST({QL_W_DISTINCT!r} AS DOUBLE)
+      * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)))"""
+
+
+@register("corpus_prep_pipeline_v2", f"""
+WITH t AS (SELECT doc_id, lang, n_chars, text, {_TOKS} AS toks
+           FROM documents),
+ql AS (
+    SELECT * FROM t
+    WHERE len(toks) > 0
+      AND round(1.0 / (1.0 + exp(-{_QL_Z})), 6) >= 0.5),
+dd AS (
+    SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) AS rn
+    FROM ql),
+kept AS (SELECT doc_id, lang, n_chars, text FROM dd WHERE rn = 1),
+sp AS (
+    SELECT lang, n_chars,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+                    THEN 'val'
+                ELSE 'test' END AS split,
+           len({_BPE_SQL_FN('text')})
+               - len(replace({_BPE_SQL_FN('text')}, '<', '')) AS n_pieces
+    FROM kept)
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM sp GROUP BY split, lang
+""")
+def corpus_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 operators composed as ONE declarative corpus-prep
+    plan — logistic quality gate -> exact keep-first dedup -> hash
+    train/val/test split -> BPE piece accounting per (split, lang).
+    Catalyst fuses the quality gate and BPE projections into the scan
+    stage; the only exchanges are the dedup window key and the final
+    group-by, which is how the full prep pass stays a two-shuffle job
+    at 100 TB.  Every stage is individually oracle-gated elsewhere
+    (quality_logit_scores, exact_dedup_groups, dataset_split_counts,
+    bpe_piece_stats); this query gates their composition."""
+    from ..functions.text import STOPWORDS
+    from ..operators import textstats
+    docs = load_table(spark, sf_dir, "documents")
+    ql = curation.quality_logit(docs, STOPWORDS)
+    kept_q = docs.join(ql.where("keep").select("doc_id"), "doc_id", "semi")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (kept_q.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1))
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (F.when(h2 < "e6", "train")
+             .when(h2 < "f3", "val").otherwise("test"))
+    pieces = textstats.bpe_piece_stats(kept).select("doc_id", "n_pieces")
+    return (kept.join(pieces, "doc_id")
+            .groupBy(split.alias("split"), "lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_pieces").cast("long").alias("total_pieces"),
+                 F.sum("n_chars").cast("long").alias("total_chars")))

@@ -240,3 +240,29 @@ def weighted_sample_bychars(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort.  See operators/curation.py:weighted_sample."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.weighted_sample(docs, SAMPLE_N)
+
+
+PER_SOURCE_N = 3
+
+
+@register("weighted_sample_per_source", f"""
+WITH keyed AS (
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+           round(-ln((CAST({_HEX_FOLD} AS DOUBLE) + 0.5) / {float(16 ** 13)})
+                 / CAST(n_chars AS DOUBLE), 9) AS samp_key
+    FROM documents)
+SELECT source, doc_id, weight, samp_key,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY samp_key, doc_id) AS BIGINT)
+           AS samp_rank
+FROM keyed
+QUALIFY samp_rank <= {PER_SOURCE_N}
+""")
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE weighted sample (the distributed per-key reservoir):
+    top {PER_SOURCE_N} docs per source under the same quantized
+    Efraimidis-Spirakis key as the global sample — one exchange on the
+    source key, rank windows bounded by group size, no global sort.
+    See operators/curation.py:weighted_sample_per_group."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.weighted_sample_per_group(docs, "source", PER_SOURCE_N)

@@ -539,3 +539,33 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("q") * F.col("q")).alias("sqq"))
             .select("dim", "n", F.round(mean, 6).alias("mean"),
                     F.round(var, 6).alias("variance")))
+
+
+@register("contrastive_negatives", f"""
+WITH pool AS (
+    SELECT vec_id AS neg_id, label AS neg_label
+    FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {similarity.NEG_POOL}),
+pairs AS (
+    SELECT e.vec_id, p.neg_id, p.neg_label,
+           md5(CAST(e.vec_id AS VARCHAR) || ':'
+               || CAST(p.neg_id AS VARCHAR)) AS pair_h
+    FROM embeddings e JOIN pool p
+      ON e.label <> p.neg_label AND e.vec_id <> p.neg_id)
+SELECT vec_id,
+       CAST(row_number() OVER (PARTITION BY vec_id
+                               ORDER BY pair_h, neg_id) AS BIGINT)
+           AS neg_rank,
+       neg_id, neg_label
+FROM pairs
+QUALIFY neg_rank <= {similarity.NEG_K}
+""")
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling: {similarity.NEG_K}
+    different-label negatives per anchor from a broadcast
+    {similarity.NEG_POOL}-vector global pool, ranked per anchor by
+    md5(anchor:candidate) — O(N x pool) work, reproducible on any
+    partitioning.  See operators/similarity.py:contrastive_negatives."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.contrastive_negatives(emb)
