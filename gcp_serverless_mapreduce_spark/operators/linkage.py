@@ -34,6 +34,16 @@ from .textstats import tokens
 # Sorted-neighborhood geometry.
 SN_WINDOW = 5          # compare each doc to its 5 successors
 SN_JACCARD_MIN = 0.5   # emit pairs at or above this token-set Jaccard
+# Hot-block bound: a block is one sort partition, so a degenerate corpus
+# where every doc opens with the same token would otherwise funnel into
+# ONE task's sort.  Blocks over the cap are THINNED before any sort —
+# keep doc iff hash(id) % ceil(count/cap) == 0, a count-join + modulus
+# with no ordering dependence — so the per-block sorted set stays
+# ~cap-bounded in expectation and the thinned docs wait for the next
+# key-rotation pass (the multi-pass SNM answer), exactly the max_bucket
+# trade the LSH/SimHash joins make.  Far above any fixture block, so
+# results are unchanged there (stride 1 keeps everything).
+SN_MAX_BLOCK = 4096
 
 # Fellegi-Sunter log-ish agreement weights (fixed, engine-portable).
 FS_BAL_TOL = 100.0     # |acctbal delta| within tolerance -> agreement
@@ -66,16 +76,18 @@ def jaccard(a: Column, b: Column) -> Column:
 def sorted_neighborhood_pairs(docs: DataFrame,
                               window: int = SN_WINDOW,
                               jaccard_min: float = SN_JACCARD_MIN,
+                              max_block: int = SN_MAX_BLOCK,
                               id_col: str = "doc_id",
                               text_col: str = "text") -> DataFrame:
     """-> (doc_id_a, doc_id_b, jacc): near-dup candidates from one
     sorted-neighborhood pass.
 
     Sort key = the document's first three tokens (similar openings sort
-    adjacent); block key = the first token.  The plan is: one exchange
-    on the block, a per-block sort, and a window that collects each
-    row's ``window`` successors as structs — each doc emits at most
-    ``window`` comparisons, so the stage is O(n*w) with no self-join.
+    adjacent); block key = the first token, bounded at ``max_block``
+    rows (see SN_MAX_BLOCK).  The plan is: one exchange on the block, a
+    per-block sort, and a window that collects each row's ``window``
+    successors as structs — each doc emits at most ``window``
+    comparisons, so the stage is O(n*w) with no self-join.
     """
     keyed = docs.select(
         F.col(id_col).alias("id"),
@@ -83,6 +95,12 @@ def sorted_neighborhood_pairs(docs: DataFrame,
         F.concat_ws(" ", F.slice(tokens(F.col(text_col)), 1, 3))
          .alias("sortkey"),
     ).withColumn("blk", F.split(F.col("sortkey"), " ").getItem(0))
+    cnts = keyed.groupBy("blk").agg(F.count(F.lit(1)).alias("_bn"))
+    stride = F.ceil(F.col("_bn") / F.lit(max_block)).cast("long")
+    h = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 13),
+               16, 10).cast("long")
+    keyed = (keyed.join(cnts, "blk")
+             .where(h % stride == 0).drop("_bn"))
     w = (Window.partitionBy("blk").orderBy("sortkey", "id")
          .rowsBetween(1, window))
     nbrs = keyed.withColumn(

@@ -15,7 +15,7 @@ from ..operators import linkage
 from ..operators.linkage import (FS_BAL_TOL, FS_MATCH_MIN, FS_NEIGHBORS,
                                  FS_W_BAL_AGREE, FS_W_BAL_DISAGREE,
                                  FS_W_SIGN_AGREE, FS_W_SIGN_DISAGREE,
-                                 SN_JACCARD_MIN, SN_WINDOW)
+                                 SN_JACCARD_MIN, SN_MAX_BLOCK, SN_WINDOW)
 from ..registry import register
 from ..tables import load_table
 from .textstats_q import _TOKS
@@ -29,10 +29,15 @@ WITH t AS (
     FROM documents),
 b AS (
     SELECT id, ts, sortkey, string_split(sortkey, ' ')[1] AS blk FROM t),
+c AS (SELECT blk, COUNT(*) AS bn FROM b GROUP BY blk),
+bf AS (
+    SELECT b.* FROM b JOIN c USING (blk)
+    WHERE CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 13) AS BIGINT)
+          % CAST(ceil(bn / {SN_MAX_BLOCK}.0) AS BIGINT) = 0),
 r AS (
     SELECT *, row_number() OVER (PARTITION BY blk
                                  ORDER BY sortkey, id) AS rn
-    FROM b),
+    FROM bf),
 p AS (
     SELECT a.id AS doc_id_a, c.id AS doc_id_b,
            CAST(len(list_filter(a.ts, x -> list_contains(c.ts, x)))

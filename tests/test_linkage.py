@@ -51,3 +51,20 @@ def test_record_linkage_weights(spark):
                                  + linkage.FS_W_SIGN_AGREE, 6), True)
     assert (2, 3) not in out and (1, 3) not in out  # fs_score <= 0 dropped
     assert not any(4 in p for p in out)
+
+
+def test_sorted_neighborhood_hot_block_thinning(spark):
+    # 600 docs all opening with the same token, cap 100 -> stride 6
+    # thins the block to roughly 1/6 BEFORE any sort; a small block
+    # (stride 1) is untouched.
+    docs = spark.createDataFrame(
+        [(i, f"same opener tokens filler{i}") for i in range(600)]
+        + [(1000 + i, f"rare opener tokens filler{i}") for i in range(4)],
+        "doc_id long, text string")
+    from gcp_serverless_mapreduce_spark.operators import linkage
+    pairs = linkage.sorted_neighborhood_pairs(
+        docs, window=2, jaccard_min=0.0, max_block=100)
+    ids = {i for r in pairs.collect() for i in (r.doc_id_a, r.doc_id_b)}
+    hot = {i for i in ids if i < 1000}
+    assert 40 <= len(hot) <= 160          # ~600/6, hash-thinned
+    assert {1000, 1001, 1002, 1003} <= ids  # small block intact
