@@ -32,6 +32,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas-UDF path (vector ops, multimodal plumbing).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Let custom Python Data Sources (sources/pyds.py) absorb filters
+    # via pushFilters() instead of Spark re-evaluating them post-scan.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

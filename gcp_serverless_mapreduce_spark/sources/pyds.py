@@ -1,0 +1,112 @@
+"""Custom Python Data Source (Spark 4 `pyspark.sql.datasource` API):
+a partitioned, filter-pushing reader over the events fixture.
+
+This is the modern extension point for sources Spark has no built-in
+connector for (internal services, bespoke formats, feature stores).  The
+reader demonstrates the three things a scale-correct source must do:
+
+- **Split planning** (`partitions()`): N `InputPartition`s, each
+  consuming a disjoint subset of the file's Arrow batches — executors
+  read in parallel, no driver materialization.
+- **Filter pushdown** (`pushFilters()`): `EqualTo(event_type, v)` is
+  absorbed into the reader (applied per Arrow batch at the source,
+  before rows ever reach Spark) and removed from the Spark-side plan;
+  everything else is returned as unsupported so Spark re-applies it.
+- **Arrow-batch emission** (`read()` yields `pyarrow.RecordBatch`):
+  columnar transfer, no per-row Python objects.
+
+Timestamps are surfaced as epoch-microsecond BIGINTs (`ts_us`) — the
+tz-free wire encoding — and converted to TIMESTAMP by the caller, so the
+source contract is independent of the session timezone and of parquet's
+NTZ/LTZ flavor drift (the round-4 fixture regression this repo's
+`tables.load_table` normalizes).
+
+Maps to the reference's landing-zone ingestion surface
+(storage/client.go:67-101) generalized to a pluggable connector.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader, EqualTo,
+                                    InputPartition)
+
+N_PARTITIONS = 8
+BATCH_ROWS = 4096
+
+SCHEMA = ("event_id bigint, ts_us bigint, user_id bigint, "
+          "event_type string, value double, props string")
+
+
+class EventsDataSource(DataSource):
+    """`spark.read.format("events_pyds").option("path", ...)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "events_pyds"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> "EventsReader":
+        return EventsReader(self.options)
+
+
+class EventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("events_pyds: 'path' option is required")
+        self.n_parts = int(options.get("partitions", N_PARTITIONS))
+        self.type_eq: str | None = None
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if (isinstance(f, EqualTo) and tuple(f.attribute) == ("event_type",)
+                    and isinstance(f.value, str) and self.type_eq is None):
+                self.type_eq = f.value
+            else:
+                yield f  # unsupported -> Spark re-applies it
+
+    def partitions(self):
+        # CONSUME-ONCE: one reader instance serves every query derived
+        # from the same load(), and Spark only calls pushFilters() on
+        # plans that HAVE filters — so an absorbed filter left on the
+        # reader would silently leak into a later unfiltered query on
+        # the same DataFrame.  Binding the filter into this plan's
+        # InputPartition values and clearing it here scopes the pushdown
+        # to exactly the planning pass that requested it (the sequence
+        # per query is pushFilters? -> partitions -> read).
+        type_eq, self.type_eq = self.type_eq, None
+        return [InputPartition((i, type_eq)) for i in range(self.n_parts)]
+
+    def read(self, partition) -> Iterator:
+        """Yield this split's Arrow batches: batch i belongs to split
+        (i mod n_parts) — streaming iteration, never a full-file read."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        split, type_eq = partition.value
+        pf = pq.ParquetFile(self.path)
+        for i, batch in enumerate(pf.iter_batches(batch_size=BATCH_ROWS)):
+            if i % self.n_parts != split:
+                continue
+            tbl = pa.Table.from_batches([batch])
+            if type_eq is not None:
+                tbl = tbl.filter(pc.equal(tbl["event_type"], type_eq))
+            out = pa.table({
+                "event_id": tbl["event_id"].cast(pa.int64()),
+                "ts_us": tbl["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "user_id": tbl["user_id"].cast(pa.int64()),
+                "event_type": tbl["event_type"].cast(pa.string()),
+                "value": tbl["value"].cast(pa.float64()),
+                "props": tbl["props"].cast(pa.string()),
+            })
+            yield from out.to_batches()
+
+
+def register(spark) -> None:
+    """Idempotent registration of the custom source."""
+    spark.dataSource.register(EventsDataSource)

@@ -120,3 +120,35 @@ def events_json_corrupt_routing(spark: SparkSession,
             .groupBy("status")
             .agg(F.count("*").alias("n_rows"),
                  F.sum(F.when(good, F.col("event_id"))).alias("sum_event_id")))
+
+
+@register("pyds_click_user_stats", """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_click
+FROM events WHERE event_type = 'click'
+GROUP BY user_id
+""")
+def pyds_click_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON DATA SOURCE (Spark 4 `pyspark.sql.datasource`) read
+    path: events served by a pluggable Arrow-batch connector with real
+    split planning (8 InputPartitions over disjoint batch subsets) and
+    `EqualTo(event_type)` filter PUSHDOWN absorbed inside the source —
+    rows are filtered per Arrow batch before they ever reach Spark.
+    The oracle reads the same parquet directly, so the gate covers the
+    whole connector contract: splits, pushdown, Arrow transfer, and the
+    epoch-micros timestamp wire encoding.  See sources/pyds.py."""
+    from ..sources import pyds
+    pyds.register(spark)
+    ev = (spark.read.format("events_pyds")
+          .option("path", f"{sf_dir}/events.parquet")
+          .load()
+          .withColumn("ts", F.timestamp_micros(F.col("ts_us"))))
+    return (ev.where(F.col("event_type") == "click")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_clicks"),
+                 F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+                  .alias("total_value"),
+                 F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+                  .alias("first_click")))

@@ -143,3 +143,34 @@ def test_corrupt_records_routed_not_dropped(spark, tmp_path):
     # good rows survive bit-exact
     assert {(r["event_id"], r["name"]) for r in good.collect()} == {
         (1, "a"), (2, "b")}
+
+
+def test_python_datasource_splits_and_pushdown(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    from gcp_serverless_mapreduce_spark.sources import pyds
+    pyds.register(spark)
+
+    def load():
+        # ONE load() per query: Spark plans a v2 scan once per relation
+        # and caches it, so a pushed filter is baked into that relation
+        # — sharing a load() across differently-filtered queries would
+        # reuse the first query's pushdown (framework behavior, pinned
+        # by this test via fresh loads).
+        return (spark.read.format("events_pyds")
+                .option("path", f"{sf_dir}/events.parquet").load())
+
+    # Split planning: one Spark partition per InputPartition.
+    assert load().rdd.getNumPartitions() == pyds.N_PARTITIONS
+    # Pushdown correctness: source-filtered == full-read post-filtered,
+    # and the unfiltered relation matches the parquet ground truth.
+    truth = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    n_clicks_truth = sum(1 for r in truth if r.event_type == "click")
+    assert load().where("event_type = 'click'").count() == n_clicks_truth
+    assert load().count() == len(truth)
+    # ts_us wire encoding is lossless epoch micros vs the parquet ts.
+    import calendar
+    t = {r.event_id: calendar.timegm(r.ts.timetuple()) * 1_000_000
+         + r.ts.microsecond for r in truth[:50]}
+    got = {r.event_id: r.ts_us for r in load().limit(1000).collect()
+           if r.event_id in t}
+    assert got and all(got[k] == t[k] for k in got)
