@@ -110,3 +110,98 @@ class EventsReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotent registration of the custom source."""
     spark.dataSource.register(EventsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Custom STREAMING Python Data Source: micro-batch replay with real
+# offset management (initialOffset / latestOffset / partitions / commit)
+# — the full streaming-connector contract a Kafka/queue source
+# implements, here replaying the events fixture in file order.
+
+from pyspark.sql.datasource import DataSourceStreamReader
+
+STREAM_ROWS_PER_TRIGGER = 2500
+STREAM_PARTS = 4
+
+
+class EventsStreamDataSource(DataSource):
+    """`spark.readStream.format("events_stream_pyds")`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "events_stream_pyds"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def streamReader(self, schema) -> "EventsStreamReader":
+        return EventsStreamReader(self.options)
+
+
+class EventsStreamReader(DataSourceStreamReader):
+    """Offsets are row positions in file order: each trigger advances the
+    watermark-free high offset by ``rowsPerTrigger`` until the fixture is
+    exhausted, then the stream idles (completion is observed from the
+    sink, as with the rate-replay source).  Each micro-batch's row range
+    splits into ``STREAM_PARTS`` contiguous sub-ranges read in parallel
+    on executors as Arrow batches."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("events_stream_pyds: 'path' option is required")
+        self.rows_per_trigger = int(
+            options.get("rowsPerTrigger", STREAM_ROWS_PER_TRIGGER))
+        self.n_parts = int(options.get("partitions", STREAM_PARTS))
+        import pyarrow.parquet as pq
+        self.total = pq.ParquetFile(self.path).metadata.num_rows
+        self._pos = 0
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        self._pos = min(self._pos + self.rows_per_trigger, self.total)
+        return {"row": self._pos}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["row"], end["row"]
+        if hi <= lo:
+            return [InputPartition((lo, lo))]
+        step = max(1, -(-(hi - lo) // self.n_parts))
+        return [InputPartition((p, min(p + step, hi)))
+                for p in range(lo, hi, step)]
+
+    def commit(self, end: dict) -> None:
+        pass  # replay source: nothing to acknowledge upstream
+
+    def read(self, partition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        lo, hi = partition.value
+        if hi <= lo:
+            return
+        pf = pq.ParquetFile(self.path)
+        seen = 0
+        for batch in pf.iter_batches(batch_size=BATCH_ROWS):
+            b_lo, b_hi = seen, seen + batch.num_rows
+            seen = b_hi
+            if b_hi <= lo:
+                continue
+            if b_lo >= hi:
+                break
+            s, e = max(lo, b_lo) - b_lo, min(hi, b_hi) - b_lo
+            tbl = pa.Table.from_batches([batch.slice(s, e - s)])
+            out = pa.table({
+                "event_id": tbl["event_id"].cast(pa.int64()),
+                "ts_us": tbl["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "user_id": tbl["user_id"].cast(pa.int64()),
+                "event_type": tbl["event_type"].cast(pa.string()),
+                "value": tbl["value"].cast(pa.float64()),
+                "props": tbl["props"].cast(pa.string()),
+            })
+            yield from out.to_batches()
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(EventsStreamDataSource)

@@ -475,3 +475,33 @@ def stream_hourly_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (done.select("window_start", "event_type", "n_events")
             .withColumn("rk", F.row_number().over(w).cast("long"))
             .where(F.col("rk") <= TOPK_PER_WINDOW))
+
+
+@register("stream_windowed_event_stats_pyds", """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def stream_windowed_event_stats_pyds(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The SAME windowed-agg transform, fed by a CUSTOM PYTHON STREAMING
+    DATA SOURCE (Spark 4 `DataSourceStreamReader`): real offset
+    management (initialOffset/latestOffset/partitions/commit), each
+    micro-batch's row range split into parallel Arrow-batch reads — the
+    full connector contract a Kafka/queue source implements, replayed
+    over the fixture and held to the same DuckDB oracle.  Third
+    transport for SURVEY C2 after the file source and rate-micro-batch.
+    See sources/pyds.py:EventsStreamReader."""
+    from ..sources import pyds
+    n_expected = load_table(spark, sf_dir, "events").count()
+    pyds.register_stream(spark)
+    ev = (spark.readStream.format("events_stream_pyds")
+          .option("path", f"{sf_dir}/events.parquet")
+          .load()
+          .select(F.timestamp_micros("ts_us").alias("ts"),
+                  "event_type", "value"))
+    stats = pipeline.windowed_event_stats(ev)
+    return pipeline.run_rate_replay(
+        stats, "windowed_event_stats_pyds_sink", n_expected)
