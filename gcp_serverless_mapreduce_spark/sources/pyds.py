@@ -205,3 +205,85 @@ class EventsStreamReader(DataSourceStreamReader):
 
 def register_stream(spark) -> None:
     spark.dataSource.register(EventsStreamDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Custom Python Data Source WRITER: executor-parallel shard writes with
+# the two-phase commit protocol (write -> WriterCommitMessage -> driver
+# commit/abort) — the contract that makes a distributed sink atomic:
+# shards land under a staging name and only the driver's commit() makes
+# them visible via the manifest; abort() removes every staged shard.
+
+import json as _json
+import os as _os
+import uuid as _uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _ShardCommit(WriterCommitMessage):
+    filename: str
+    n_rows: int
+
+
+class JsonShardDataSource(DataSource):
+    """`df.write.format("json_shards").option("path", dir).save()`:
+    JSON-lines shards + an atomically-committed MANIFEST.json."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "json_shards"
+
+    def writer(self, schema, overwrite: bool) -> "JsonShardWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("json_shards: 'path' option is required")
+        return JsonShardWriter(path, [f.name for f in schema.fields])
+
+
+class JsonShardWriter(DataSourceWriter):
+    def __init__(self, path: str, columns: list):
+        self.path = path
+        self.columns = columns
+
+    def write(self, iterator) -> _ShardCommit:
+        """Executor side: stream this partition's rows into one staged
+        shard (never buffered whole) and report it to the driver."""
+        _os.makedirs(self.path, exist_ok=True)
+        fname = f"_staged-{_uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(_os.path.join(self.path, fname), "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(
+                    {c: row[i] for i, c in enumerate(self.columns)},
+                    default=str) + "\n")
+                n += 1
+        return _ShardCommit(filename=fname, n_rows=n)
+
+    def commit(self, messages) -> None:
+        """Driver side: rename every staged shard into place, then write
+        the manifest LAST — readers treat the manifest as the commit
+        mark, so a crash anywhere before it leaves no visible output."""
+        shards = []
+        for m in messages:
+            final = m.filename.replace("_staged-", "part-")
+            _os.rename(_os.path.join(self.path, m.filename),
+                       _os.path.join(self.path, final))
+            shards.append({"file": final, "n_rows": m.n_rows})
+        manifest = {"shards": sorted(shards, key=lambda s: s["file"]),
+                    "n_rows": sum(s["n_rows"] for s in shards)}
+        with open(_os.path.join(self.path, "MANIFEST.json"), "w") as fh:
+            _json.dump(manifest, fh, indent=1)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                _os.remove(_os.path.join(self.path, m.filename))
+            except OSError:
+                pass
+
+
+def register_writer(spark) -> None:
+    spark.dataSource.register(JsonShardDataSource)

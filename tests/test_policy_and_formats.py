@@ -174,3 +174,27 @@ def test_python_datasource_splits_and_pushdown(spark):
     got = {r.event_id: r.ts_us for r in load().limit(1000).collect()
            if r.event_id in t}
     assert got and all(got[k] == t[k] for k in got)
+
+
+def test_json_shard_writer_two_phase_commit(spark, tmp_path):
+    import json, os
+    from gcp_serverless_mapreduce_spark.sources import pyds
+    pyds.register_writer(spark)
+    out = str(tmp_path / "shards")
+    df = spark.range(100).selectExpr("id", "id * 2 AS double_id") \
+        .repartition(4)
+    df.write.format("json_shards").option("path", out).mode("append").save()
+    manifest = json.load(open(os.path.join(out, "MANIFEST.json")))
+    assert manifest["n_rows"] == 100
+    assert len(manifest["shards"]) == 4
+    # No staged leftovers; every listed shard exists with its row count.
+    names = set(os.listdir(out))
+    assert not any(n.startswith("_staged-") for n in names)
+    got = []
+    for s in manifest["shards"]:
+        assert s["file"] in names
+        rows = [json.loads(l) for l in open(os.path.join(out, s["file"]))]
+        assert len(rows) == s["n_rows"]
+        got.extend(rows)
+    assert sorted(r["id"] for r in got) == list(range(100))
+    assert all(r["double_id"] == 2 * r["id"] for r in got)
