@@ -252,3 +252,55 @@ def bpe_piece_stats(docs: DataFrame, doc_col: str = "doc_id",
         F.length(raw).cast("long").alias("n_chars_sym"),
         n_open.cast("long").alias("n_pieces"),
         F.md5(s).alias("pieces_md5"))
+
+
+BPE_LEARN_ROUNDS = 8
+BPE_MIN_PAIR = 2
+
+
+def learn_bpe_merges(docs: DataFrame, rounds: int = BPE_LEARN_ROUNDS,
+                     min_pair: int = BPE_MIN_PAIR,
+                     text_col: str = "text"):
+    """LEARN a BPE merge table from the corpus (closing the tokenizer
+    loop that :func:`bpe_pieces` applies): ``rounds`` greedy rounds, each
+    counting adjacent symbol pairs within words corpus-wide, picking the
+    most frequent pair — ties broken (count desc, sym_a, sym_b) so the
+    choice is deterministic — and merging every occurrence.
+
+    -> (rank, sym_a, sym_b, pair_count) for each APPLIED merge (rounds
+    whose best pair falls under ``min_pair`` apply nothing).
+
+    Scale shape: each round is one explode + one hash-agg over the
+    corpus plus a ONE-ROW driver collect (the argmax steers the next
+    round's literal replace — scalar steering like KMeans centroid
+    updates, never a data collect); the corpus representation advances
+    by a codegen'd literal replace per round.  The per-round frames are
+    localCheckpoint-ed so round k doesn't replay rounds 1..k-1's
+    replaces from the scan.
+    """
+    cur = docs.select(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                         r"(\S)", "<$1>").alias("s"))
+    cur = cur.localCheckpoint()
+    merges = []
+    for rank in range(1, rounds + 1):
+        syms = F.expr("regexp_extract_all(word, '<([^>]+)>', 1)")
+        pairs = (cur.select(F.explode(F.split("s", " ")).alias("word"))
+                 .select(syms.alias("y"))
+                 .where(F.size("y") >= 2)
+                 .select(F.explode(F.arrays_zip(
+                     F.slice("y", 1, F.size("y") - 1),
+                     F.slice("y", 2, F.size("y") - 1))).alias("p"))
+                 .select(F.col("p.0").alias("a"), F.col("p.1").alias("b")))
+        best = (pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+                .orderBy(F.col("c").desc(), "a", "b").limit(1).collect())
+        if not best or best[0]["c"] < min_pair:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], best[0]["c"]
+        merges.append((rank, a, b, int(c)))
+        cur = cur.select(
+            F.replace(F.col("s"), F.lit(f"<{a}><{b}>"),
+                      F.lit(f"<{a}{b}>")).alias("s")).localCheckpoint()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "rank long, sym_a string, sym_b string, pair_count long")

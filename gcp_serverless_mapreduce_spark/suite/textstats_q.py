@@ -785,3 +785,52 @@ def bpe_piece_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus fails the hash.  See operators/textstats.py:bpe_pieces."""
     docs = load_table(spark, sf_dir, "documents")
     return textstats.bpe_piece_stats(docs)
+
+
+def _bpe_learn_sql(rounds: int, min_pair: int) -> str:
+    """Unrolled DuckDB twin of textstats.learn_bpe_merges: round k's
+    argmax pair (count desc, a, b) is a one-row CTE steering round k's
+    replace, exactly the scalar the Spark side collects."""
+    parts = ["WITH s0 AS (SELECT regexp_replace(lower(trim(text)), "
+             "'(\\S)', '<\\1>', 'g') AS s FROM documents)"]
+    for k in range(1, rounds + 1):
+        prev = f"s{k - 1}"
+        parts.append(f""",
+p{k} AS (
+    SELECT t.y[ii.i] AS a, t.y[ii.i + 1] AS b
+    FROM (SELECT regexp_extract_all(w.word, '<([^>]+)>', 1) AS y
+          FROM (SELECT unnest(string_split(s, ' ')) AS word
+                FROM {prev}) w
+          WHERE len(regexp_extract_all(w.word, '<([^>]+)>', 1)) >= 2) t,
+         LATERAL (SELECT unnest(generate_series(1, len(t.y) - 1)) AS i) ii),
+b{k} AS (
+    SELECT a, b, COUNT(*) AS c FROM p{k} GROUP BY a, b
+    QUALIFY row_number() OVER (ORDER BY c DESC, a, b) = 1),
+m{k} AS (SELECT a, b, c FROM b{k} WHERE c >= {min_pair}),
+s{k} AS (
+    SELECT CASE WHEN m.a IS NOT NULL
+                THEN replace({prev}.s, '<' || m.a || '><' || m.b || '>',
+                             '<' || m.a || m.b || '>')
+                ELSE {prev}.s END AS s
+    FROM {prev} LEFT JOIN m{k} m ON TRUE)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS rank, a AS sym_a, b AS sym_b, "
+        f"CAST(c AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(1, rounds + 1))
+    return "".join(parts) + "\n" + union
+
+
+@register("bpe_learn_merges",
+          _bpe_learn_sql(textstats.BPE_LEARN_ROUNDS, textstats.BPE_MIN_PAIR))
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table LEARNING ({textstats.BPE_LEARN_ROUNDS} greedy
+    rounds), closing the tokenizer loop `bpe_piece_stats` applies: each
+    round counts adjacent in-word symbol pairs corpus-wide (one explode
+    + one hash-agg), picks the deterministic argmax, and merges it with
+    a codegen'd literal replace.  The only driver traffic is the ONE-ROW
+    argmax per round (scalar steering, as in KMeans) — never data.  The
+    oracle unrolls all rounds as CTEs with the same tie-break, so the
+    learned table must match pair-for-pair, count-for-count.  See
+    operators/textstats.py:learn_bpe_merges."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.learn_bpe_merges(docs)
