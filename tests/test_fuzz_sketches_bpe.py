@@ -1,0 +1,97 @@
+"""Randomized cross-implementation checks for the sketch and BPE
+operators: seeded random data, one DataFrame pass per test, independent
+pure-Python oracles (same style as tests/test_fuzz_oracle.py)."""
+
+from __future__ import annotations
+
+import collections
+import hashlib
+import random
+import re
+
+from pyspark.sql import functions as F
+
+from gcp_serverless_mapreduce_spark.operators import sketches, textstats
+
+RNG = random.Random(20260814)
+
+
+def test_cms_fuzz_upper_bound_and_heavy_exact(spark):
+    # Zipf-ish stream over a 60-word alphabet: CMS must upper-bound every
+    # key, and (grid 4x512 vs 60 keys) collisions should leave the top
+    # keys' estimates exact with overwhelming probability.
+    vocab = [f"w{i}" for i in range(60)]
+    stream = [vocab[min(int(RNG.paretovariate(1.2)), 59)]
+              for _ in range(5000)]
+    exact = collections.Counter(stream)
+    df = spark.createDataFrame([(w,) for w in stream], "key string")
+    sketch = sketches.cms_build(df)
+    est = {r["key"]: r["cms_est"] for r in sketches.cms_estimate(
+        df.distinct(), sketch).collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    top = [k for k, _ in exact.most_common(5)]
+    assert sum(est[k] == exact[k] for k in top) >= 4
+
+
+def _py_kmv(keys: set, k: int) -> float:
+    hs = sorted(int(hashlib.md5(key.encode()).hexdigest()[:12], 16)
+                for key in keys)
+    if len(hs) < k:
+        return float(len(hs))
+    return sketches.KMV_NUMER / float(hs[k - 1])
+
+
+def test_kmv_fuzz_matches_python_oracle(spark):
+    rows = [(f"g{RNG.randint(0, 2)}", f"user-{RNG.randint(0, 400)}")
+            for _ in range(3000)]
+    df = spark.createDataFrame(rows, "grp string, key string")
+    got = {r["grp"]: r["kmv_est"] for r in
+           sketches.kmv_distinct(df, "grp", "key").collect()}
+    want = {}
+    by_grp = collections.defaultdict(set)
+    for g, u in rows:
+        by_grp[g].add(u)
+    for g, keys in by_grp.items():
+        want[g] = round(_py_kmv(keys, sketches.KMV_K), 6)
+    assert got.keys() == want.keys()
+    assert all(abs(got[g] - want[g]) < 1e-6 for g in want)
+
+
+def _py_bpe(text: str) -> str:
+    s = re.sub(r"(\S)", r"<\1>", text.strip().lower())
+    for a, b in textstats.BPE_MERGES:
+        s = s.replace(f"<{a}><{b}>", f"<{a}{b}>")
+    return s
+
+
+def test_bpe_pieces_fuzz_matches_python_replace(spark):
+    # Random strings over an alphabet rich in merge-table letters,
+    # including adjacency chains (th+e, k+e+y) and multi-space runs.
+    alpha = "theanrostlikwy <>"
+    texts = ["".join(RNG.choices(alpha, k=RNG.randint(0, 40)))
+             for _ in range(300)] + ["", "   ", "the the keythe"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r[1] for r in df.select(
+        "doc_id", textstats.bpe_pieces(F.col("text"))).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _py_bpe(t), f"doc {i}: {t!r}"
+
+
+def test_bpe_piece_count_bounds(spark):
+    # Pieces never exceed symbol count (merges only shrink) and the
+    # piece stream re-concatenates to the original non-space chars.
+    texts = ["the quick keys are there", "ha has khass", "aaa bbb the"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    rows = textstats.bpe_piece_stats(df).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    for i, t in enumerate(texts):
+        raw = re.sub(r"\s", "", t.strip().lower())
+        r = by_id[i]
+        assert r["n_chars_sym"] == len(raw)
+        assert r["n_pieces"] <= len(raw)
+        pieces = re.findall(r"<([^>]*)>", _py_bpe(t))
+        assert "".join(pieces) == raw
+        assert len(pieces) == r["n_pieces"]
