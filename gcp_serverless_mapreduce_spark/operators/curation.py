@@ -381,6 +381,19 @@ def split_assignment(docs: DataFrame, train_hex: str = "e6",
                  F.max(id_col).alias("max_doc_id")))
 
 
+def es_samp_key(id_col: str, weight_col: str):
+    """The Efraimidis-Spirakis sampling key shared by the global and
+    per-group samplers: md5-derived uniform u (13 hex nibbles = 52 bits,
+    +0.5 to dodge ln(0)), key = -ln(u)/w quantized to 9dp (cross-engine
+    ln() ulps must not flip a boundary membership).  The hash width and
+    quantization are a determinism CONTRACT mirrored by the oracle's
+    _HEX_FOLD — change them here and there together."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13),
+               16, 10).cast("long")
+    u = (h.cast("double") + 0.5) / F.lit(float(16 ** 13))
+    return F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+
+
 def weighted_sample(docs: DataFrame, n: int,
                     weight_col: str = "n_chars",
                     id_col: str = "doc_id") -> DataFrame:
@@ -401,10 +414,7 @@ def weighted_sample(docs: DataFrame, n: int,
     -> (doc_id, weight, samp_key, samp_rank), samp_rank 1..n.  Scale: one
     map-side projection + one global top-n (TakeOrdered — no full sort).
     """
-    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13),
-               16, 10).cast("long")
-    u = (h.cast("double") + 0.5) / F.lit(float(16 ** 13))
-    key = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+    key = es_samp_key(id_col, weight_col)
     keyed = docs.select(F.col(id_col),
                         F.col(weight_col).cast("long").alias("weight"),
                         key.alias("samp_key"))
@@ -593,10 +603,7 @@ def weighted_sample_per_group(docs: DataFrame, group_col: str, n: int,
     rank window never sees more than a group's rows, so this is how a
     per-domain sample is drawn from a 100 TB corpus without a global
     sort.  -> (group, doc_id, weight, samp_key, samp_rank<=n)."""
-    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13),
-               16, 10).cast("long")
-    u = (h.cast("double") + 0.5) / F.lit(float(16 ** 13))
-    key = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+    key = es_samp_key(id_col, weight_col)
     w = (Window.partitionBy(group_col)
          .orderBy(F.col("samp_key").asc(), F.col(id_col).asc()))
     return (docs.select(F.col(group_col), F.col(id_col),

@@ -217,12 +217,29 @@ BPE_MERGES: tuple[tuple[str, str], ...] = (
 )
 
 
+# Literal '<' / '>' / '\' in document text would collide with the <sym>
+# delimiters (e.g. '<' wraps to '<<>', making '[^>]+' symbol parsing and
+# '<' piece-counting wrong for HTML/code corpora).  They are escaped to
+# the two-char units '\l' / '\g' / '\\' BEFORE wrapping, and the wrapper
+# regex treats an escape pair as ONE unit — so every original character
+# is exactly one symbol and symbols never contain raw delimiters.
+_BPE_UNIT_RE = r"(\\[\\lg]|\S)"
+
+
+def bpe_escape(text: Column) -> Column:
+    """Escape delimiter-colliding chars: \\ -> \\\\, < -> \\l, > -> \\g."""
+    s = F.replace(text, F.lit("\\"), F.lit("\\\\"))
+    s = F.replace(s, F.lit("<"), F.lit("\\l"))
+    return F.replace(s, F.lit(">"), F.lit("\\g"))
+
+
 def bpe_pieces(text: Column) -> Column:
     """Apply the BPE merge table to a document and return its piece
     stream as a delimited string ``<p1><p2>...`` (spaces separate words
     and are never wrapped, so merges cannot cross word boundaries).
 
-    Formulation: wrap every non-space character as ``<c>``, then apply
+    Formulation: escape delimiter chars (see ``bpe_escape``), wrap every
+    unit (escape pair or single non-space char) as ``<u>``, then apply
     each merge IN RANK ORDER as a literal replace-all of ``<a><b>`` with
     ``<ab>`` — deterministic left-to-right non-overlapping replacement,
     identical semantics in the JVM, DuckDB, and Python.  (This is the
@@ -232,7 +249,8 @@ def bpe_pieces(text: Column) -> Column:
     inside whole-stage codegen with NO Python on the hot path, unlike a
     priority-queue BPE which would need a UDF.)
     """
-    s = F.regexp_replace(F.lower(F.trim(text)), r"(\S)", "<$1>")
+    s = F.regexp_replace(bpe_escape(F.lower(F.trim(text))),
+                         _BPE_UNIT_RE, "<$1>")
     for a, b in BPE_MERGES:
         s = F.replace(s, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
     return s
@@ -279,8 +297,8 @@ def learn_bpe_merges(docs: DataFrame, rounds: int = BPE_LEARN_ROUNDS,
     replaces from the scan.
     """
     cur = docs.select(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))),
-                         r"(\S)", "<$1>").alias("s"))
+        F.regexp_replace(bpe_escape(F.lower(F.trim(F.col(text_col)))),
+                         _BPE_UNIT_RE, "<$1>").alias("s"))
     cur = cur.localCheckpoint()
     merges = []
     for rank in range(1, rounds + 1):

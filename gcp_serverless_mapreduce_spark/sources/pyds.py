@@ -1,16 +1,19 @@
-"""Custom Python Data Source (Spark 4 `pyspark.sql.datasource` API):
-a partitioned, filter-pushing reader over the events fixture.
+"""Custom Python Data Sources (Spark 4 `pyspark.sql.datasource` API):
+a partitioned, filter-pushing batch reader, a streaming reader with
+offset management, and a two-phase-commit shard writer over the events
+fixture.
 
 This is the modern extension point for sources Spark has no built-in
 connector for (internal services, bespoke formats, feature stores).  The
-reader demonstrates the three things a scale-correct source must do:
+readers demonstrate what a scale-correct source must do:
 
-- **Split planning** (`partitions()`): N `InputPartition`s, each
-  consuming a disjoint subset of the file's Arrow batches — executors
-  read in parallel, no driver materialization.
+- **Split planning** (`partitions()`): splits own disjoint parquet ROW
+  GROUPS (batch) or row ranges resolved to row groups via footer
+  metadata (streaming) — each split decodes ONLY its own bytes, and
+  executors read in parallel with no driver materialization.
 - **Filter pushdown** (`pushFilters()`): `EqualTo(event_type, v)` is
-  absorbed into the reader (applied per Arrow batch at the source,
-  before rows ever reach Spark) and removed from the Spark-side plan;
+  absorbed into the scan (applied per Arrow table at the source, before
+  rows ever reach Spark) and removed from the Spark-side plan;
   everything else is returned as unsupported so Spark re-applies it.
 - **Arrow-batch emission** (`read()` yields `pyarrow.RecordBatch`):
   columnar transfer, no per-row Python objects.
@@ -22,7 +25,7 @@ NTZ/LTZ flavor drift (the round-4 fixture regression this repo's
 `tables.load_table` normalizes).
 
 Maps to the reference's landing-zone ingestion surface
-(storage/client.go:67-101) generalized to a pluggable connector.
+(storage/client.go:67-101) generalized to pluggable connectors.
 """
 
 from __future__ import annotations
@@ -33,10 +36,23 @@ from pyspark.sql.datasource import (DataSource, DataSourceReader, EqualTo,
                                     InputPartition)
 
 N_PARTITIONS = 8
-BATCH_ROWS = 4096
 
 SCHEMA = ("event_id bigint, ts_us bigint, user_id bigint, "
           "event_type string, value double, props string")
+
+
+def _to_arrow(tbl):
+    """Shared wire projection for batch + streaming readers (one place,
+    so the two sources cannot drift on the schema or ts encoding)."""
+    import pyarrow as pa
+    return pa.table({
+        "event_id": tbl["event_id"].cast(pa.int64()),
+        "ts_us": tbl["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+        "user_id": tbl["user_id"].cast(pa.int64()),
+        "event_type": tbl["event_type"].cast(pa.string()),
+        "value": tbl["value"].cast(pa.float64()),
+        "props": tbl["props"].cast(pa.string()),
+    })
 
 
 class EventsDataSource(DataSource):
@@ -72,43 +88,30 @@ class EventsReader(DataSourceReader):
     def partitions(self):
         # CONSUME-ONCE: one reader instance serves every query derived
         # from the same load(), and Spark only calls pushFilters() on
-        # plans that HAVE filters — so an absorbed filter left on the
-        # reader would silently leak into a later unfiltered query on
-        # the same DataFrame.  Binding the filter into this plan's
-        # InputPartition values and clearing it here scopes the pushdown
-        # to exactly the planning pass that requested it (the sequence
-        # per query is pushFilters? -> partitions -> read).
+        # plans that HAVE filters — binding the absorbed filter into
+        # this plan's InputPartition values and clearing it here scopes
+        # the pushdown to exactly the planning pass that requested it
+        # (per-query sequence: pushFilters? -> partitions -> read).
         type_eq, self.type_eq = self.type_eq, None
         return [InputPartition((i, type_eq)) for i in range(self.n_parts)]
 
     def read(self, partition) -> Iterator:
-        """Yield this split's Arrow batches: batch i belongs to split
-        (i mod n_parts) — streaming iteration, never a full-file read."""
-        import pyarrow as pa
+        """Decode ONLY this split's row groups (group g belongs to split
+        g mod n_parts) — no split ever decodes another split's bytes."""
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         split, type_eq = partition.value
         pf = pq.ParquetFile(self.path)
-        for i, batch in enumerate(pf.iter_batches(batch_size=BATCH_ROWS)):
-            if i % self.n_parts != split:
-                continue
-            tbl = pa.Table.from_batches([batch])
+        for g in range(split, pf.metadata.num_row_groups, self.n_parts):
+            tbl = pf.read_row_group(g)
             if type_eq is not None:
                 tbl = tbl.filter(pc.equal(tbl["event_type"], type_eq))
-            out = pa.table({
-                "event_id": tbl["event_id"].cast(pa.int64()),
-                "ts_us": tbl["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
-                "user_id": tbl["user_id"].cast(pa.int64()),
-                "event_type": tbl["event_type"].cast(pa.string()),
-                "value": tbl["value"].cast(pa.float64()),
-                "props": tbl["props"].cast(pa.string()),
-            })
-            yield from out.to_batches()
+            yield from _to_arrow(tbl).to_batches()
 
 
 def register(spark) -> None:
-    """Idempotent registration of the custom source."""
+    """Idempotent registration of the custom batch source."""
     spark.dataSource.register(EventsDataSource)
 
 
@@ -139,12 +142,23 @@ class EventsStreamDataSource(DataSource):
 
 
 class EventsStreamReader(DataSourceStreamReader):
-    """Offsets are row positions in file order: each trigger advances the
-    watermark-free high offset by ``rowsPerTrigger`` until the fixture is
-    exhausted, then the stream idles (completion is observed from the
-    sink, as with the rate-replay source).  Each micro-batch's row range
-    splits into ``STREAM_PARTS`` contiguous sub-ranges read in parallel
-    on executors as Arrow batches."""
+    """Offsets are row positions in file order: each trigger advances
+    the high offset by ``rowsPerTrigger`` until the fixture is exhausted,
+    then the stream idles (completion is observed from the sink, as with
+    the rate-replay source).  Each micro-batch's row range splits into
+    ``STREAM_PARTS`` contiguous sub-ranges; executors resolve their
+    range to parquet row groups via footer metadata and decode only the
+    overlapping groups.
+
+    Restart safety: a fresh reader starts at ``_pos = 0``, but Spark
+    replans the pending checkpointed batch through ``partitions()`` (and
+    acknowledges finished ones through ``commit()``) — both raise
+    ``_pos`` to the checkpointed offset, so ``latestOffset`` never
+    proposes progress below what a previous run committed and no
+    committed row is re-emitted.  (If a run ends exactly on a committed
+    boundary, ``latestOffset`` may briefly return values below the
+    checkpoint; those yield empty ranges — guarded in ``partitions()``
+    — never duplicates.)"""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -165,6 +179,8 @@ class EventsStreamReader(DataSourceStreamReader):
         return {"row": self._pos}
 
     def partitions(self, start: dict, end: dict):
+        # Re-learn committed progress (restart safety, see class doc).
+        self._pos = max(self._pos, end["row"])
         lo, hi = start["row"], end["row"]
         if hi <= lo:
             return [InputPartition((lo, lo))]
@@ -173,34 +189,27 @@ class EventsStreamReader(DataSourceStreamReader):
                 for p in range(lo, hi, step)]
 
     def commit(self, end: dict) -> None:
-        pass  # replay source: nothing to acknowledge upstream
+        # Nothing to acknowledge upstream (replay source); still absorb
+        # the committed offset for restart monotonicity.
+        self._pos = max(self._pos, end["row"])
 
     def read(self, partition) -> Iterator:
-        import pyarrow as pa
         import pyarrow.parquet as pq
         lo, hi = partition.value
         if hi <= lo:
             return
         pf = pq.ParquetFile(self.path)
-        seen = 0
-        for batch in pf.iter_batches(batch_size=BATCH_ROWS):
-            b_lo, b_hi = seen, seen + batch.num_rows
-            seen = b_hi
-            if b_hi <= lo:
-                continue
-            if b_lo >= hi:
+        md = pf.metadata
+        g_lo = 0
+        for g in range(md.num_row_groups):
+            g_hi = g_lo + md.row_group(g).num_rows
+            if g_hi > lo and g_lo < hi:  # overlap: decode just this group
+                tbl = pf.read_row_group(g)
+                s, e = max(lo, g_lo) - g_lo, min(hi, g_hi) - g_lo
+                yield from _to_arrow(tbl.slice(s, e - s)).to_batches()
+            g_lo = g_hi
+            if g_lo >= hi:
                 break
-            s, e = max(lo, b_lo) - b_lo, min(hi, b_hi) - b_lo
-            tbl = pa.Table.from_batches([batch.slice(s, e - s)])
-            out = pa.table({
-                "event_id": tbl["event_id"].cast(pa.int64()),
-                "ts_us": tbl["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
-                "user_id": tbl["user_id"].cast(pa.int64()),
-                "event_type": tbl["event_type"].cast(pa.string()),
-                "value": tbl["value"].cast(pa.float64()),
-                "props": tbl["props"].cast(pa.string()),
-            })
-            yield from out.to_batches()
 
 
 def register_stream(spark) -> None:
@@ -213,6 +222,7 @@ def register_stream(spark) -> None:
 # commit/abort) — the contract that makes a distributed sink atomic:
 # shards land under a staging name and only the driver's commit() makes
 # them visible via the manifest; abort() removes every staged shard.
+# Single-writer-per-directory is assumed (as with any manifest sink).
 
 import json as _json
 import os as _os
@@ -240,13 +250,15 @@ class JsonShardDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("json_shards: 'path' option is required")
-        return JsonShardWriter(path, [f.name for f in schema.fields])
+        return JsonShardWriter(path, [f.name for f in schema.fields],
+                               overwrite)
 
 
 class JsonShardWriter(DataSourceWriter):
-    def __init__(self, path: str, columns: list):
+    def __init__(self, path: str, columns: list, overwrite: bool):
         self.path = path
         self.columns = columns
+        self.overwrite = overwrite
 
     def write(self, iterator) -> _ShardCommit:
         """Executor side: stream this partition's rows into one staged
@@ -262,27 +274,42 @@ class JsonShardWriter(DataSourceWriter):
                 n += 1
         return _ShardCommit(filename=fname, n_rows=n)
 
+    def _sweep_staged(self, keep: set) -> None:
+        """Remove staged files not in ``keep`` — orphans from failed or
+        speculative task attempts that never reported a commit message."""
+        for name in _os.listdir(self.path):
+            if name.startswith("_staged-") and name not in keep:
+                try:
+                    _os.remove(_os.path.join(self.path, name))
+                except OSError:
+                    pass
+
     def commit(self, messages) -> None:
-        """Driver side: rename every staged shard into place, then write
-        the manifest LAST — readers treat the manifest as the commit
-        mark, so a crash anywhere before it leaves no visible output."""
+        """Driver side: rename every staged shard into place, sweep
+        orphaned staging files (failed/speculative attempts), honor
+        overwrite (drop prior committed shards), then write the manifest
+        LAST — readers treat the manifest as the commit mark, so a crash
+        anywhere before it leaves the previous committed state
+        readable."""
+        self._sweep_staged({m.filename for m in messages})
         shards = []
         for m in messages:
             final = m.filename.replace("_staged-", "part-")
             _os.rename(_os.path.join(self.path, m.filename),
                        _os.path.join(self.path, final))
             shards.append({"file": final, "n_rows": m.n_rows})
+        if self.overwrite:
+            new = {s["file"] for s in shards}
+            for name in _os.listdir(self.path):
+                if name.startswith("part-") and name not in new:
+                    _os.remove(_os.path.join(self.path, name))
         manifest = {"shards": sorted(shards, key=lambda s: s["file"]),
                     "n_rows": sum(s["n_rows"] for s in shards)}
         with open(_os.path.join(self.path, "MANIFEST.json"), "w") as fh:
             _json.dump(manifest, fh, indent=1)
 
     def abort(self, messages) -> None:
-        for m in messages:
-            try:
-                _os.remove(_os.path.join(self.path, m.filename))
-            except OSError:
-                pass
+        self._sweep_staged(set())  # messaged and orphaned alike
 
 
 def register_writer(spark) -> None:

@@ -755,10 +755,18 @@ def doc_token_ids_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                      lambda s: s["id"].cast("string")))).alias("ids_md5")))
 
 
+def _bpe_esc_sql(col: str) -> str:
+    """DuckDB twin of textstats.bpe_escape: \\ -> \\\\, < -> \\l, > -> \\g."""
+    return (f"replace(replace(replace(lower(trim({col})), "
+            f"'\\', '\\\\'), '<', '\\l'), '>', '\\g')")
+
+
 def _bpe_sql(col: str) -> str:
-    """DuckDB twin of textstats.bpe_pieces: wrap chars, replace in rank
-    order (literal, left-to-right, non-overlapping in both engines)."""
-    s = f"regexp_replace(lower(trim({col})), '(\\S)', '<\\1>', 'g')"
+    """DuckDB twin of textstats.bpe_pieces: escape delimiters, wrap
+    units (escape pair or single non-space char), replace in rank order
+    (literal, left-to-right, non-overlapping in both engines)."""
+    s = (f"regexp_replace({_bpe_esc_sql(col)}, "
+         f"'(\\\\[\\\\lg]|\\S)', '<\\1>', 'g')")
     for a, b in textstats.BPE_MERGES:
         s = f"replace({s}, '<{a}><{b}>', '<{a}{b}>')"
     return s
@@ -791,8 +799,8 @@ def _bpe_learn_sql(rounds: int, min_pair: int) -> str:
     """Unrolled DuckDB twin of textstats.learn_bpe_merges: round k's
     argmax pair (count desc, a, b) is a one-row CTE steering round k's
     replace, exactly the scalar the Spark side collects."""
-    parts = ["WITH s0 AS (SELECT regexp_replace(lower(trim(text)), "
-             "'(\\S)', '<\\1>', 'g') AS s FROM documents)"]
+    parts = [f"WITH s0 AS (SELECT regexp_replace({_bpe_esc_sql('text')}, "
+             "'(\\\\[\\\\lg]|\\S)', '<\\1>', 'g') AS s FROM documents)"]
     for k in range(1, rounds + 1):
         prev = f"s{k - 1}"
         parts.append(f""",

@@ -59,7 +59,9 @@ def test_kmv_fuzz_matches_python_oracle(spark):
 
 
 def _py_bpe(text: str) -> str:
-    s = re.sub(r"(\S)", r"<\1>", text.strip().lower())
+    s = text.strip().lower()
+    s = s.replace("\\", "\\\\").replace("<", "\\l").replace(">", "\\g")
+    s = re.sub(r"(\\[\\lg]|\S)", r"<\1>", s)
     for a, b in textstats.BPE_MERGES:
         s = s.replace(f"<{a}><{b}>", f"<{a}{b}>")
     return s
@@ -67,10 +69,11 @@ def _py_bpe(text: str) -> str:
 
 def test_bpe_pieces_fuzz_matches_python_replace(spark):
     # Random strings over an alphabet rich in merge-table letters,
-    # including adjacency chains (th+e, k+e+y) and multi-space runs.
-    alpha = "theanrostlikwy <>"
+    # including adjacency chains (th+e, k+e+y), multi-space runs, and
+    # the delimiter-colliding chars '<' '>' '\\' (escaped as units).
+    alpha = "theanrostlikwy <>\\"
     texts = ["".join(RNG.choices(alpha, k=RNG.randint(0, 40)))
-             for _ in range(300)] + ["", "   ", "the the keythe"]
+             for _ in range(300)] + ["", "   ", "the the keythe", "<<>\\"]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
                                "doc_id long, text string")
     got = {r["doc_id"]: r[1] for r in df.select(
@@ -82,7 +85,8 @@ def test_bpe_pieces_fuzz_matches_python_replace(spark):
 def test_bpe_piece_count_bounds(spark):
     # Pieces never exceed symbol count (merges only shrink) and the
     # piece stream re-concatenates to the original non-space chars.
-    texts = ["the quick keys are there", "ha has khass", "aaa bbb the"]
+    texts = ["the quick keys are there", "ha has khass", "aaa bbb the",
+             "<b>the</b> \\ there"]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
                                "doc_id long, text string")
     rows = textstats.bpe_piece_stats(df).collect()
@@ -93,5 +97,8 @@ def test_bpe_piece_count_bounds(spark):
         assert r["n_chars_sym"] == len(raw)
         assert r["n_pieces"] <= len(raw)
         pieces = re.findall(r"<([^>]*)>", _py_bpe(t))
-        assert "".join(pieces) == raw
+        unescaped = re.sub(r"\\([\\lg])",
+                           lambda m: {"\\": "\\", "l": "<", "g": ">"}
+                           [m.group(1)], "".join(pieces))
+        assert unescaped == raw
         assert len(pieces) == r["n_pieces"]

@@ -198,3 +198,44 @@ def test_json_shard_writer_two_phase_commit(spark, tmp_path):
         got.extend(rows)
     assert sorted(r["id"] for r in got) == list(range(100))
     assert all(r["double_id"] == 2 * r["id"] for r in got)
+
+
+def test_json_shard_writer_overwrite_replaces_prior(spark, tmp_path):
+    import json, os
+    from gcp_serverless_mapreduce_spark.sources import pyds
+    pyds.register_writer(spark)
+    out = str(tmp_path / "ow")
+    spark.range(10).repartition(2).write.format("json_shards") \
+        .option("path", out).mode("append").save()
+    # Orphan from a hypothetical failed attempt must be swept on commit.
+    open(os.path.join(out, "_staged-deadbeef.jsonl"), "w").write("{}\n")
+    spark.range(100, 105).repartition(1).write.format("json_shards") \
+        .option("path", out).mode("overwrite").save()
+    manifest = json.load(open(os.path.join(out, "MANIFEST.json")))
+    assert manifest["n_rows"] == 5
+    names = set(os.listdir(out))
+    assert not any(n.startswith("_staged-") for n in names)
+    # Only the new shards remain: no stale part files from the first write.
+    assert names == {s["file"] for s in manifest["shards"]} | {"MANIFEST.json"}
+    rows = [json.loads(l) for s in manifest["shards"]
+            for l in open(os.path.join(out, s["file"]))]
+    assert sorted(r["id"] for r in rows) == [100, 101, 102, 103, 104]
+
+
+def test_stream_reader_offset_restart_monotonic(spark):
+    from gcp_serverless_mapreduce_spark.sources.pyds import EventsStreamReader
+    r = EventsStreamReader({"path": "/root/testdata/sf0.001/events.parquet",
+                            "rowsPerTrigger": "100"})
+    # Fresh reader simulating restart: checkpoint committed row 700.
+    r.commit({"row": 700})
+    assert r.latestOffset()["row"] == 800  # advances FROM the checkpoint
+    # partitions() on a pending checkpointed batch also re-learns _pos.
+    r2 = EventsStreamReader({"path": "/root/testdata/sf0.001/events.parquet",
+                             "rowsPerTrigger": "100"})
+    parts = r2.partitions({"row": 600}, {"row": 700})
+    assert r2.latestOffset()["row"] == 800
+    # Stale latestOffset below a checkpoint yields an empty range only.
+    empty = r2.partitions({"row": 800}, {"row": 750})
+    assert [p.value for p in empty] == [(800, 800)]
+    rows = sum(b.num_rows for p in parts for b in r2.read(p))
+    assert rows == 100
