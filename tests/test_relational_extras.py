@@ -92,3 +92,23 @@ def test_salted_equijoin_empty_hot_keys_is_plain_join(spark):
         facts, dims, "k", hot_keys=[], salt_src="row_id")
         .select("k", "row_id", "payload").collect()))
     assert got == [("a", 1, 10), ("b", 2, 20)]
+
+
+def test_observed_metrics_on_batch_action(spark):
+    # df.observe(): accumulator-style metrics collected DURING the action
+    # (one pass, no second scan) — the observability hook a production
+    # pipeline uses to assert row counts / null rates inline.
+    from pyspark.sql import Observation
+    import pyspark.sql.functions as F
+    obs = Observation("events_metrics")
+    df = spark.range(1000).selectExpr("id", "id % 7 AS k")
+    out = (df.observe(obs,
+                      F.count(F.lit(1)).alias("n_rows"),
+                      F.sum("k").alias("sum_k"),
+                      F.max("id").alias("max_id"))
+           .groupBy("k").count())
+    assert out.count() == 7          # the action that fires the metrics
+    got = obs.get
+    assert got["n_rows"] == 1000
+    assert got["sum_k"] == sum(i % 7 for i in range(1000))
+    assert got["max_id"] == 999
