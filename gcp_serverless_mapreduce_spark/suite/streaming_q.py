@@ -497,8 +497,13 @@ def stream_windowed_event_stats_pyds(spark: SparkSession,
     from ..sources import pyds
     n_expected = load_table(spark, sf_dir, "events").count()
     pyds.register_stream(spark)
+    # rowsPerTrigger sized so the fixture replays in a handful of
+    # micro-batches: the fixture file is a single parquet row group, so
+    # every (trigger x partition) read decodes that group once — batch
+    # count, not row count, is the cost driver here.
     ev = (spark.readStream.format("events_stream_pyds")
           .option("path", f"{sf_dir}/events.parquet")
+          .option("rowsPerTrigger", 25_000)
           .load()
           .select(F.timestamp_micros("ts_us").alias("ts"),
                   "event_type", "value"))
