@@ -122,3 +122,52 @@ def merge_agg_delta(base: DataFrame, delta: DataFrame,
             c, F.coalesce(F.col(c), F.lit(0))
             + F.coalesce(F.col(f"_d_{c}"), F.lit(0)))
     return merged.drop(*[f"_d_{c}" for c in sum_cols])
+
+
+# ---------------------------------------------------------------------------
+# Distributed model training: logistic regression by batch gradient
+# descent with EXACT fixed-point gradient aggregation.
+
+GD_ITERS = 5
+GD_LR = 0.5
+GD_Q = 1_000_000  # gradient quantum: floor(g * 1e6) summed as BIGINTs
+
+
+def logistic_gd_train(df: DataFrame, x_col: str, y_col: str,
+                      iters: int = GD_ITERS, lr: float = GD_LR):
+    """-> (iter, w, b): one-feature logistic regression trained by
+    ``iters`` synchronous batch-GD steps — the distributed training loop
+    in its simplest exact form.
+
+    Each step is ONE aggregate over the data (map-side partial sums)
+    plus a one-row driver collect that steers the next step's literal
+    weights — scalar steering like KMeans/BPE-learn, never a data
+    collect.  The crux for a correctness-gated distributed trainer:
+    per-row gradient contributions are floats, and a naive SUM(double)
+    depends on partition order.  Contributions are therefore QUANTIZED
+    to fixed-point BIGINTs (floor(g * {GD_Q})) and summed exactly; the
+    weight update runs in one deterministic double expression from the
+    exact integer sums.  (The quantum also absorbs cross-engine exp()
+    last-ulp noise — 1e-6 gradient resolution, far below GD's own
+    precision.)  The oracle unrolls every step as CTEs with identical
+    arithmetic, so the trained weights must match bit-for-bit.
+    """
+    base = df.select(F.col(x_col).cast("double").alias("x"),
+                     F.col(y_col).cast("double").alias("y"))
+    base = base.localCheckpoint()  # scanned once per step, not per plan
+    w, b = 0.0, 0.0
+    out = []
+    for it in range(1, iters + 1):
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(w) * F.col("x")
+                                               + F.lit(b))))
+        err = p - F.col("y")
+        row = base.agg(
+            F.sum(F.floor(err * F.col("x") * GD_Q).cast("long")).alias("gw"),
+            F.sum(F.floor(err * GD_Q).cast("long")).alias("gb"),
+            F.count(F.lit(1)).alias("n")).collect()[0]
+        n = row["n"]
+        w = w - lr * (float(row["gw"]) / (GD_Q * float(n)))
+        b = b - lr * (float(row["gb"]) / (GD_Q * float(n)))
+        out.append((it, round(w, 9), round(b, 9)))
+    return df.sparkSession.createDataFrame(
+        out, "iter long, w double, b double")

@@ -74,6 +74,7 @@ promote([
     "ngram_jaccard_dups",
     "dup_clusters",
     # -- new this round --
+    "logistic_gd_train",
     "bpe_learn_merges",
     "stream_windowed_event_stats_pyds",
     "pyds_click_user_stats",

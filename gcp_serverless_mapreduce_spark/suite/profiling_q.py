@@ -187,3 +187,60 @@ def walkforward_fold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (s.groupBy("fold", "split")
             .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
                  F.sum("price").cast("double").alias("total_spend")))
+
+
+# ---- distributed logistic-regression training -----------------------------
+
+from ..operators.profiling import GD_ITERS, GD_LR, GD_Q
+
+
+def _gd_sql(iters: int) -> str:
+    """Unrolled DuckDB twin of profiling.logistic_gd_train: step k's
+    exact integer gradient sums steer step k's double weight update."""
+    p = ("(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) "
+         "+ exp(-(w{j}.w * d.x + w{j}.b))))")
+    parts = ["""WITH d AS (
+    SELECT value / CAST(100.0 AS DOUBLE) AS x,
+           CASE WHEN event_type = 'purchase' THEN CAST(1 AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS y
+    FROM events),
+w0 AS (SELECT CAST(0 AS DOUBLE) AS w, CAST(0 AS DOUBLE) AS b)"""]
+    for k in range(1, iters + 1):
+        j = k - 1
+        pj = p.format(j=j)
+        parts.append(f""",
+g{k} AS (
+    SELECT SUM(CAST(floor(({pj} - d.y) * d.x * {GD_Q}) AS BIGINT)) AS gw,
+           SUM(CAST(floor(({pj} - d.y) * {GD_Q}) AS BIGINT)) AS gb,
+           COUNT(*) AS n
+    FROM d CROSS JOIN w{j}),
+w{k} AS (
+    SELECT w{j}.w - CAST({GD_LR!r} AS DOUBLE)
+               * (CAST(g{k}.gw AS DOUBLE)
+                  / ({GD_Q} * CAST(g{k}.n AS DOUBLE))) AS w,
+           w{j}.b - CAST({GD_LR!r} AS DOUBLE)
+               * (CAST(g{k}.gb AS DOUBLE)
+                  / ({GD_Q} * CAST(g{k}.n AS DOUBLE))) AS b
+    FROM w{j} CROSS JOIN g{k})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS iter, round(w, 9) AS w, "
+        f"round(b, 9) AS b FROM w{k}" for k in range(1, iters + 1))
+    return "".join(parts) + "\n" + union
+
+
+@register("logistic_gd_train", _gd_sql(GD_ITERS))
+def logistic_gd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed model training held to the exact-correctness gate:
+    one-feature logistic regression (purchase ~ value/100) trained by
+    {GD_ITERS} synchronous batch-GD steps.  Per-row gradient
+    contributions are quantized to fixed-point BIGINTs before summation
+    (a float SUM would depend on partition order AND on cross-engine
+    exp() ulps), each step is one map-side-combined aggregate + a
+    one-row scalar collect, and the oracle unrolls every step — the
+    trained weight trajectory must match bit-for-bit.  See
+    operators/profiling.py:logistic_gd_train."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select((F.col("value") / F.lit(100.0)).alias("x"),
+                  (F.col("event_type") == "purchase")
+                  .cast("double").alias("y"))
+    return profiling.logistic_gd_train(d, "x", "y")
