@@ -318,7 +318,7 @@ def learn_bpe_merges(docs: DataFrame, rounds: int = BPE_LEARN_ROUNDS,
         merges.append((rank, a, b, int(c)))
         cur = cur.select(
             F.replace(F.col("s"), F.lit(f"<{a}><{b}>"),
-                      F.lit(f"<{a}{b}>")).alias("s")).localCheckpoint()
+                      F.lit(f"<{a}{b}>")).alias("s"))
     spark = docs.sparkSession
     return spark.createDataFrame(
         merges, "rank long, sym_a string, sym_b string, pair_count long")
