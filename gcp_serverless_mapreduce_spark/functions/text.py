@@ -6,7 +6,7 @@ Reference parity map (all as Column expressions, JVM-side):
 - P2 tokenize             <- strings.Fields split,     mapphase/split.go:68
 - P3 lower                <- strings.ToLower,          mapphase/split.go:126
 - P5 trim_non_letters     <- trimNonAlphabeticCharacters, mapphase/map.go:118-139
-- P6 STOPWORDS membership <- 174-entry stop-word set,  mapphase/map.go:84-107
+- P6 STOPWORDS membership <- 185-entry stop-word set,  mapphase/map.go:84-107
 - P7 letters-only rlike   <- containsOnlyLetters,      mapphase/map.go:142-151
 - P9 anagram_signature    <- sort word's chars,        mapphase/map.go:68-76
 
@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# The reference's 174-entry stop-word set, verbatim (mapphase/map.go:84-107).
+# The reference's 185-entry stop-word set, verbatim (mapphase/map.go:84-107).
 # Output-defining constant: changing one entry changes the anagram result set.
 STOPWORDS: tuple[str, ...] = (
     "'tis", "'twas", "a", "able", "about", "across", "after", "ain't", "all",

@@ -10,8 +10,9 @@ instead of O(n^2), and in distributed form the sort happens *within
 blocks* (a coarse prefix of the sort key), so the plan is one exchange
 on the block key + a per-block window — no global single-partition sort,
 the failure mode a naive SNM port would hit at 100 TB.  Pairs that
-straddle a block boundary are consciously out of scope (production runs
-multi-pass SNM with rotated keys; one pass is the operator).
+straddle a block/window boundary under one ordering are caught by
+:func:`sorted_neighborhood_multipass`, which unions rotated-key passes
+(Hernandez-Stolfo's own multi-pass refinement).
 
 **Record linkage** (Fellegi & Sunter 1969) scores candidate pairs by
 summing per-field agreement/disagreement log-weights and thresholding.
@@ -78,13 +79,16 @@ def sorted_neighborhood_pairs(docs: DataFrame,
                               jaccard_min: float = SN_JACCARD_MIN,
                               max_block: int = SN_MAX_BLOCK,
                               id_col: str = "doc_id",
-                              text_col: str = "text") -> DataFrame:
+                              text_col: str = "text",
+                              token_offset: int = 0) -> DataFrame:
     """-> (doc_id_a, doc_id_b, jacc): near-dup candidates from one
     sorted-neighborhood pass.
 
-    Sort key = the document's first three tokens (similar openings sort
-    adjacent); block key = the first token, bounded at ``max_block``
-    rows (see SN_MAX_BLOCK).  The plan is: one exchange on the block, a
+    Sort key = three document tokens starting at ``token_offset``
+    (offset 0: the opening — similar openings sort adjacent; offsets
+    > 0 are the ROTATED keys of multi-pass SNM); block key = the sort
+    key's first token, bounded at ``max_block`` rows (see
+    SN_MAX_BLOCK).  The plan is: one exchange on the block, a
     per-block sort, and a window that collects each row's ``window``
     successors as structs — each doc emits at most ``window``
     comparisons, so the stage is O(n*w) with no self-join.
@@ -92,7 +96,8 @@ def sorted_neighborhood_pairs(docs: DataFrame,
     keyed = docs.select(
         F.col(id_col).alias("id"),
         _tokset(F.col(text_col)).alias("ts"),
-        F.concat_ws(" ", F.slice(tokens(F.col(text_col)), 1, 3))
+        F.concat_ws(" ", F.slice(tokens(F.col(text_col)),
+                                 1 + token_offset, 3))
          .alias("sortkey"),
     ).withColumn("blk", F.split(F.col("sortkey"), " ").getItem(0))
     cnts = keyed.groupBy("blk").agg(F.count(F.lit(1)).alias("_bn"))
@@ -112,6 +117,43 @@ def sorted_neighborhood_pairs(docs: DataFrame,
                      F.round(jaccard(F.col("ts"), F.col("nb.ts")), 6)
                       .alias("jacc")))
     return pairs.where(F.col("jacc") >= jaccard_min)
+
+
+# Multi-pass SNM: number of rotated-key passes (pass p sorts on the
+# 3-token key starting at token p).
+SN_PASSES = 2
+
+
+def sorted_neighborhood_multipass(docs: DataFrame,
+                                  passes: int = SN_PASSES,
+                                  window: int = SN_WINDOW,
+                                  jaccard_min: float = SN_JACCARD_MIN,
+                                  max_block: int = SN_MAX_BLOCK,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text") -> DataFrame:
+    """-> (doc_id_a, doc_id_b, jacc): multi-pass sorted neighborhood
+    (Hernandez & Stolfo 1995's own refinement) — ``passes`` independent
+    passes with ROTATED sort keys (pass p keys on tokens p..p+2), pair
+    sets normalized to (min_id, max_id) and unioned distinct.
+
+    Duplicates that straddle a block/window boundary under one ordering
+    sort adjacent under another, so the union strictly grows recall
+    over the single pass (a superset of pass 0's normalized pairs) at
+    exactly ``passes×`` the one-pass O(n·w) cost — still no self-join,
+    no global sort; each pass is its own block-keyed exchange.
+    """
+    out = None
+    for p in range(passes):
+        pairs = sorted_neighborhood_pairs(
+            docs, window=window, jaccard_min=jaccard_min,
+            max_block=max_block, id_col=id_col, text_col=text_col,
+            token_offset=p)
+        norm = pairs.select(
+            F.least("doc_id_a", "doc_id_b").alias("doc_id_a"),
+            F.greatest("doc_id_a", "doc_id_b").alias("doc_id_b"),
+            "jacc")
+        out = norm if out is None else out.unionByName(norm)
+    return out.distinct()
 
 
 def record_linkage_pairs(cust: DataFrame,

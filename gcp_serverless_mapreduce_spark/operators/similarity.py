@@ -662,6 +662,84 @@ def ivf_topk(emb: DataFrame, k: int, n_cells: int = 16, n_probe: int = 2,
     return _ivf_search(emb, k, centers, n_probe, id_col, vec_col)
 
 
+# Fixed-point quantum for Lloyd centroid sums: per-dim contributions
+# floor(v[d] * 1e6) summed as BIGINTs — order-independent, so the
+# distributed mean is deterministic and a SQL oracle reproduces it.
+IVF_TRAIN_Q = 1_000_000
+
+
+def lloyd_centroids(emb: DataFrame, init_centers: list[list[float]],
+                    rounds: int = 2,
+                    vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic Lloyd (KMeans) iterations over the full corpus ->
+    final centroids, bit-reproducible by a SQL engine.
+
+    Each round is (1) a map-only nearest-centroid assignment (score
+    ``|c|^2 - 2·(v·c)`` accumulated dimension-by-dimension — the exact
+    IEEE-754 op sequence of the oracle's left-to-right ``list_reduce``
+    fold — ties to the smallest cell) and (2) ONE hash-aggregate of
+    per-dim FIXED-POINT sums: contributions quantized to BIGINT as
+    ``floor(v[d] * {IVF_TRAIN_Q})``, so the distributed sum is exact and
+    order-independent (the logistic_gd_train technique,
+    operators/profiling.py), and the new centroid dim is one
+    deterministic double expression ``sum / (Q * n)``.  The per-round
+    collect is <= n_cells rows of index state (centroids), never data —
+    the same driver-side steering as any KMeans fit.  Cells that lose
+    all members keep their previous centroid.  Cost: rounds × (one scan
+    + one bounded agg) — at 100 TB, identical shape to Spark ML KMeans'
+    own per-iteration aggregate."""
+    import numpy as np
+
+    n_cells, dim = len(init_centers), len(init_centers[0])
+    base = (emb.filter(F.exists(vec_col, lambda x: x != 0))
+            .select(F.col(vec_col).cast("array<double>").alias("arr"))
+            .localCheckpoint())  # scanned once per round, not per plan
+    centers = [[float(x) for x in c] for c in init_centers]
+    for _ in range(rounds):
+        cent = np.asarray(centers, dtype=np.float64)
+        sq_arr = np.asarray([_sq_fold(c) for c in centers])
+
+        @pandas_udf("int")
+        def home_cell(arrs: pd.Series) -> pd.Series:
+            m = np.vstack(arrs.to_numpy())
+            acc = np.zeros((m.shape[0], n_cells))
+            for i in range(dim):                # fold order = oracle
+                acc += m[:, i:i + 1] * cent[None, :, i]
+            scores = sq_arr[None, :] - 2.0 * acc
+            # stable argsort = ORDER BY score, cell
+            return pd.Series(
+                np.argsort(scores, axis=1, kind="stable")[:, 0]
+                .astype("int32"))
+
+        sums = (base.withColumn("cell", home_cell("arr"))
+                .groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     *[F.sum(F.floor(F.element_at("arr", d + 1)
+                                     * IVF_TRAIN_Q).cast("long"))
+                       .alias(f"s{d}") for d in range(dim)]))
+        got = {int(r["cell"]): r for r in sums.collect()}
+        centers = [
+            [float(got[c][f"s{d}"])
+             / (float(IVF_TRAIN_Q) * float(got[c]["n"]))
+             for d in range(dim)]
+            if c in got else centers[c]
+            for c in range(n_cells)]
+    return centers
+
+
+def ivf_lloyd_topk(emb: DataFrame, k: int, init_centers: list[list[float]],
+                   rounds: int = 2, n_probe: int = 2,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN over TRAINED centroids (deterministic Lloyd fixed-point,
+    :func:`lloyd_centroids`) — the trained-index scale path with a full
+    hash-matchable oracle: the SQL twin unrolls every Lloyd round as
+    CTEs with identical quantized arithmetic, then runs the same
+    probe/re-rank plan as the fixed-centroid variant."""
+    centers = lloyd_centroids(emb, init_centers, rounds, vec_col)
+    return _ivf_search(emb, k, centers, n_probe, id_col, vec_col)
+
+
 def pq_codebooks(n_sub: int, n_codes: int,
                  sub_dim: int) -> list[list[list[float]]]:
     """Deterministic product-quantization codebooks:

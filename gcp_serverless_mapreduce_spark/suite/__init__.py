@@ -40,107 +40,61 @@ from . import sketch_q  # noqa: F401, E402
 from . import linkage_q  # noqa: F401, E402
 from . import profiling_q  # noqa: F401, E402
 
-# Round-5 window head (the driver checks the FIRST ~50 registered).
+# Round-6 window head (the driver checks the FIRST ~50 registered).
 # Priority order:
-# 1) the queries RED in CORRECTNESS_r04 — the three roundtrip
-#    fingerprints (never green in any round; NTZ fix + unix_micros
-#    rewrite now pass locally), window_event_value_delta,
-#    clicks_within_1h_of_error, and the NTZ-broken streaming family
-#    (all repaired by the load_table TIMESTAMP_NTZ normalization);
-# 2) ngram_jaccard_dups + dup_clusters — the Jaccard oracle gained the
-#    df_max hot-shingle cap this round and needs a fresh driver green;
-# 3) queries NEW this round (sketches, linkage, DSIR/quality scoring,
-#    token-id fingerprints, splits, entropy/KL);
-# 4) as many of the earlier never-driver-checked round-5 additions as
-#    fit (multi-probe ANN, outer stream joins, containment, vocab/PMI,
-#    hybrid RRF, weighted sampling, BM25/chunks/splits, PageRank,
-#    prefix-Jaccard, SemDeDup, behavioral analytics, CDC, z-order);
-#    the remainder rotates into the round-6 window.  Local full-suite
-#    parity evidence for everything: PARITY_LOCAL.txt / PARITY_SF01.txt.
+# 1) the 29 queries that have NEVER had a driver CORRECTNESS row
+#    (computed as PARITY names minus the union of CORRECTNESS_r01-r05
+#    keys) — every one passes the builder's two-scale DuckDB-parity
+#    harness, so this converts builder-attested parity into
+#    driver-attested fact;
+# 2) the two formerly-`no_oracle` entries, now deterministic +
+#    oracle-gated this round (approx_stats_parts via KMV/histogram
+#    sketches, ivf_ann_topk via fixed-point Lloyd KMeans the oracle
+#    unrolls);
+# 3) queries whose PLAN changed this round and need a fresh green
+#    (degree-oriented triangles, batched BPE learning);
+# 4) queries NEW this round.  Everything already driver-green and
+#    unchanged rotates behind the head.
 promote([
-    # -- red in r4: must turn green --
-    "events_json_roundtrip_fingerprint",
-    "events_csv_roundtrip_fingerprint",
-    "events_orc_roundtrip_fingerprint",
-    "window_event_value_delta",
-    "clicks_within_1h_of_error",
-    "stream_windowed_event_stats",
-    "stream_windowed_event_stats_rate",
-    "stream_click_purchase_join",
-    "stream_session_stats",
-    "sessionize_user_events",
-    "stream_user_totals_stateful",
-    # -- oracle changed this round --
-    "ngram_jaccard_dups",
-    "dup_clusters",
-    # -- new this round --
-    "logistic_gd_train",
-    "bpe_learn_merges",
-    "stream_windowed_event_stats_pyds",
-    "pyds_click_user_stats",
-    "corpus_prep_pipeline_v2",
-    "weighted_sample_per_source",
-    "contrastive_negatives",
-    "event_pattern_matches",
-    "embedding_dim_stats",
-    "bpe_piece_stats",
-    "walkforward_fold_counts",
-    "image_phash_groups",
-    "stream_hourly_topk_events",
-    "epoch_shuffle_plan",
-    "lang_mixture_reweight",
-    "value_histogram_quantiles",
-    "hourly_event_anomalies",
-    "incremental_order_totals",
-    "user_error_purchase_overlap",
-    "pmi_graph_triangles",
-    "cms_heavy_hitter_words",
-    "kmv_distinct_users",
-    "sorted_neighborhood_dups",
-    "customer_record_linkage",
-    "dsir_importance_weights",
-    "quality_logit_scores",
-    "doc_token_ids_fingerprint",
-    "leakage_safe_split_counts",
-    "doc_token_entropy",
-    "source_token_kl",
-    # -- earlier round-5 additions, never driver-checked --
-    "srp_multiprobe_topk",
-    "stream_click_purchase_full_join",
-    "stream_click_purchase_left_join",
-    "containment_dups",
-    "vocab_top_words",
-    "word_cooccurrence_pmi",
-    "hybrid_rrf_topk",
-    "weighted_sample_bychars",
-    "bm25_doc_scores",
-    "doc_overlapping_chunks",
-    "dataset_split_counts",
-    "pagerank_customer_supplier",
-    "jaccard_prefix_dups",
-    "semdedup_discards",
-    "funnel_signup_click_purchase",
-    "event_transition_matrix",
-    "user_retention_cohorts",
-    "label_centroid_distances",
-    "quality_percentile_filter",
-    "stream_static_enrich",
-    "snapshot_diff_customers",
-    "time_weighted_avg_value",
-    "m4_downsample_hourly",
+    # -- never driver-checked (29) --
     "bigram_coherence_score",
+    "bm25_doc_scores",
+    "dataset_split_counts",
     "dedup_resolution_by_source",
-    "regression_price_vs_quantity",
-    "events_json_corrupt_routing",
-    "stream_dedup_windowed_stats",
-    "symspell_handle_match",
-    "sequence_packing_plan",
-    "temperature_mixed_sample",
-    "scd2_customer_order_versions",
-    "stream_dedup_replayed_events",
+    "doc_overlapping_chunks",
     "domain_capped_corpus",
+    "event_transition_matrix",
+    "events_json_corrupt_routing",
+    "funnel_signup_click_purchase",
+    "jaccard_prefix_dups",
+    "label_centroid_distances",
     "latest_event_per_user",
+    "m4_downsample_hourly",
+    "pagerank_customer_supplier",
+    "quality_percentile_filter",
+    "regression_price_vs_quantity",
+    "scd2_customer_order_versions",
+    "semdedup_discards",
+    "sequence_packing_plan",
+    "snapshot_diff_customers",
+    "stream_dedup_replayed_events",
+    "stream_dedup_windowed_stats",
+    "stream_static_enrich",
+    "symspell_handle_match",
+    "temperature_mixed_sample",
+    "time_weighted_avg_value",
+    "user_retention_cohorts",
+    "weighted_sample_bychars",
     "zorder_layout_keys",
+    # -- formerly no_oracle, now deterministic + hash-gated --
+    "approx_stats_parts",
+    "ivf_ann_topk",
+    # -- plan changed this round: fresh green needed --
+    "pmi_graph_triangles",
+    "bpe_learn_merges",
+    # -- new this round --
+    "sorted_neighborhood_multipass",
+    # (rows-only by design; recall-gated in tests)
     "ann_recall_eval",
 ])
 

@@ -243,15 +243,81 @@ def ivf_fixed_cells_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_fixed_topk(emb, K, CENTROIDS, n_probe=N_PROBE)
 
 
-@register("ivf_ann_topk", None)  # KMeans cells aren't SQL-reproducible
+# Deterministic Lloyd KMeans: rounds unrolled as oracle CTEs.
+LLOYD_ROUNDS = 2
+_TRAIN_Q = similarity.IVF_TRAIN_Q
+
+
+def _lloyd_cte() -> str:
+    """Lloyd rounds as CTEs: c0 = the fixed md5 init centroids; round r
+    = nearest-cell assignment under c{{r-1}} (score |c|^2 - 2·(v·c),
+    ties to the smallest cell), per-(cell, dim) FIXED-POINT BIGINT sums
+    (floor(v[i]·Q) — order-independent, matching the Spark side's exact
+    integer aggregation), then the new centroid list with empty cells
+    keeping their previous centroid."""
+    c0_rows = ",\n ".join(
+        f"({i}, {_cent_literal(c)}, CAST({_sq_fold(c)!r} AS DOUBLE))"
+        for i, c in enumerate(CENTROIDS))
+    parts = [f",\nc0(cell, cent, sq) AS (VALUES {c0_rows})"]
+    for r in range(1, LLOYD_ROUNDS + 1):
+        p = r - 1
+        dotvc = _dot("u0.v", "c.cent")
+        parts.append(f""",
+a{r} AS (
+    SELECT u0.vec_id, u0.v, c.cell
+    FROM u u0 CROSS JOIN c{p} c
+    QUALIFY row_number() OVER (PARTITION BY u0.vec_id
+                               ORDER BY c.sq - 2.0 * {dotvc}, c.cell) = 1),
+s{r} AS (
+    SELECT cell, gi.i AS i,
+           SUM(CAST(floor(v[gi.i] * {_TRAIN_Q}) AS BIGINT)) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM a{r}, (SELECT unnest(generate_series(1, {DIM})) AS i) gi
+    GROUP BY cell, gi.i),
+m{r} AS (
+    SELECT cell, list(CAST(s AS DOUBLE)
+                      / (CAST({_TRAIN_Q} AS DOUBLE) * CAST(n AS DOUBLE))
+                      ORDER BY i) AS cent
+    FROM s{r} GROUP BY cell),
+c{r} AS (
+    SELECT c.cell, COALESCE(m.cent, c.cent) AS cent,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(COALESCE(m.cent, c.cent), x -> x * x)),
+               (acc, x) -> acc + x) AS sq
+    FROM c{p} c LEFT JOIN m{r} m USING (cell))""")
+    return "".join(parts)
+
+
+@register("ivf_ann_topk", _UNIT_CTE + _lloyd_cte() + f""",
+sc AS (SELECT u0.vec_id, u0.u, c.cell,
+              c.sq - 2.0 * {_dot("u0.v", "c.cent")} AS score
+       FROM u u0 CROSS JOIN c{LLOYD_ROUNDS} c),
+pr AS (SELECT vec_id, u, cell,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY score, cell) AS pr
+       FROM sc QUALIFY pr <= {N_PROBE}),
+home AS (SELECT vec_id, u, cell FROM pr WHERE pr = 1)
+SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       row_number() OVER (PARTITION BY a.vec_id
+                          ORDER BY {_PAIR_DOT} DESC, b.vec_id) AS rank,
+       round({_PAIR_DOT}, 4) AS sim
+FROM pr a JOIN home b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+QUALIFY rank <= {K}
+""")
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-{K}: Spark ML KMeans cells (fixed seed), probe-2
-    search, exact cosine re-rank — the trained-index scale path next to
-    the hash-based SRP variant.  Rows-only check (cell assignments come
-    from an iterative fit no SQL engine reproduces); recall vs the
-    brute-force baseline is asserted in tests/test_ivf.py."""
+    """IVF ANN top-{K} over TRAINED centroids — {LLOYD_ROUNDS}
+    deterministic fixed-point Lloyd rounds from the md5 init (per-dim
+    centroid sums quantized to BIGINTs, the logistic_gd_train
+    technique), then the probe-{N_PROBE} search shared with the
+    fixed-centroid twin.  Replaces the former Spark ML KMeans rows-only
+    entry (round-5 verdict item 2): the oracle now unrolls the
+    TRAINING ITSELF as CTEs with identical arithmetic, so cell
+    assignments, trained centroids, and the final ranking are all
+    hash-gated.  Recall vs brute force stays asserted in
+    tests/test_ivf.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, K, n_cells=16, n_probe=2)
+    return similarity.ivf_lloyd_topk(emb, K, CENTROIDS,
+                                     rounds=LLOYD_ROUNDS, n_probe=N_PROBE)
 
 
 # ---- Product quantization (PQ/ADC) — fixed md5-derived codebooks ----
