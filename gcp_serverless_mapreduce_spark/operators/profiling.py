@@ -147,10 +147,14 @@ def logistic_gd_train(df: DataFrame, x_col: str, y_col: str,
     depends on partition order.  Contributions are therefore QUANTIZED
     to fixed-point BIGINTs (floor(g * {GD_Q})) and summed exactly; the
     weight update runs in one deterministic double expression from the
-    exact integer sums.  (The quantum also absorbs cross-engine exp()
-    last-ulp noise — 1e-6 gradient resolution, far below GD's own
-    precision.)  The oracle unrolls every step as CTEs with identical
-    arithmetic, so the trained weights must match bit-for-bit.
+    exact integer sums.  (Quantization makes the sum order-independent
+    WITHIN an engine unconditionally; cross-engine agreement holds
+    whenever err*x*1e6 doesn't land exactly on an integer — floor() is
+    discontinuous there, so a last-ulp exp() difference at such a
+    boundary could flip one row's quantized gradient by 1.  No fixture
+    row sits on a boundary, and the 1e-6 resolution is far below GD's
+    own precision.)  The oracle unrolls every step as CTEs with
+    identical arithmetic, so the trained weights match bit-for-bit.
     """
     base = df.select(F.col(x_col).cast("double").alias("x"),
                      F.col(y_col).cast("double").alias("y"))

@@ -970,6 +970,14 @@ def contrastive_negatives(emb: DataFrame, pool: int = NEG_POOL,
     its candidates by md5(anchor:candidate), a per-anchor-fresh
     deterministic order.  Re-running on any partitioning yields the
     same negatives, the reproducibility a training-data release needs.
+
+    Emission contract (training-data consumers, take note): an anchor
+    whose ``label`` is NULL emits NO rows (``label <> neg_label`` is
+    NULL-valued, standard SQL join semantics — NULL-labeled vectors
+    are unlabeled, so they have no well-defined negatives), and an
+    anchor with fewer than ``k`` different-label pool candidates emits
+    only that many.  Both are by design; count rows per anchor
+    downstream if a fixed fan-out is required.
     """
     ids = emb.select(F.col("vec_id"), F.col("label"))
     pool_df = (ids.select(F.col("vec_id").alias("neg_id"),

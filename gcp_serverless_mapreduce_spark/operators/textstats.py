@@ -272,36 +272,46 @@ def bpe_piece_stats(docs: DataFrame, doc_col: str = "doc_id",
         F.md5(s).alias("pieces_md5"))
 
 
-BPE_LEARN_ROUNDS = 8
+BPE_LEARN_ROUNDS = 4
+BPE_BATCH = 4      # top-M candidate pairs considered per round
 BPE_MIN_PAIR = 2
 
 
 def learn_bpe_merges(docs: DataFrame, rounds: int = BPE_LEARN_ROUNDS,
                      min_pair: int = BPE_MIN_PAIR,
+                     batch: int = BPE_BATCH,
                      text_col: str = "text"):
     """LEARN a BPE merge table from the corpus (closing the tokenizer
-    loop that :func:`bpe_pieces` applies): ``rounds`` greedy rounds, each
-    counting adjacent symbol pairs within words corpus-wide, picking the
-    most frequent pair — ties broken (count desc, sym_a, sym_b) so the
-    choice is deterministic — and merging every occurrence.
+    loop that :func:`bpe_pieces` applies) with BATCHED rounds — the
+    standard scalable-BPE trick that decouples learned-vocab size from
+    the number of corpus scans: each round counts adjacent in-word
+    symbol pairs corpus-wide ONCE, takes the top ``batch`` candidates
+    (count desc, sym_a, sym_b — deterministic), and applies every
+    candidate that shares NO symbol with any higher-ranked candidate.
+    Mutually non-overlapping merges cannot create or destroy each
+    other's occurrences (their ``<a><b>`` patterns occupy disjoint
+    symbol positions), so the measured counts stay exact for every
+    applied merge and application order inside a batch is immaterial.
 
-    -> (rank, sym_a, sym_b, pair_count) for each APPLIED merge (rounds
-    whose best pair falls under ``min_pair`` apply nothing).
+    -> (rank, sym_a, sym_b, pair_count) for each APPLIED merge, ranks
+    numbered in application order across rounds (up to
+    ``rounds × batch`` merges from ``rounds`` scans).
 
     Scale shape: each round is one explode + one hash-agg over the
-    corpus plus a ONE-ROW driver collect (the argmax steers the next
-    round's literal replace — scalar steering like KMeans centroid
-    updates, never a data collect); the corpus representation advances
-    by a codegen'd literal replace per round.  The per-round frames are
-    localCheckpoint-ed so round k doesn't replay rounds 1..k-1's
-    replaces from the scan.
+    corpus plus a <= ``batch``-row driver collect (the candidate list
+    steers the next round's literal replaces — scalar steering like
+    KMeans centroid updates, never a data collect).  Only the INITIAL
+    symbol frame is localCheckpoint-ed; each round replays the
+    accumulated literal-replace chain on top of it (replace chains are
+    codegen'd and cheaper than materializing per-round frames — commit
+    f8bef46), bounded by ``rounds × batch`` replaces at fixed depth.
     """
     cur = docs.select(
         F.regexp_replace(bpe_escape(F.lower(F.trim(F.col(text_col)))),
                          _BPE_UNIT_RE, "<$1>").alias("s"))
     cur = cur.localCheckpoint()
     merges = []
-    for rank in range(1, rounds + 1):
+    for _ in range(rounds):
         syms = F.expr("regexp_extract_all(word, '<([^>]+)>', 1)")
         pairs = (cur.select(F.explode(F.split("s", " ")).alias("word"))
                  .select(syms.alias("y"))
@@ -310,15 +320,25 @@ def learn_bpe_merges(docs: DataFrame, rounds: int = BPE_LEARN_ROUNDS,
                      F.slice("y", 1, F.size("y") - 1),
                      F.slice("y", 2, F.size("y") - 1))).alias("p"))
                  .select(F.col("p.0").alias("a"), F.col("p.1").alias("b")))
-        best = (pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
-                .orderBy(F.col("c").desc(), "a", "b").limit(1).collect())
-        if not best or best[0]["c"] < min_pair:
+        cand = (pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+                .where(F.col("c") >= min_pair)
+                .orderBy(F.col("c").desc(), "a", "b").limit(batch)
+                .collect())
+        if not cand:
             break
-        a, b, c = best[0]["a"], best[0]["b"], best[0]["c"]
-        merges.append((rank, a, b, int(c)))
-        cur = cur.select(
-            F.replace(F.col("s"), F.lit(f"<{a}><{b}>"),
-                      F.lit(f"<{a}{b}>")).alias("s"))
+        # keep a candidate iff it shares no symbol with ANY higher-ranked
+        # candidate (kept or not) — checkable per-pair, so the SQL twin
+        # expresses it as NOT EXISTS instead of a sequential greedy scan
+        kept = [
+            r for i, r in enumerate(cand)
+            if not any(y["a"] in (r["a"], r["b"])
+                       or y["b"] in (r["a"], r["b"]) for y in cand[:i])]
+        for r in kept:
+            a, b = r["a"], r["b"]
+            merges.append((len(merges) + 1, a, b, int(r["c"])))
+            cur = cur.select(
+                F.replace(F.col("s"), F.lit(f"<{a}><{b}>"),
+                          F.lit(f"<{a}{b}>")).alias("s"))
     spark = docs.sparkSession
     return spark.createDataFrame(
         merges, "rank long, sym_a string, sym_b string, pair_count long")

@@ -15,6 +15,17 @@ readers demonstrate what a scale-correct source must do:
   absorbed into the scan (applied per Arrow table at the source, before
   rows ever reach Spark) and removed from the Spark-side plan;
   everything else is returned as unsupported so Spark re-applies it.
+  The binding is per-scan and immutable (never cleared), so AQE
+  re-planning and repeated partitions() calls keep the filter.  KNOWN
+  UPSTREAM LIMITATION (Spark 4.1, verified by repro in
+  tests/test_policy_and_formats.py): two scans of the SAME load()
+  result with different filters share one Python relation JVM-side,
+  and the second scan's planning overwrites the first's read
+  function + partitions — each planning correctly binds its own
+  filter (traced), but only one survives, so a self-join of one
+  loaded frame mixing filtered/unfiltered branches returns wrong
+  rows.  Workaround: call load() once per differently-filtered use;
+  each load() gets its own relation and plans independently.
 - **Arrow-batch emission** (`read()` yields `pyarrow.RecordBatch`):
   columnar transfer, no per-row Python objects.
 
@@ -78,6 +89,17 @@ class EventsReader(DataSourceReader):
         self.type_eq: str | None = None
 
     def pushFilters(self, filters):
+        # Bind the absorbed filter for THIS scan build.  Spark creates a
+        # reader per planned scan (DataSource.reader() -> pushFilters?
+        # -> partitions() -> read()), so binding is per-scan state; it
+        # is NEVER cleared afterwards — the earlier consume-once
+        # clearing in partitions() returned unfiltered rows for a scan
+        # whose filter Spark had already pruned whenever partitions()
+        # ran twice (self-join of the same relation, plan re-execution).
+        # pushFilters can run more than once per scan while Spark
+        # iterates on the plan: last call wins, and absorbing at most
+        # one EqualTo keeps the binding unambiguous.
+        self.type_eq = None
         for f in filters:
             if (isinstance(f, EqualTo) and tuple(f.attribute) == ("event_type",)
                     and isinstance(f.value, str) and self.type_eq is None):
@@ -86,14 +108,11 @@ class EventsReader(DataSourceReader):
                 yield f  # unsupported -> Spark re-applies it
 
     def partitions(self):
-        # CONSUME-ONCE: one reader instance serves every query derived
-        # from the same load(), and Spark only calls pushFilters() on
-        # plans that HAVE filters — binding the absorbed filter into
-        # this plan's InputPartition values and clearing it here scopes
-        # the pushdown to exactly the planning pass that requested it
-        # (per-query sequence: pushFilters? -> partitions -> read).
-        type_eq, self.type_eq = self.type_eq, None
-        return [InputPartition((i, type_eq)) for i in range(self.n_parts)]
+        # The bound filter rides into every InputPartition value, so
+        # repeated partitions() calls (re-planning, multiple scans of a
+        # cached reader) all see the same, correct binding.
+        return [InputPartition((i, self.type_eq))
+                for i in range(self.n_parts)]
 
     def read(self, partition) -> Iterator:
         """Decode ONLY this split's row groups (group g belongs to split
@@ -303,6 +322,16 @@ class JsonShardWriter(DataSourceWriter):
             for name in _os.listdir(self.path):
                 if name.startswith("part-") and name not in new:
                     _os.remove(_os.path.join(self.path, name))
+        else:
+            # APPEND: carry the previous manifest's shards forward — the
+            # new manifest must describe every committed shard, not just
+            # this write's, or append readers silently lose prior rows.
+            mpath = _os.path.join(self.path, "MANIFEST.json")
+            if _os.path.exists(mpath):
+                with open(mpath) as fh:
+                    prior = _json.load(fh)["shards"]
+                mine = {s["file"] for s in shards}
+                shards.extend(s for s in prior if s["file"] not in mine)
         manifest = {"shards": sorted(shards, key=lambda s: s["file"]),
                     "n_rows": sum(s["n_rows"] for s in shards)}
         with open(_os.path.join(self.path, "MANIFEST.json"), "w") as fh:

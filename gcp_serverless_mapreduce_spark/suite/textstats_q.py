@@ -795,10 +795,13 @@ def bpe_piece_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bpe_piece_stats(docs)
 
 
-def _bpe_learn_sql(rounds: int, min_pair: int) -> str:
-    """Unrolled DuckDB twin of textstats.learn_bpe_merges: round k's
-    argmax pair (count desc, a, b) is a one-row CTE steering round k's
-    replace, exactly the scalar the Spark side collects."""
+def _bpe_learn_sql(rounds: int, min_pair: int, batch: int) -> str:
+    """Unrolled DuckDB twin of textstats.learn_bpe_merges (batched):
+    round k's top-``batch`` candidates (count desc, a, b) are a CTE;
+    the kept subset (NOT EXISTS a higher-ranked symbol-sharing
+    candidate — the same per-pair rule the Spark side applies) steers
+    round k's replace chain through ``batch`` fixed slots; global
+    ranks are re-numbered over (round, batch position)."""
     parts = [f"WITH s0 AS (SELECT regexp_replace({_bpe_esc_sql('text')}, "
              "'(\\\\[\\\\lg]|\\S)', '<\\1>', 'g') AS s FROM documents)"]
     for k in range(1, rounds + 1):
@@ -811,34 +814,61 @@ p{k} AS (
                 FROM {prev}) w
           WHERE len(regexp_extract_all(w.word, '<([^>]+)>', 1)) >= 2) t,
          LATERAL (SELECT unnest(generate_series(1, len(t.y) - 1)) AS i) ii),
-b{k} AS (
-    SELECT a, b, COUNT(*) AS c FROM p{k} GROUP BY a, b
-    QUALIFY row_number() OVER (ORDER BY c DESC, a, b) = 1),
-m{k} AS (SELECT a, b, c FROM b{k} WHERE c >= {min_pair}),
+cand{k} AS (
+    SELECT a, b, c, row_number() OVER (ORDER BY c DESC, a, b) AS rn
+    FROM (SELECT a, b, COUNT(*) AS c FROM p{k} GROUP BY a, b)
+    WHERE c >= {min_pair}
+    QUALIFY rn <= {batch}),
+keep{k} AS (
+    SELECT x.a, x.b, x.c, row_number() OVER (ORDER BY x.rn) AS bp
+    FROM cand{k} x
+    WHERE NOT EXISTS (SELECT 1 FROM cand{k} y
+                      WHERE y.rn < x.rn
+                        AND (y.a IN (x.a, x.b) OR y.b IN (x.a, x.b))))""")
+        for j in range(1, batch + 1):
+            parts.append(f""",
+k{k}_{j} AS (SELECT a, b FROM keep{k} WHERE bp = {j})""")
+        expr = f"{prev}.s"
+        for j in range(1, batch + 1):
+            expr = (f"CASE WHEN m{j}.a IS NOT NULL "
+                    f"THEN replace({expr}, "
+                    f"'<' || m{j}.a || '><' || m{j}.b || '>', "
+                    f"'<' || m{j}.a || m{j}.b || '>') "
+                    f"ELSE {expr} END")
+        joins = "\n    ".join(
+            f"LEFT JOIN k{k}_{j} m{j} ON TRUE"
+            for j in range(1, batch + 1))
+        parts.append(f""",
 s{k} AS (
-    SELECT CASE WHEN m.a IS NOT NULL
-                THEN replace({prev}.s, '<' || m.a || '><' || m.b || '>',
-                             '<' || m.a || m.b || '>')
-                ELSE {prev}.s END AS s
-    FROM {prev} LEFT JOIN m{k} m ON TRUE)""")
+    SELECT {expr} AS s
+    FROM {prev}
+    {joins})""")
     union = "\nUNION ALL\n".join(
-        f"SELECT CAST({k} AS BIGINT) AS rank, a AS sym_a, b AS sym_b, "
-        f"CAST(c AS BIGINT) AS pair_count FROM m{k}"
+        f"SELECT {k} AS rnd, bp, a AS sym_a, b AS sym_b, "
+        f"CAST(c AS BIGINT) AS pair_count FROM keep{k}"
         for k in range(1, rounds + 1))
-    return "".join(parts) + "\n" + union
+    return ("".join(parts)
+            + f"""
+SELECT row_number() OVER (ORDER BY rnd, bp) AS rank,
+       sym_a, sym_b, pair_count
+FROM ({union})""")
 
 
 @register("bpe_learn_merges",
-          _bpe_learn_sql(textstats.BPE_LEARN_ROUNDS, textstats.BPE_MIN_PAIR))
+          _bpe_learn_sql(textstats.BPE_LEARN_ROUNDS, textstats.BPE_MIN_PAIR,
+                         textstats.BPE_BATCH))
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE merge-table LEARNING ({textstats.BPE_LEARN_ROUNDS} greedy
-    rounds), closing the tokenizer loop `bpe_piece_stats` applies: each
-    round counts adjacent in-word symbol pairs corpus-wide (one explode
-    + one hash-agg), picks the deterministic argmax, and merges it with
-    a codegen'd literal replace.  The only driver traffic is the ONE-ROW
-    argmax per round (scalar steering, as in KMeans) — never data.  The
-    oracle unrolls all rounds as CTEs with the same tie-break, so the
-    learned table must match pair-for-pair, count-for-count.  See
-    operators/textstats.py:learn_bpe_merges."""
+    """BPE merge-table LEARNING, BATCHED ({textstats.BPE_LEARN_ROUNDS}
+    rounds × up to {textstats.BPE_BATCH} merges each — the scalable-BPE
+    trick that decouples learned-vocab size from corpus scans): each
+    round counts adjacent in-word symbol pairs once (one explode + one
+    hash-agg), keeps the top candidates that share no symbol with a
+    higher-ranked candidate (mutually non-overlapping, so their counts
+    stay exact), and merges them with codegen'd literal replaces.  The
+    only driver traffic is the <= {textstats.BPE_BATCH}-row candidate
+    list per round (scalar steering, as in KMeans) — never data.  The
+    oracle unrolls rounds, the keep rule, and the replace slots as
+    CTEs, so the learned table must match pair-for-pair,
+    count-for-count.  See operators/textstats.py:learn_bpe_merges."""
     docs = load_table(spark, sf_dir, "documents")
     return textstats.learn_bpe_merges(docs)

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from gcp_serverless_mapreduce_spark.plans.policy import (
@@ -174,6 +175,76 @@ def test_python_datasource_splits_and_pushdown(spark):
     got = {r.event_id: r.ts_us for r in load().limit(1000).collect()
            if r.event_id in t}
     assert got and all(got[k] == t[k] for k in got)
+
+
+def test_python_datasource_mixed_filters_separate_loads(spark):
+    """Per-scan filter binding: a join mixing a filtered and an
+    unfiltered scan returns exact rows when each branch comes from its
+    own load() (the documented usage).  Regression for the former
+    consume-once pushFilters state, which lost the binding whenever
+    partitions() ran more than once per scan."""
+    sf_dir = "/root/testdata/sf0.001"
+    from gcp_serverless_mapreduce_spark.sources import pyds
+    pyds.register(spark)
+
+    def load():
+        return (spark.read.format("events_pyds")
+                .option("path", f"{sf_dir}/events.parquet").load())
+
+    truth = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_clicks = truth.where("event_type = 'click'").count()
+    clicks = load().where("event_type = 'click'").select("event_id")
+    other = load().select("event_id", "event_type")
+    assert clicks.join(other, "event_id").count() == n_clicks
+    # filtered then unfiltered actions on separate loads stay exact
+    assert load().where("event_type = 'error'").count() == \
+        truth.where("event_type = 'error'").count()
+    assert load().count() == truth.count()
+
+
+@pytest.mark.xfail(
+    reason="Upstream Spark 4.1: two scans of ONE load() share the "
+           "Python relation's planned read state JVM-side, so the "
+           "second planning overwrites the first's pushed filter "
+           "(each pushFilters call binds correctly — traced).  If this "
+           "starts passing, Spark fixed it: drop the xfail and the "
+           "workaround note in sources/pyds.py.",
+    strict=False)
+def test_python_datasource_mixed_filters_shared_load_upstream(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    from gcp_serverless_mapreduce_spark.sources import pyds
+    pyds.register(spark)
+    df = (spark.read.format("events_pyds")
+          .option("path", f"{sf_dir}/events.parquet").load())
+    n_clicks = (spark.read.parquet(f"{sf_dir}/events.parquet")
+                .where("event_type = 'click'").count())
+    clicks = df.where("event_type = 'click'").select("event_id")
+    other = df.select("event_id", "event_type")
+    assert clicks.join(other, "event_id").count() == n_clicks
+
+
+def test_json_shard_writer_append_merges_manifest(spark, tmp_path):
+    """A second append must keep the first append's shards in the
+    manifest (regression: the manifest was rewritten with only the
+    current write's shards, silently dropping prior committed rows
+    from manifest readers)."""
+    import json, os
+    from gcp_serverless_mapreduce_spark.sources import pyds
+    pyds.register_writer(spark)
+    out = str(tmp_path / "append2")
+    spark.range(10).repartition(2).write.format("json_shards") \
+        .option("path", out).mode("append").save()
+    spark.range(100, 105).repartition(1).write.format("json_shards") \
+        .option("path", out).mode("append").save()
+    manifest = json.load(open(os.path.join(out, "MANIFEST.json")))
+    assert manifest["n_rows"] == 15
+    rows = [json.loads(l) for s in manifest["shards"]
+            for l in open(os.path.join(out, s["file"]))]
+    assert sorted(r["id"] for r in rows) == \
+        list(range(10)) + [100, 101, 102, 103, 104]
+    # every part file on disk is accounted for in the manifest
+    on_disk = {n for n in os.listdir(out) if n.startswith("part-")}
+    assert on_disk == {s["file"] for s in manifest["shards"]}
 
 
 def test_json_shard_writer_two_phase_commit(spark, tmp_path):
