@@ -102,3 +102,65 @@ def test_bpe_piece_count_bounds(spark):
                            [m.group(1)], "".join(pieces))
         assert unescaped == raw
         assert len(pieces) == r["n_pieces"]
+
+
+def _py_learn_bpe(texts, rounds, min_pair, batch):
+    """Independent Python oracle of textstats.learn_bpe_merges (batched):
+    same unit wrapping, candidate ranking, non-overlap keep rule, and
+    in-order replace application."""
+    def esc(t):
+        return (t.replace("\\", "\\\\").replace("<", "\\l")
+                .replace(">", "\\g"))
+    corpus = [re.sub(r"(\\[\\lg]|\S)", r"<\1>", esc(t.strip().lower()))
+              for t in texts]
+    merges = []
+    for _ in range(rounds):
+        cnt = collections.Counter()
+        for s in corpus:
+            for word in s.split(" "):
+                syms = re.findall(r"<([^>]+)>", word)
+                for a, b in zip(syms, syms[1:]):
+                    cnt[(a, b)] += 1
+        cand = sorted(((a, b, c) for (a, b), c in cnt.items()
+                       if c >= min_pair),
+                      key=lambda t: (-t[2], t[0], t[1]))[:batch]
+        if not cand:
+            break
+        kept = [x for i, x in enumerate(cand)
+                if not any(y[0] in (x[0], x[1]) or y[1] in (x[0], x[1])
+                           for y in cand[:i])]
+        for a, b, c in kept:
+            merges.append((len(merges) + 1, a, b, c))
+            corpus = [s.replace(f"<{a}><{b}>", f"<{a}{b}>")
+                      for s in corpus]
+    return merges
+
+
+def test_bpe_learn_batched_matches_python_oracle(spark):
+    alpha = "theanrostlikwy "
+    texts = ["".join(RNG.choices(alpha, k=RNG.randint(0, 40)))
+             for _ in range(200)] + ["the the the keythe", "aaa aaaa aa"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = [(r["rank"], r["sym_a"], r["sym_b"], r["pair_count"])
+           for r in textstats.learn_bpe_merges(df).collect()]
+    got.sort()
+    want = _py_learn_bpe(texts, textstats.BPE_LEARN_ROUNDS,
+                         textstats.BPE_MIN_PAIR, textstats.BPE_BATCH)
+    assert got == want
+    assert [r for r, *_ in got] == list(range(1, len(got) + 1))
+
+
+def test_bpe_learn_batching_engages_on_disjoint_pairs(spark):
+    # Four symbol-disjoint frequent bigrams: one round must learn ALL
+    # of them (counts desc: ab, cd, ef, gh), proving batching engages
+    # and that disjoint merges keep their exact counts.
+    texts = ["ab " * 9 + "cd " * 8 + "ef " * 7 + "gh " * 6] * 3
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = [(r["rank"], r["sym_a"], r["sym_b"], r["pair_count"])
+           for r in textstats.learn_bpe_merges(df, rounds=1).collect()]
+    assert got == [(1, "a", "b", 27), (2, "c", "d", 24),
+                   (3, "e", "f", 21), (4, "g", "h", 18)]
+    assert got == _py_learn_bpe(texts, 1, textstats.BPE_MIN_PAIR,
+                                textstats.BPE_BATCH)

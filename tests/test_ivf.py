@@ -78,3 +78,31 @@ def test_sq8_quantization_recall(spark):
     chance = sum(r["c"] * (r["c"] - 1) for r in sizes) / (n * (n - 1))
     assert bf_recall > 2 * chance, (
         f"end-to-end recall@{k} = {bf_recall} vs chance {chance}")
+
+
+def test_lloyd_centroids_deterministic_and_trained(spark):
+    """Fixed-point Lloyd training: bit-identical across runs (the
+    property the oracle depends on), correct geometry, and centroids
+    actually move from the md5 init."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    init = similarity.fixed_centroids(16, 64)
+    c1 = similarity.lloyd_centroids(emb, init, rounds=2)
+    c2 = similarity.lloyd_centroids(emb, init, rounds=2)
+    assert c1 == c2  # exact, not approximate: integer-sum determinism
+    assert len(c1) == 16 and all(len(c) == 64 for c in c1)
+    assert c1 != init
+
+
+def test_ivf_lloyd_recall_and_shape(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    init = similarity.fixed_centroids(16, 64)
+    ivf = similarity.ivf_lloyd_topk(emb, 5, init, rounds=2,
+                                    n_probe=2).collect()
+    assert all(r["neighbor_id"] != r["query_id"] for r in ivf)
+    assert all(1 <= r["rank"] <= 5 for r in ivf)
+    exact = similarity.brute_force_topk(emb, k=5, num_queries=20).collect()
+    truth = _neighbor_sets(exact)
+    got = _neighbor_sets([r for r in ivf if r["query_id"] in truth])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    recall = hits / sum(len(v) for v in truth.values())
+    assert recall > 0.2, recall

@@ -38,6 +38,31 @@ def test_sorted_neighborhood_pair_count_is_linear(spark):
     assert pairs.count() == n * w - w * (w + 1) // 2  # tail rows truncate
 
 
+def test_multipass_superset_and_boundary_catch(spark):
+    # Docs 1 and 2 share everything but their FIRST token: pass 0 puts
+    # them in different blocks (never compared); pass 1 keys on tokens
+    # 2..4 ("common words here") and catches them.
+    docs = spark.createDataFrame([
+        (1, "apple common words here now"),
+        (2, "zebra common words here now"),
+        (3, "apple banana cherry date egg"),
+        (4, "apple banana cherry date fig"),
+    ], "doc_id long, text string")
+    single = linkage.sorted_neighborhood_pairs(docs, window=2,
+                                               jaccard_min=0.5)
+    norm = {tuple(sorted((r.doc_id_a, r.doc_id_b)))
+            for r in single.collect()}
+    multi_rows = linkage.sorted_neighborhood_multipass(
+        docs, passes=2, window=2, jaccard_min=0.5).collect()
+    multi = {(r.doc_id_a, r.doc_id_b) for r in multi_rows}
+    assert all(a < b for a, b in multi)  # normalized pair order
+    assert norm <= multi                 # superset of the single pass
+    assert (3, 4) in multi
+    assert (1, 2) in multi and (1, 2) not in norm  # boundary straddler
+    # each pair emitted once despite appearing in both passes
+    assert len(multi_rows) == len(multi)
+
+
 def test_record_linkage_weights(spark):
     cust = spark.createDataFrame([
         (1, 7, "AUTO", 100.0),   # links with 2 (delta 50, same sign)

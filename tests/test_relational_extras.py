@@ -22,6 +22,27 @@ def test_approx_sketches_within_bounds(spark):
     assert abs(r["apx_p50"] - r["p50"]) / r["p50"] < 0.01
 
 
+def test_approx_stats_parts_deterministic_sketches(spark):
+    """The oracle-gated approx_stats_parts (KMV distinct + histogram
+    median) must also be ACCURATE: KMV(k=64) within 2.8 sigma (~35%) of
+    the exact distinct count, histogram median within one bin width of
+    the exact median."""
+    from gcp_serverless_mapreduce_spark.suite.relational_q import (
+        APPROX_BIN, approx_stats_parts,
+    )
+    got = {r["l_returnflag"]: r
+           for r in approx_stats_parts(spark, SF_DIR).collect()}
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = {r["l_returnflag"]: r for r in li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50")).collect()}
+    assert set(got) == set(exact)
+    for flag, e in exact.items():
+        g = got[flag]
+        assert abs(g["approx_parts"] - e["nd"]) / e["nd"] < 0.35, (flag, g)
+        assert abs(g["approx_p50"] - float(e["p50"])) <= APPROX_BIN, (flag, g)
+
+
 def test_salted_distinct_count_equals_plain(spark):
     ev = load_table(spark, SF_DIR, "events")
     plain = {r["event_type"]: r["n"] for r in
