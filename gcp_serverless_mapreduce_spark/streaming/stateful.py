@@ -55,20 +55,12 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def running_user_totals_tws(events: DataFrame) -> DataFrame:
-    """The same running per-user totals through ``transformWithStateInPandas``
-    — Spark 4's arbitrary-state processor API (SPARK-49564), which
-    supersedes ``applyInPandasWithState`` with named, schema'd state
-    variables, timers, and TTL.  Same integer-cents determinism contract
-    as :func:`running_user_totals`; state here is a named ValueState the
-    state store checkpoints per key.
-
-    ENVIRONMENT GATE: the TWS Python worker imports ``google.protobuf``
-    for its state-server protocol; in environments where protobuf is
-    absent/broken the stream fails at runtime with a worker crash, so
-    this operator ships tested-by-skip (tests/test_stateful_streaming.py)
-    rather than suite-registered — ``running_user_totals`` is the
-    driver-gated equivalent on the older API."""
+def _make_running_totals_processor():
+    """Build the TWS processor class (module-level factory so the
+    processor LOGIC is unit-testable against a fake state handle —
+    tests/test_stateful_streaming.py — independent of the TWS worker
+    runtime).  ``pyspark.sql.streaming.stateful_processor`` imports
+    cleanly without protobuf; only the running worker needs it."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor, StatefulProcessorHandle)
 
@@ -90,6 +82,25 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return RunningTotals
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same running per-user totals through ``transformWithStateInPandas``
+    — Spark 4's arbitrary-state processor API (SPARK-49564), which
+    supersedes ``applyInPandasWithState`` with named, schema'd state
+    variables, timers, and TTL.  Same integer-cents determinism contract
+    as :func:`running_user_totals`; state here is a named ValueState the
+    state store checkpoints per key.
+
+    ENVIRONMENT GATE: the TWS Python WORKER imports ``google.protobuf``
+    for its state-server protocol; where protobuf is absent/broken the
+    stream fails at runtime with a worker crash.  The processor logic is
+    therefore unit-tested directly against a fake state handle
+    (tests/test_stateful_streaming.py) and this operator is not
+    suite-registered — ``running_user_totals`` is the driver-gated
+    equivalent on the older API."""
+    RunningTotals = _make_running_totals_processor()
     return (
         events.select("user_id", "value")
         .groupBy("user_id")

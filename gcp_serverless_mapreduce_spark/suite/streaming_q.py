@@ -497,13 +497,17 @@ def stream_windowed_event_stats_pyds(spark: SparkSession,
     from ..sources import pyds
     n_expected = load_table(spark, sf_dir, "events").count()
     pyds.register_stream(spark)
-    # rowsPerTrigger sized so the fixture replays in a handful of
-    # micro-batches: the fixture file is a single parquet row group, so
-    # every (trigger x partition) read decodes that group once — batch
-    # count, not row count, is the cost driver here.
+    # The fixture file is a single parquet row group, so EVERY
+    # (trigger x partition) read decodes that whole group once — batch
+    # count, not row count, is the cost driver.  50k-row triggers x 2
+    # splits keep the multi-trigger/multi-split contract exercised at
+    # sf0.1 (2 triggers x 2 splits = 4 decodes) at ~4x less decode work
+    # than the earlier 25k x 4 (16 decodes, 8.6 s at sf0.1); the
+    # many-trigger path is pinned by tests with rowsPerTrigger=100.
     ev = (spark.readStream.format("events_stream_pyds")
           .option("path", f"{sf_dir}/events.parquet")
-          .option("rowsPerTrigger", 25_000)
+          .option("rowsPerTrigger", 50_000)
+          .option("partitions", 2)
           .load()
           .select(F.timestamp_micros("ts_us").alias("ts"),
                   "event_type", "value"))
