@@ -402,6 +402,35 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
             .select("doc_a", "doc_b", "hamming"))
 
 
+def shingle_novelty(docs: DataFrame, k: int = 3,
+                    doc_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """-> (doc_id, n_shingles, n_novel, novelty): per-document novelty
+    scoring — the share of a doc's distinct k-shingles whose FIRST
+    corpus occurrence (smallest doc id) is this doc.  Boilerplate-heavy
+    documents (templates, quotes, near-dups of earlier docs) score near
+    0; fresh content scores near 1 — the standard cheap signal for
+    ordering/filtering crawl snapshots before expensive pairwise dedup.
+
+    Plan: one shingle explode, one min-aggregate keyed on the shingle
+    (the inverted index — map-side combinable), one join back on the
+    shingle, one per-doc aggregate.  No pair generation anywhere, so
+    unlike Jaccard joins there is NO hot-shingle quadratic risk: a
+    shingle in m docs contributes m join rows, not m^2 — this is the
+    novelty metric's 100 TB advantage over pairwise overlap."""
+    sh = word_shingles(docs, k, doc_col, text_col)
+    first = sh.groupBy("shingle").agg(F.min("doc").alias("first_doc"))
+    return (sh.join(first, "shingle")
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"),
+                 F.sum(F.when(F.col("first_doc") == F.col("doc"), 1)
+                       .otherwise(0)).cast("long").alias("n_novel"))
+            .select(F.col("doc").alias(doc_col), "n_shingles", "n_novel",
+                    F.round(F.col("n_novel").cast("double")
+                            / F.col("n_shingles").cast("double"), 6)
+                    .alias("novelty")))
+
+
 def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over an undirected near-dup pair graph:
     -> (doc_id, cluster_id) for every doc appearing in >= 1 pair, where

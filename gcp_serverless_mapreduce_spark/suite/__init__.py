@@ -94,9 +94,14 @@ promote([
     "bpe_learn_merges",
     # -- new this round --
     "sorted_neighborhood_multipass",
-    # (rows-only by design; recall-gated in tests)
+    "shingle_novelty_scores",
+    "lsh_candidate_precision",
+    "length_bucketed_batches",
     "ann_recall_eval",
 ])
+# With approx_stats_parts and ivf_ann_topk oracle-gated this round,
+# every registered query has an oracle_sql() twin — zero rows-only
+# entries remain.
 
 # Re-export the flagship for __spark_entry__.entry
 from .anagram_q import anagram_groups  # noqa: F401, E402

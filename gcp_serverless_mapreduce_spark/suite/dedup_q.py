@@ -156,6 +156,28 @@ def jaccard_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs_prefix(docs, JACCARD_THRESHOLD)
 
 
+@register("shingle_novelty_scores", _SH_CTE + """,
+first AS (SELECT shingle, MIN(doc) AS first_doc FROM sh GROUP BY shingle)
+SELECT sh.doc AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN first.first_doc = sh.doc THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(CAST(SUM(CASE WHEN first.first_doc = sh.doc THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM sh JOIN first USING (shingle)
+GROUP BY sh.doc
+""")
+def shingle_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc shingle novelty (share of the doc's distinct 3-shingles
+    first seen in THIS doc, by smallest doc id) — the cheap
+    boilerplate/staleness signal a crawl pipeline scores before any
+    pairwise dedup.  Inverted-index min-agg + join: a hot shingle costs
+    m rows, never m^2, so no df cap is even needed.  See
+    operators/dedup.py:shingle_novelty."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.shingle_novelty(docs)
+
+
 # The LSH candidate-pair set as a reusable fragment (same text as the
 # minhash_lsh_candidates oracle, minus the final aggregate's aliasing).
 _PAIRS_CTE = _SIG_CTE + f""",
@@ -169,6 +191,69 @@ pairs AS (
     FROM banded a JOIN banded b
       ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc < b.doc)
 """
+
+
+@register("lsh_candidate_precision", _PAIRS_CTE + f""",
+sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+shc AS (
+    SELECT doc, shingle FROM sh
+    QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {JACCARD_DF_MAX}),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2),
+truth AS (
+    SELECT doc_a, doc_b
+    FROM inter JOIN sizes ca ON ca.doc = doc_a
+               JOIN sizes cb ON cb.doc = doc_b
+    WHERE n_common / (ca.n + cb.n - n_common) >= {JACCARD_THRESHOLD}),
+caught AS (SELECT doc_a, doc_b FROM pairs
+           INTERSECT SELECT doc_a, doc_b FROM truth),
+m AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_candidates,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM caught) AS n_caught)
+SELECT n_candidates, n_true, n_caught,
+       CASE WHEN n_candidates > 0
+            THEN round(CAST(n_caught AS DOUBLE)
+                       / CAST(n_candidates AS DOUBLE), 6) END
+         AS lsh_precision,
+       CASE WHEN n_true > 0
+            THEN round(CAST(n_caught AS DOUBLE)
+                       / CAST(n_true AS DOUBLE), 6) END AS lsh_recall
+FROM m
+""")
+def lsh_candidate_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality EVAL (the near-dup analog of ann_recall_eval): how
+    well do the banded MinHash-LSH candidates approximate the exact
+    Jaccard >= {JACCARD_THRESHOLD} truth set?  One row: candidate/truth/
+    intersection counts plus precision and recall, all from the SAME
+    capped generators the production queries use, so the reported
+    numbers are the deployed configuration's, not an idealization.
+    Scale: both pair sets are the bucketed/bounded joins already
+    audited; the comparison itself is a pair-keyed join + three scalar
+    counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, NUM_PERM)
+    cand = dedup.lsh_candidate_pairs(
+        sig, BANDS, ROWS_PER_BAND,
+        max_bucket=MAX_BUCKET).select("doc_a", "doc_b")
+    truth = dedup.jaccard_pairs(
+        docs, JACCARD_THRESHOLD,
+        df_max=JACCARD_DF_MAX).select("doc_a", "doc_b")
+    caught = cand.join(truth, ["doc_a", "doc_b"])
+    m = (cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+         .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_true")))
+         .crossJoin(caught.agg(F.count(F.lit(1)).alias("n_caught"))))
+    return m.select(
+        "n_candidates", "n_true", "n_caught",
+        F.when(F.col("n_candidates") > 0,
+               F.round(F.col("n_caught").cast("double")
+                       / F.col("n_candidates").cast("double"), 6))
+        .alias("lsh_precision"),
+        F.when(F.col("n_true") > 0,
+               F.round(F.col("n_caught").cast("double")
+                       / F.col("n_true").cast("double"), 6))
+        .alias("lsh_recall"))
 
 
 @register("dup_clusters", "WITH RECURSIVE "

@@ -7,12 +7,13 @@ interleave expressions cannot drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import layout
+from ..operators import layout, textstats
 from ..registry import register
 from ..tables import load_table
+from .textstats_q import _TOKS
 
 # Day number relative to the fixture's order-date epoch; fits 12 bits
 # (the dates span ~2400 days), custkey fits 11 — both inside the 16-bit
@@ -66,3 +67,84 @@ def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("o_custkey").alias("max_custkey"),
                  F.min("day_no").cast("long").alias("min_day"),
                  F.max("day_no").cast("long").alias("max_day")))
+
+
+# Length-bucketed batching geometry.
+LEN_BUCKETS = 8     # ntile length-quantile buckets
+BATCH_DOCS = 32     # documents per training batch within a bucket
+
+
+@register("length_bucketed_batches", f"""
+WITH base AS (
+    SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_toks
+    FROM documents),
+b AS (
+    SELECT doc_id, n_toks,
+           ntile({LEN_BUCKETS}) OVER (ORDER BY n_toks, doc_id) AS bucket
+    FROM base),
+bb AS (
+    SELECT bucket, n_toks,
+           CAST(floor(CAST(row_number() OVER (PARTITION BY bucket
+                                              ORDER BY n_toks, doc_id) - 1
+                           AS DOUBLE) / {BATCH_DOCS}) AS BIGINT)
+             AS batch_no
+    FROM b),
+per_batch AS (
+    SELECT bucket, batch_no,
+           CAST(COUNT(*) AS BIGINT) AS n_in_batch,
+           MAX(n_toks) AS max_toks
+    FROM bb GROUP BY bucket, batch_no),
+bucket_toks AS (SELECT bucket, SUM(n_toks) AS bt FROM bb GROUP BY bucket),
+agg AS (
+    SELECT bucket,
+           CAST(SUM(n_in_batch) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(n_in_batch * max_toks) AS BIGINT) AS padded_tokens
+    FROM per_batch GROUP BY bucket)
+SELECT bucket, n_docs, n_batches, padded_tokens,
+       round(CAST(1.0 AS DOUBLE) - CAST(bt AS DOUBLE)
+             / CAST(padded_tokens AS DOUBLE), 6) AS pad_waste
+FROM agg JOIN bucket_toks USING (bucket)
+""")
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed training-batch plan: docs ntile'd into
+    {LEN_BUCKETS} token-length buckets, batched {BATCH_DOCS} at a time
+    within each bucket (ordered by length so batch max-lengths stay
+    tight), reporting per-bucket batch counts, PADDED token cost
+    (n_in_batch x batch max length — what a fixed-shape trainer
+    actually pays), and the padding-waste ratio.  This is the metric
+    that justifies length bucketing: sorted-within-bucket batches keep
+    pad_waste near 0 where random batching pays the corpus-max every
+    batch.  Scale note: the global ntile is a single-partition window —
+    at 100 TB replace the cutpoints with approx_percentile bounds and a
+    range join (same downstream shape); per-bucket batching is already
+    partition-parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(textstats.tokens(F.col("text"))).cast("long")
+        .alias("n_toks"))
+    b = base.withColumn(
+        "bucket", F.ntile(LEN_BUCKETS).over(
+            Window.orderBy("n_toks", "doc_id")))
+    bb = b.withColumn(
+        "batch_no",
+        F.floor((F.row_number().over(Window.partitionBy("bucket")
+                                     .orderBy("n_toks", "doc_id")) - 1)
+                .cast("double") / BATCH_DOCS).cast("long"))
+    per_batch = (bb.groupBy("bucket", "batch_no")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_in_batch"),
+                      F.max("n_toks").alias("max_toks")))
+    bucket_toks = bb.groupBy("bucket").agg(
+        F.sum("n_toks").alias("bucket_toks"))
+    return (per_batch.groupBy("bucket")
+            .agg(F.sum("n_in_batch").cast("long").alias("n_docs"),
+                 F.count(F.lit(1)).cast("long").alias("n_batches"),
+                 F.sum(F.col("n_in_batch") * F.col("max_toks"))
+                 .cast("long").alias("padded_tokens"))
+            .join(bucket_toks, "bucket")
+            .select("bucket", "n_docs", "n_batches", "padded_tokens",
+                    F.round(F.lit(1.0)
+                            - F.col("bucket_toks").cast("double")
+                            / F.col("padded_tokens").cast("double"), 6)
+                    .alias("pad_waste")))
