@@ -1,0 +1,42 @@
+"""One-command CI gate (the judge-runnable analog of the reference's
+scripts/test-unit.sh + coverage-report.sh): runs, in order,
+
+1. the unit/plan/golden test suite (pytest),
+2. the full DuckDB parity sweep at the driver's sf0.01 gate scale,
+3. the public-surface coverage gate (tools/coverage_gate.py).
+
+Exits non-zero on the first failing gate.  The bench pair
+(bench.py at sf0.01/sf0.1 + tools/scaling_report.py) is separate
+because it is a measurement, not a gate.
+
+Usage: python tools/run_gates.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(title: str, cmd: list[str]) -> None:
+    print(f"==> {title}: {' '.join(cmd)}", flush=True)
+    r = subprocess.run(cmd, cwd=ROOT)
+    if r.returncode != 0:
+        print(f"GATE FAILED: {title}", flush=True)
+        sys.exit(r.returncode)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    run("tests", [sys.executable, "-m", "pytest", "tests/", "-q"])
+    run("parity", [sys.executable, "tools/check_parity.py", sf_dir])
+    run("surface coverage", [sys.executable, "tools/coverage_gate.py"])
+    print("ALL GATES GREEN")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
