@@ -96,6 +96,7 @@ promote([
     "sorted_neighborhood_multipass",
     "shingle_novelty_scores",
     "lsh_candidate_precision",
+    "minhash_estimate_error",
     "length_bucketed_batches",
     "ann_recall_eval",
 ])

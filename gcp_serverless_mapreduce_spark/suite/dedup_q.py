@@ -260,6 +260,75 @@ def lsh_candidate_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lsh_recall"))
 
 
+_MH_EQ = " + ".join(
+    f"(CASE WHEN sa.mh_{s} = sb.mh_{s} THEN 1 ELSE 0 END)"
+    for s in range(NUM_PERM))
+
+
+@register("minhash_estimate_error", _PAIRS_CTE + f""",
+sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+shc AS (
+    SELECT doc, shingle FROM sh
+    QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {JACCARD_DF_MAX}),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2),
+ex AS (
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE)
+           / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jacc
+    FROM inter JOIN sizes ca ON ca.doc = doc_a
+               JOIN sizes cb ON cb.doc = doc_b)
+SELECT p.doc_a, p.doc_b,
+       round(CAST({_MH_EQ} AS DOUBLE) / CAST({NUM_PERM} AS DOUBLE), 6)
+         AS est_jaccard,
+       round(COALESCE(ex.jacc, CAST(0.0 AS DOUBLE)), 6) AS jaccard,
+       round(abs(CAST({_MH_EQ} AS DOUBLE) / CAST({NUM_PERM} AS DOUBLE)
+                 - COALESCE(ex.jacc, CAST(0.0 AS DOUBLE))), 6) AS abs_err
+FROM pairs p
+JOIN sig sa ON sa.doc = p.doc_a
+JOIN sig sb ON sb.doc = p.doc_b
+LEFT JOIN ex ON ex.doc_a = p.doc_a AND ex.doc_b = p.doc_b
+""")
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR calibration (completes the dedup eval loop next
+    to lsh_candidate_precision, which grades candidacy): for every LSH
+    candidate pair, the signature-agreement Jaccard estimate
+    (matching components / {NUM_PERM}) against the exact shingle-set
+    Jaccard and their absolute error — the number that tells you
+    whether {NUM_PERM} permutations suffice before scaling a corpus.
+    Pairs with no shared df-capped shingle score exact 0.  Scale: the
+    candidate set is the bounded band join; signatures join back by doc
+    id; the exact side is the df-capped inverted index — all three
+    already-audited shapes."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, NUM_PERM)
+    cand = dedup.lsh_candidate_pairs(
+        sig, BANDS, ROWS_PER_BAND,
+        max_bucket=MAX_BUCKET).select("doc_a", "doc_b")
+    sa = sig.select(F.col("doc").alias("doc_a"),
+                    *[F.col(f"mh_{s}").alias(f"a_mh_{s}")
+                      for s in range(NUM_PERM)])
+    sb = sig.select(F.col("doc").alias("doc_b"),
+                    *[F.col(f"mh_{s}").alias(f"b_mh_{s}")
+                      for s in range(NUM_PERM)])
+    n_eq = sum((F.col(f"a_mh_{s}") == F.col(f"b_mh_{s}")).cast("int")
+               for s in range(NUM_PERM))
+    exact = (dedup.jaccard_pairs(docs, threshold=0.0,
+                                 df_max=JACCARD_DF_MAX)
+             .select("doc_a", "doc_b", F.col("jaccard").alias("jacc")))
+    est = F.col("n_eq").cast("double") / F.lit(NUM_PERM).cast("double")
+    ex = F.coalesce(F.col("jacc"), F.lit(0.0))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("n_eq", n_eq)
+            .join(exact, ["doc_a", "doc_b"], "left")
+            .select("doc_a", "doc_b",
+                    F.round(est, 6).alias("est_jaccard"),
+                    F.round(ex, 6).alias("jaccard"),
+                    F.round(F.abs(est - ex), 6).alias("abs_err")))
+
+
 @register("dup_clusters", "WITH RECURSIVE "
           + _PAIRS_CTE.lstrip().removeprefix("WITH ") + """,
 edges AS (
