@@ -209,3 +209,39 @@ def test_symspell_bucket_cap_bounds_hot_variant(spark):
     out = dedup.symspell_matches(qs, ds, "w", "d", max_bucket=3).collect()
     # "z" matches via the "" variant only the 3 smallest dict entries
     assert {r["d"] for r in out} <= {"a", "b", "c"}
+
+
+def test_dedup_eval_queries_invariants(spark):
+    """The two round-6 dedup EVAL queries: structural invariants beyond
+    the oracle hash — counts consistent, ratios in [0,1], the MinHash
+    estimate is within its statistical error of the exact Jaccard on
+    average (8 permutations -> stderr ~0.35/pair, far tighter in
+    aggregate), and novelty is a valid per-doc ratio."""
+    from gcp_serverless_mapreduce_spark.suite.dedup_q import (
+        lsh_candidate_precision, minhash_estimate_error,
+        shingle_novelty_scores,
+    )
+    sf = "/root/testdata/sf0.001"
+    m = lsh_candidate_precision(spark, sf).collect()[0]
+    assert m["n_caught"] <= min(m["n_candidates"], m["n_true"])
+    assert 0.0 <= m["lsh_precision"] <= 1.0
+    assert 0.0 <= m["lsh_recall"] <= 1.0
+
+    rows = minhash_estimate_error(spark, sf).collect()
+    assert rows and len(rows) == m["n_candidates"]
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert abs(abs(r["est_jaccard"] - r["jaccard"]) - r["abs_err"]) < 2e-6
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err < 0.25, mean_err
+
+    nov = shingle_novelty_scores(spark, sf).collect()
+    assert all(0.0 <= r["novelty"] <= 1.0 for r in nov)
+    assert all(0 <= r["n_novel"] <= r["n_shingles"] for r in nov)
+    # every shingle's first occurrence is SOME doc, so summed novel
+    # counts equal the corpus's distinct shingle count
+    from gcp_serverless_mapreduce_spark.operators import dedup as dd
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_distinct = dd.word_shingles(docs).select("shingle").distinct().count()
+    assert sum(r["n_novel"] for r in nov) == n_distinct
