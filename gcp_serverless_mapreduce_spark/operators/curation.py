@@ -158,18 +158,17 @@ def word_ngrams(docs: DataFrame, n: int,
     """-> (doc_id, gram): DISTINCT space-joined word n-grams per doc.
 
     Docs shorter than n words are dropped before the sequence (Spark's
-    sequence(1, 0) counts down rather than returning empty)."""
+    sequence(1, 0) counts down rather than returning empty).  Per-doc
+    dedup happens IN-ROW (``array_distinct`` over the gram array before
+    the explode — the anagram pipeline's P4 trick), so building the
+    distinct (doc, gram) stream costs ZERO exchanges; downstream
+    consumers shuffle only for their own aggregation."""
     toked = (docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
              .filter(F.size("toks") >= n))
-    return (
-        toked.select(F.col(id_col), F.col("toks"),
-                     F.explode(F.sequence(F.lit(1), F.size("toks") - (n - 1)))
-                     .alias("_i"))
-        .select(id_col,
-                F.concat_ws(" ", F.slice(F.col("toks"), F.col("_i"), n))
-                .alias("gram"))
-        .distinct()
-    )
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n))))
+    return toked.select(id_col, F.explode(grams).alias("gram"))
 
 
 def ngram_contamination(docs: DataFrame, n: int = 3, eval_mod: int = 41,

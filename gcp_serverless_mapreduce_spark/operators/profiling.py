@@ -175,3 +175,87 @@ def logistic_gd_train(df: DataFrame, x_col: str, y_col: str,
         out.append((it, round(w, 9), round(b, 9)))
     return df.sparkSession.createDataFrame(
         out, "iter long, w double, b double")
+
+
+# ---------------------------------------------------------------------------
+# Distributed linear algebra: exact Gram matrix + integer power iteration
+# for the top principal component.
+
+PI_EMB_Q = 1_000_000   # embedding quantum: floor(x * 1e6) as BIGINT
+PI_SCALE = 1 << 20     # iterate components renormalized to [-2^20, 2^20]
+PI_ROUNDS = 4
+
+
+def gram_matrix(emb: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """-> (i, j, g): the exact dim x dim Gram matrix sum_v q[i]*q[j]
+    over fixed-point quantized vectors q = floor(x * PI_EMB_Q).
+
+    The distributed shape is the one that matters at 100 TB: each row
+    expands IN-ROW (nested transform, whole-stage codegen, no join) to
+    its dim^2 outer-product cells, and the single exchange aggregates
+    over the FIXED dim^2 cell grid — shuffle width is dim^2, independent
+    of row count, the same bounded-grid property as the Count-Min build
+    (sketches.py).  Quantizing each coordinate BEFORE any sum makes the
+    BIGINT cell sums order-independent and therefore bit-reproducible by
+    the DuckDB oracle (the logistic_gd_train technique, one level up:
+    matrices instead of scalars).  With |x| < 1 and PI_EMB_Q = 1e6 a
+    cell sum stays < 1e12 per million rows — int64-safe far beyond the
+    fixture; at true 100 TB scale you shrink the quantum or widen to
+    DECIMAL(38,0).
+    """
+    q = F.transform(F.col(vec_col),
+                    lambda x: F.floor(x.cast("double") * PI_EMB_Q)
+                    .cast("long"))
+    cells = F.flatten(F.transform(
+        F.col("_q"),
+        lambda xi, i: F.transform(
+            F.col("_q"),
+            lambda xj, j: F.struct(i.alias("i"), j.alias("j"),
+                                   (xi * xj).alias("p")))))
+    return (emb
+            .where(F.size(F.col(vec_col)) == dim)
+            .withColumn("_q", q)
+            .select(F.explode(cells).alias("c"))
+            .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+            .agg(F.sum("c.p").alias("g")))
+
+
+def power_iteration_pc1(emb: DataFrame, vec_col: str, dim: int,
+                        rounds: int = PI_ROUNDS) -> DataFrame:
+    """-> (round, i, v): the power-iteration trajectory toward the top
+    principal direction of the (uncentered) Gram matrix, in EXACT
+    integer arithmetic.
+
+    One distributed job builds the Gram matrix (see gram_matrix); the
+    iteration itself runs on the driver over the collected dim^2 cells —
+    a SKETCH-sized collect (dim^2 BIGINTs, bounded by the embedding
+    width, never by data volume), the same scalar-steering budget as the
+    GD gradient and BPE argmax collects.  Each round computes
+    w = G @ v in unbounded Python ints, then renormalizes to
+    v' = floor(w * PI_SCALE / max|w|) — floor division by a positive
+    integer, which DuckDB reproduces exactly via the pmod identity
+    (a - ((a % m) + m) % m) // m, so the whole trajectory (round 0's
+    all-ones start through round ``rounds``) hashes bit-for-bit against
+    a HUGEINT oracle.  No float enters the loop: sign flips, ties, and
+    convergence speed are all deterministic and engine-independent.
+
+    Emitting every round (not just the fixed point) gates the iteration
+    DYNAMICS — a transposed matrix or swapped normalization shows up in
+    round 1, not as a mysteriously-rotated final vector.
+    """
+    cells = gram_matrix(emb, vec_col, dim).collect()
+    G: dict[tuple[int, int], int] = {(r["i"], r["j"]): r["g"]
+                                     for r in cells}
+    v = [PI_SCALE] * dim
+    out = [(0, i, v[i]) for i in range(dim)]
+    for rnd in range(1, rounds + 1):
+        w = [sum(G.get((i, j), 0) * v[j] for j in range(dim))
+             for i in range(dim)]
+        mx = max(abs(x) for x in w)
+        if mx == 0:       # zero matrix: stay at the zero vector
+            v = [0] * dim
+        else:
+            v = [(x * PI_SCALE) // mx for x in w]  # Python // == floor
+        out.extend((rnd, i, v[i]) for i in range(dim))
+    return emb.sparkSession.createDataFrame(
+        out, "rnd long, i long, v long")

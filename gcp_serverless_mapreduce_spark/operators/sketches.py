@@ -93,6 +93,78 @@ def cms_estimate(candidates: DataFrame, sketch: DataFrame,
                  .alias("cms_est")))
 
 
+# Bloom filter: m bits x k hashes.  m = 2^16 keeps the whole filter at
+# 8 KiB (1024 longs) — broadcast-trivial — while holding the false-
+# positive rate near (1 - e^{-kn/m})^k for the fixture's eval n-gram
+# cardinality.  At 100 TB you size m to the eval set once; the filter
+# stays O(m) regardless of corpus volume.
+BLOOM_M = 65536
+BLOOM_K = 4
+BLOOM_WORDS = BLOOM_M // 64
+
+
+def bloom_pos(key: Column, seed: int) -> Column:
+    """Bit position ``seed`` of ``key``: md5-prefix hash mod BLOOM_M.
+
+    Same md5-prefix convention as h_cell/kmv_hash so the DuckDB oracle
+    reproduces every set bit — and therefore every false positive."""
+    hx = F.substring(F.md5(F.concat(F.lit(f"{seed}|"), key)), 1, 8)
+    return (F.conv(hx, 16, 10).cast("long") % BLOOM_M)
+
+
+def bloom_build(keys: DataFrame, key_col: str = "key") -> DataFrame:
+    """-> one ``pos`` column: the DISTINCT set-bit positions.
+
+    One projection computes all k positions per key, an explode +
+    distinct (hash-aggregate with map-side partial dedup) bounds the
+    output at min(m, k*|keys|) rows — the shuffle is over the FIXED
+    m-slot space, never the key cardinality."""
+    return (keys
+            .select(F.explode(F.array(*[
+                bloom_pos(F.col(key_col), s) for s in range(BLOOM_K)
+            ])).alias("pos"))
+            .distinct())
+
+
+def bloom_bitmap(bits: DataFrame) -> list[int]:
+    """Collect the set-bit positions into a BLOOM_WORDS-long bitmap.
+
+    This is a SKETCH collect, not a data collect: at most BLOOM_M rows
+    of ints regardless of input volume (the same bounded-state rationale
+    as the BPE argmax / GD gradient collects).  Folding the filter into
+    driver literals is what lets the probe side run as a pure map-side
+    projection — zero joins, zero shuffles — exactly how engine-native
+    bloom-join pushdown works."""
+    words = [0] * BLOOM_WORDS
+    for row in bits.collect():
+        p = row["pos"]
+        words[p // 64] |= 1 << (p % 64)
+    # fold to signed 64-bit so the values round-trip through LongType
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_hit_expr(key: Column, bitmap: list[int]) -> Column:
+    """Boolean column: all BLOOM_K positions of ``key`` set in ``bitmap``.
+
+    The bitmap rides the plan as a literal array<long> (8 KiB), so the
+    membership test is whole-stage-codegen'd bit arithmetic on the scan
+    side — the shape you want when 100 TB of corpus probes a fixed
+    filter."""
+    lit_map = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    checks = []
+    for s in range(BLOOM_K):
+        p = bloom_pos(key, s)
+        word = F.element_at(lit_map, (p / 64).cast("int") + 1)
+        # shiftright via call_function: the Python wrapper only takes a
+        # literal shift, but the SQL builtin accepts a column
+        bit = F.call_function("shiftright", word, (p % 64).cast("int"))
+        checks.append(bit.bitwiseAND(F.lit(1)) == 1)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
 def kmv_hash(key: Column) -> Column:
     """48-bit uniform hash of ``key`` (md5-prefix), as a bigint."""
     return F.conv(F.substring(F.md5(key), 1, KMV_HEX_DIGITS), 16, 10) \

@@ -93,6 +93,8 @@ promote([
     "pmi_graph_triangles",
     "bpe_learn_merges",
     # -- new this round --
+    "bloom_decontamination",
+    "power_iteration_pc1",
     "sorted_neighborhood_multipass",
     "shingle_novelty_scores",
     "lsh_candidate_precision",

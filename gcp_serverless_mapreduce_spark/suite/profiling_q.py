@@ -244,3 +244,64 @@ def logistic_gd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (F.col("event_type") == "purchase")
                   .cast("double").alias("y"))
     return profiling.logistic_gd_train(d, "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# Distributed linear algebra: exact Gram + integer power iteration.
+
+PI_DIM = 64
+
+
+def _pi_sql(rounds: int) -> str:
+    """Unrolled DuckDB twin of profiling.power_iteration_pc1: the same
+    fixed-point Gram cells, then one (w, max, renormalize) CTE triple
+    per round in HUGEINT — floor division reproduced exactly via the
+    pmod identity (a - ((a % m) + m) % m) // m."""
+    q, s = profiling.PI_EMB_Q, profiling.PI_SCALE
+    parts = [f"""
+WITH x AS (
+    SELECT vec_id, i.i - 1 AS i,
+           CAST(floor(CAST(embedding[i.i] AS DOUBLE) * {q})
+                AS BIGINT) AS xq
+    FROM embeddings,
+         LATERAL (SELECT unnest(generate_series(1, {PI_DIM})) AS i) i
+    WHERE len(embedding) = {PI_DIM}),
+g AS (
+    SELECT a.i AS i, b.i AS j, CAST(sum(a.xq * b.xq) AS HUGEINT) AS g
+    FROM x a JOIN x b USING (vec_id) GROUP BY a.i, b.i),
+v0 AS (SELECT unnest(generate_series(0, {PI_DIM - 1})) AS i,
+              CAST({s} AS HUGEINT) AS v)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+w{r} AS (SELECT g.i, sum(g.g * p.v) AS w
+         FROM g JOIN v{r - 1} p ON g.j = p.i GROUP BY g.i),
+m{r} AS (SELECT max(abs(w)) AS mx FROM w{r}),
+v{r} AS (SELECT i,
+                CASE WHEN mx = 0 THEN CAST(0 AS HUGEINT)
+                     ELSE ((w * {s}) - (((w * {s}) % mx) + mx) % mx) // mx
+                END AS v
+         FROM w{r}, m{r})""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS rnd, CAST(i AS BIGINT) AS i,"
+        f" CAST(v AS BIGINT) AS v FROM v{r}"
+        for r in range(rounds + 1))
+    return "".join(parts) + "\n" + unions
+
+
+@register("power_iteration_pc1", _pi_sql(profiling.PI_ROUNDS))
+def power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-direction power iteration over the embeddings
+    table in EXACT integer arithmetic: one distributed job builds the
+    64x64 fixed-point Gram matrix (in-row outer-product expansion, one
+    exchange over the fixed dim^2 cell grid — shuffle width independent
+    of row count, the Count-Min property applied to linear algebra),
+    then the driver iterates w = G @ v with integer renormalization —
+    a dim^2-bounded sketch collect, never a data collect.  Every round
+    of the trajectory is emitted and hash-gated against a HUGEINT
+    oracle, so iteration DYNAMICS (not just the fixed point) are
+    correctness-checked bit-for-bit.  This is the distributed-PCA /
+    spectral-embedding building block a training-data pipeline uses for
+    whitening and semantic-dedup projections.
+    See operators/profiling.py:power_iteration_pc1."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return profiling.power_iteration_pc1(emb, "embedding", PI_DIM)

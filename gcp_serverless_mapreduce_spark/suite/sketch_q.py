@@ -114,3 +114,89 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (est.withColumn("kmv_est", F.round("kmv_est", 6))
             .join(exact, "event_type")
             .select("event_type", "kmv_est", "n_hashes", "exact_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership: benchmark decontamination at corpus scale.
+
+from ..operators import curation  # noqa: E402
+from ..operators.sketches import BLOOM_K, BLOOM_M  # noqa: E402
+from .curation_q import EVAL_MOD, NGRAM_N  # noqa: E402
+
+
+def _bloom_pos_sql(gram_expr: str, seed_expr: str) -> str:
+    """DuckDB twin of sketches.bloom_pos: md5-prefix hash mod BLOOM_M."""
+    return (f"CAST('0x' || substr(md5(CAST({seed_expr} AS VARCHAR) || '|' "
+            f"|| {gram_expr}), 1, 8) AS BIGINT) % {BLOOM_M}")
+
+
+@register("bloom_decontamination", f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(toks, i.i, i.i + {NGRAM_N} - 1),
+                           ' ') AS gram
+    FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - {NGRAM_N - 1}))
+        AS i) i
+    WHERE len(toks) >= {NGRAM_N}),
+e AS (SELECT DISTINCT gram FROM g WHERE doc_id % {EVAL_MOD} = 0),
+seeds AS (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS s),
+bits AS (SELECT DISTINCT {_bloom_pos_sql('gram', 's')} AS pos
+         FROM e, seeds),
+tg AS (SELECT doc_id, gram FROM g WHERE doc_id % {EVAL_MOD} <> 0),
+pp AS (SELECT doc_id, gram, {_bloom_pos_sql('gram', 's')} AS pos
+       FROM tg, seeds),
+hit AS (
+    SELECT pp.doc_id, pp.gram,
+           (count(b.pos) = {BLOOM_K}) AS bloom_hit
+    FROM pp LEFT JOIN bits b ON pp.pos = b.pos
+    GROUP BY pp.doc_id, pp.gram),
+agg AS (
+    SELECT h.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (WHERE h.bloom_hit) AS BIGINT)
+               AS bloom_hits,
+           CAST(count(*) FILTER (WHERE e.gram IS NOT NULL) AS BIGINT)
+               AS exact_hits
+    FROM hit h LEFT JOIN e ON h.gram = e.gram
+    GROUP BY h.doc_id)
+SELECT doc_id, n_grams, bloom_hits, exact_hits,
+       bloom_hits - exact_hits AS bloom_fp
+FROM agg WHERE bloom_hits > 0
+""")
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter: the eval
+    split's word {NGRAM_N}-grams set k={BLOOM_K} bits each in an
+    m={BLOOM_M}-bit filter; every train document's n-grams then probe
+    the filter and docs with any hit are flagged, with the exact hit
+    count alongside so the filter's false positives are themselves
+    oracle-gated.  The 100 TB shape: the filter is collected as a
+    SKETCH (8 KiB bitmap, bounded by m, never by data volume) and rides
+    the plan as a literal array<long>, so the corpus-side probe is pure
+    whole-stage-codegen'd bit arithmetic on the scan — zero joins, zero
+    shuffles before the per-doc aggregate — exactly how engine-native
+    bloom-join pushdown ships filters to scans.  The exact-hit column
+    reuses the broadcast-set plan of ngram_contamination for
+    comparison.  See operators/sketches.py:bloom_build."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = curation.word_ngrams(docs, NGRAM_N)
+    is_eval = (F.col("doc_id") % EVAL_MOD) == 0
+    eval_grams = grams.where(is_eval).select("gram").distinct()
+    bitmap = sketches.bloom_bitmap(
+        sketches.bloom_build(eval_grams, key_col="gram"))
+    train = grams.where(~is_eval)
+    return (train
+            .withColumn("_bloom",
+                        sketches.bloom_hit_expr(F.col("gram"), bitmap))
+            .join(F.broadcast(eval_grams.withColumn("_ex", F.lit(1))),
+                  "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(F.col("_bloom").cast("long")).alias("bloom_hits"),
+                 F.sum(F.coalesce(F.col("_ex"), F.lit(0)).cast("long"))
+                 .alias("exact_hits"))
+            .where(F.col("bloom_hits") > 0)
+            .select("doc_id", "n_grams", "bloom_hits", "exact_hits",
+                    (F.col("bloom_hits") - F.col("exact_hits"))
+                    .alias("bloom_fp")))

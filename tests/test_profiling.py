@@ -47,3 +47,44 @@ def test_merge_agg_delta_equals_recompute(spark):
         agg(df.where("v < 3")), agg(df.where("v >= 3")), ["k"], ["n", "s"])
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, full.collect()))
+
+
+def test_gram_matrix_exact_and_grid_bounded(spark):
+    import math
+
+    from gcp_serverless_mapreduce_spark.operators import profiling
+
+    vecs = [[0.11, -0.5, 0.25], [0.3, 0.3, -0.01], [-0.2, 0.07, 0.4]]
+    df = spark.createDataFrame([(v,) for v in vecs],
+                               "embedding array<double>")
+    got = {(r["i"], r["j"]): r["g"]
+           for r in profiling.gram_matrix(df, "embedding", 3).collect()}
+    assert len(got) == 9  # fixed dim^2 grid, independent of row count
+    q = [[math.floor(x * profiling.PI_EMB_Q) for x in v] for v in vecs]
+    for i in range(3):
+        for j in range(3):
+            assert got[(i, j)] == sum(r[i] * r[j] for r in q)
+
+
+def test_power_iteration_converges_to_dominant_direction(spark):
+    from gcp_serverless_mapreduce_spark.operators import profiling
+
+    # 40 vectors hugging direction (3,1,0,-1)/sqrt(11) plus small jitter:
+    # the Gram matrix's top eigenvector is that direction.
+    d = [3.0, 1.0, 0.0, -1.0]
+    rows = []
+    for t in range(40):
+        s = 0.05 * ((t % 7) - 3)
+        rows.append(([0.2 * d[k] + (s if k == t % 4 else 0.0)
+                      for k in range(4)],))
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    out = profiling.power_iteration_pc1(df, "embedding", 4, rounds=6)
+    vals = {(r["rnd"], r["i"]): r["v"] for r in out.collect()}
+    assert len(vals) == 7 * 4
+    v = [vals[(6, i)] for i in range(4)]
+    # cosine against the planted direction, sign-insensitive
+    num = abs(sum(v[k] * d[k] for k in range(4)))
+    den = (sum(x * x for x in v) ** 0.5) * (sum(x * x for x in d) ** 0.5)
+    assert num / den > 0.99
+    # renormalization contract: max |component| is exactly PI_SCALE
+    assert max(abs(x) for x in v) == profiling.PI_SCALE

@@ -45,3 +45,40 @@ def test_kmv_exact_below_k_and_close_above(spark):
     row = sketches.kmv_distinct(big, "grp", "key").collect()[0]
     assert row["n_hashes"] == sketches.KMV_K
     assert 3000 <= row["kmv_est"] <= 7000
+
+
+def test_bloom_no_false_negatives_and_tiny_fp(spark):
+    import hashlib
+
+    inserted = [f"ngram-{i}" for i in range(200)]
+    keys = spark.createDataFrame([(k,) for k in inserted], "key string")
+    bits = sketches.bloom_build(keys)
+    # bounded by min(m, k * n) regardless of input volume
+    assert bits.count() <= min(sketches.BLOOM_M,
+                               sketches.BLOOM_K * len(inserted))
+    bitmap = sketches.bloom_bitmap(bits)
+    assert len(bitmap) == sketches.BLOOM_WORDS
+
+    probes = inserted + [f"absent-{i}" for i in range(2000)]
+    pf = spark.createDataFrame([(k,) for k in probes], "key string")
+    got = {r["key"]: r["hit"] for r in pf.select(
+        "key", sketches.bloom_hit_expr(F.col("key"), bitmap).alias("hit")
+    ).collect()}
+    # no false negatives, ever
+    assert all(got[k] for k in inserted)
+    # m=65536, k=4, n=200 -> FP rate ~2e-8; allow a couple anyway
+    fps = sum(got[k] for k in probes[200:])
+    assert fps <= 2
+
+    # bit positions match the md5-prefix convention exactly
+    def py_pos(key, seed):
+        return int(hashlib.md5(f"{seed}|{key}".encode()).hexdigest()[:8],
+                   16) % sketches.BLOOM_M
+
+    def py_hit(key):
+        return all(
+            (bitmap[py_pos(key, s) // 64] >> (py_pos(key, s) % 64)) & 1
+            for s in range(sketches.BLOOM_K))
+
+    for k in probes[:50] + probes[200:250]:
+        assert got[k] == py_hit(k)
