@@ -610,3 +610,52 @@ def weighted_sample_per_group(docs: DataFrame, group_col: str, n: int,
                         key.alias("samp_key"))
             .withColumn("samp_rank", F.row_number().over(w).cast("long"))
             .where(F.col("samp_rank") <= n))
+
+
+def source_overlap(docs: DataFrame, n: int = 3,
+                   source_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """-> (src_a, src_b, inter, n_a, n_b, jaccard): exact n-gram-set
+    Jaccard overlap between every pair of sources — the corpus-
+    governance matrix that answers "which of my domains are mirroring
+    each other?" before mixture weights are chosen.
+
+    Scale shape: the per-source gram sets are reduced FIRST (one
+    exchange keyed on gram after an in-row per-doc dedup), and each
+    gram then carries only its SOURCE SET — bounded by the number of
+    sources, a catalog-sized constant, never by corpus volume.  Pair
+    generation is an in-row nested transform over that tiny set
+    (no self-join of the gram table), and the final aggregate runs
+    over the |sources|^2 pair grid.  A 100 TB corpus with 50 sources
+    shuffles gram-cardinality rows once and 2500-cell partial aggs —
+    there is no all-pairs blowup anywhere.
+    """
+    grams = word_ngrams(docs, n, id_col=source_col, text_col=text_col) \
+        .distinct()
+    sizes = grams.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_set"))
+    src_sets = (grams.groupBy("gram")
+                .agg(F.array_sort(F.collect_set(source_col))
+                     .alias("srcs")))
+    pairs = F.filter(
+        F.flatten(F.transform(
+            F.col("srcs"),
+            lambda a: F.transform(F.col("srcs"),
+                                  lambda b: F.struct(a.alias("src_a"),
+                                                     b.alias("src_b"))))),
+        lambda p: p["src_a"] < p["src_b"])
+    inter = (src_sets.select(F.explode(pairs).alias("p"))
+             .groupBy(F.col("p.src_a").alias("src_a"),
+                      F.col("p.src_b").alias("src_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    a_sz = sizes.select(F.col(source_col).alias("src_a"),
+                        F.col("n_set").alias("n_a"))
+    b_sz = sizes.select(F.col(source_col).alias("src_b"),
+                        F.col("n_set").alias("n_b"))
+    return (inter
+            .join(F.broadcast(a_sz), "src_a")
+            .join(F.broadcast(b_sz), "src_b")
+            .select("src_a", "src_b", "inter", "n_a", "n_b",
+                    F.round(F.col("inter").cast("double")
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.col("inter")), 6).alias("jaccard")))

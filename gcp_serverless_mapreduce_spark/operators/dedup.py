@@ -617,3 +617,69 @@ def containment_pairs(docs: DataFrame, threshold: float, k: int = 3,
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "containment")
     )
+
+
+# Span ladder for shared-substring profiling: Fibonacci-ish spacing
+# covers short boilerplate through long verbatim quotes.
+SPAN_NS = (3, 5, 8, 13)
+
+
+def max_shared_span(docs: DataFrame, ns: tuple[int, ...] = SPAN_NS,
+                    df_max: int = 128,
+                    doc_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """-> (doc_a, doc_b, max_span): per candidate pair, the LARGEST
+    n in ``ns`` such that the two documents share a verbatim word
+    n-gram — the substring-granularity duplication signal (Lee et al.
+    2022's exact-substring dedup, profiled at a fixed span ladder
+    instead of via suffix arrays, which don't distribute).
+
+    One corpus scan: every span's gram stream is generated IN-ROW from
+    the same token array (per-n slices, deduped by ``array_distinct``,
+    tagged with the span, flattened) and exploded once.  The inverted
+    index is keyed on (span, gram) with the same document-frequency cap
+    as jaccard_pairs — a boilerplate gram shared by m docs degenerates
+    to m^2 pairs, so grams with df > df_max are dropped (pairs can be
+    missed, never invented).  The self-join runs once across all spans
+    on the (span, gram) key, and the final aggregate folds the ladder
+    to its max.
+    """
+    from pyspark.sql import Window
+
+    toked = (docs
+             .select(F.col(doc_col).alias("doc"),
+                     tokens_col(text_col).alias("toks"))
+             .filter(F.size("toks") >= min(ns)))
+    # NB: transform() lambdas must stay single-parameter — a second
+    # parameter is interpreted as the ELEMENT INDEX by Spark.
+    def _tagged_grams(n: int):
+        grams_n = F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n))))
+        return F.when(
+            F.size("toks") >= n,
+            F.transform(grams_n,
+                        lambda g: F.struct(
+                            F.lit(n).alias("span"), g.alias("gram")))
+        ).otherwise(F.array().cast("array<struct<span:int,gram:string>>"))
+
+    tagged = [_tagged_grams(n) for n in ns]
+    exploded = (toked
+                .select("doc", F.explode(F.flatten(F.array(*tagged)))
+                        .alias("sg"))
+                .select("doc", F.col("sg.span").alias("span"),
+                        F.col("sg.gram").alias("gram"))
+                .repartition(F.col("span"), F.col("gram")))
+    capped = (exploded
+              .withColumn("_df", F.count("*").over(
+                  Window.partitionBy("span", "gram")))
+              .filter(F.col("_df") <= df_max)
+              .drop("_df"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (a.join(b, (F.col("a.span") == F.col("b.span"))
+                   & (F.col("a.gram") == F.col("b.gram"))
+                   & (F.col("a.doc") < F.col("b.doc")))
+            .groupBy(F.col("a.doc").alias("doc_a"),
+                     F.col("b.doc").alias("doc_b"))
+            .agg(F.max(F.col("a.span")).cast("long").alias("max_span")))

@@ -243,12 +243,25 @@ def power_iteration_pc1(emb: DataFrame, vec_col: str, dim: int,
     DYNAMICS — a transposed matrix or swapped normalization shows up in
     round 1, not as a mysteriously-rotated final vector.
     """
+    traj = pc1_trajectory(emb, vec_col, dim, rounds)
+    out = [(rnd, i, v[i])
+           for rnd, v in enumerate(traj) for i in range(dim)]
+    return emb.sparkSession.createDataFrame(
+        out, "rnd long, i long, v long")
+
+
+def pc1_trajectory(emb: DataFrame, vec_col: str, dim: int,
+                   rounds: int = PI_ROUNDS) -> list[list[int]]:
+    """The integer power-iteration trajectory [v_0, ..., v_rounds]
+    behind power_iteration_pc1 (see its docstring for the exactness
+    argument); exposed so downstream operators can reuse the converged
+    vector as plan literals."""
     cells = gram_matrix(emb, vec_col, dim).collect()
     G: dict[tuple[int, int], int] = {(r["i"], r["j"]): r["g"]
                                      for r in cells}
     v = [PI_SCALE] * dim
-    out = [(0, i, v[i]) for i in range(dim)]
-    for rnd in range(1, rounds + 1):
+    traj = [list(v)]
+    for _rnd in range(1, rounds + 1):
         w = [sum(G.get((i, j), 0) * v[j] for j in range(dim))
              for i in range(dim)]
         mx = max(abs(x) for x in w)
@@ -256,6 +269,51 @@ def power_iteration_pc1(emb: DataFrame, vec_col: str, dim: int,
             v = [0] * dim
         else:
             v = [(x * PI_SCALE) // mx for x in w]  # Python // == floor
-        out.extend((rnd, i, v[i]) for i in range(dim))
-    return emb.sparkSession.createDataFrame(
-        out, "rnd long, i long, v long")
+        traj.append(list(v))
+    return traj
+
+
+# PC1-projection histogram: fixture projections span ~±1.5e12, so a
+# fixed 2^37 bucket width yields ~20 buckets with no data-dependent
+# range scan (the width is a declared contract, like histogram bins).
+PC1_BUCKET_WIDTH = 1 << 37
+
+
+def pc1_projection_hist(emb: DataFrame, vec_col: str, dim: int,
+                        label_col: str,
+                        rounds: int = PI_ROUNDS,
+                        width: int = PC1_BUCKET_WIDTH) -> DataFrame:
+    """-> (bucket, n_vecs, n_labels, min_proj, max_proj): the corpus
+    histogrammed along its top principal direction — the semantic-
+    bucketing step (SemDeDup-style pipelines project onto leading
+    components before bucketed near-dup search, and skew along PC1 is
+    the first thing a whitening pass looks at).
+
+    The converged pc1 vector rides the plan as a LITERAL array<long>
+    (dim BIGINTs, the Bloom-bitmap trick), so the projection
+    proj = sum_i q[i] * v[i] is an IN-ROW zip_with/aggregate fold in
+    whole-stage codegen — the only exchange is the final aggregate over
+    the fixed bucket grid.  Both the quantized coordinates and v are
+    exact integers, so proj is exact and the floor-of-division
+    bucketing reproduces in the oracle bit-for-bit."""
+    v = pc1_trajectory(emb, vec_col, dim, rounds)[-1]
+    q = F.transform(F.col(vec_col),
+                    lambda x: F.floor(x.cast("double") * PI_EMB_Q)
+                    .cast("long"))
+    lit_v = F.array(*[F.lit(x).cast("long") for x in v])
+    proj = F.aggregate(
+        F.zip_with(q, lit_v, lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    # floor division on a possibly-negative BIGINT: pmod identity
+    bucket = ((F.col("_proj")
+               - F.pmod(F.col("_proj"), F.lit(width))) / width) \
+        .cast("long")
+    return (emb
+            .where(F.size(F.col(vec_col)) == dim)
+            .withColumn("_proj", proj)
+            .withColumn("bucket", bucket)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.countDistinct(F.col(label_col)).alias("n_labels"),
+                 F.min("_proj").alias("min_proj"),
+                 F.max("_proj").alias("max_proj")))

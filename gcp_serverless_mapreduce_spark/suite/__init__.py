@@ -95,6 +95,9 @@ promote([
     # -- new this round --
     "bloom_decontamination",
     "power_iteration_pc1",
+    "pc1_projection_buckets",
+    "source_overlap_jaccard",
+    "max_shared_span_pairs",
     "sorted_neighborhood_multipass",
     "shingle_novelty_scores",
     "lsh_candidate_precision",

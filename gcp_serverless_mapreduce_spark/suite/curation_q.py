@@ -512,3 +512,44 @@ def corpus_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.sum("n_pieces").cast("long").alias("total_pieces"),
                  F.sum("n_chars").cast("long").alias("total_chars")))
+
+
+# ---------------------------------------------------------------------------
+# Corpus governance: cross-source n-gram overlap matrix.
+
+@register("source_overlap_jaccard", f"""
+WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
+g AS (
+    SELECT DISTINCT source,
+           array_to_string(list_slice(toks, i.i, i.i + {NGRAM_N} - 1),
+                           ' ') AS gram
+    FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - {NGRAM_N - 1}))
+        AS i) i
+    WHERE len(toks) >= {NGRAM_N}),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_set
+       FROM g GROUP BY source),
+i AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS inter
+    FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+    GROUP BY a.source, b.source)
+SELECT src_a, src_b, inter, sa.n_set AS n_a, sb.n_set AS n_b,
+       round(CAST(inter AS DOUBLE) / (sa.n_set + sb.n_set - inter), 6)
+           AS jaccard
+FROM i JOIN sz sa ON sa.source = i.src_a
+       JOIN sz sb ON sb.source = i.src_b
+""")
+def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact {NGRAM_N}-gram-set Jaccard between every source pair — the
+    corpus-governance matrix behind mixture de-biasing ("which domains
+    mirror each other?").  Per-source gram sets reduce FIRST (in-row
+    per-doc dedup, one exchange on the gram), each gram then carries
+    only its SOURCE SET — bounded by the source catalog, never corpus
+    volume — and pair generation is an in-row nested transform over
+    that set: no self-join of the gram table, no all-pairs blowup.
+    The oracle's a.gram = b.gram self-join is the semantics spec; the
+    Spark plan deliberately avoids that shape.
+    See operators/curation.py:source_overlap."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.source_overlap(docs, NGRAM_N)

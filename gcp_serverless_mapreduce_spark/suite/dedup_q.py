@@ -681,3 +681,48 @@ def leakage_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_clustered"),
                  F.min("doc_id").alias("min_doc_id"),
                  F.max("doc_id").alias("max_doc_id")))
+
+
+# Report spans 5+: with a 31-word fixture vocabulary (and boilerplate at
+# corpus scale) a shared 3-gram is noise — at sf0.1 the 3-level alone
+# emits ~1.1M pairs, none of them duplication signal.  The output of a
+# substring profile must be CANDIDATES, not the cross product.
+REPORT_SPANS = (5, 8, 13)
+SPAN_LIST = ", ".join(str(n) for n in REPORT_SPANS)
+
+
+@register("max_shared_span_pairs", f"""
+WITH toks AS (
+    SELECT doc_id AS doc, string_split_regex(trim(lower(text)), '\\s+') AS t
+    FROM documents),
+g AS (
+    SELECT DISTINCT doc, n.n AS span,
+           unnest(list_transform(generate_series(1, len(t) - n.n + 1),
+                                 i -> array_to_string(t[i:i+n.n-1], ' ')))
+               AS gram
+    FROM toks, (SELECT unnest([{SPAN_LIST}]) AS n) n
+    WHERE len(t) >= n.n),
+capped AS (
+    SELECT doc, span, gram FROM g
+    QUALIFY COUNT(*) OVER (PARTITION BY span, gram) <= {JACCARD_DF_MAX}),
+p AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, a.span
+    FROM capped a
+    JOIN capped b ON a.span = b.span AND a.gram = b.gram
+                 AND a.doc < b.doc)
+SELECT doc_a, doc_b, CAST(max(span) AS BIGINT) AS max_span
+FROM p GROUP BY doc_a, doc_b
+""")
+def max_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-granularity duplication profile: per candidate pair,
+    the LARGEST n in ({SPAN_LIST}) such that the docs share a verbatim
+    word n-gram — the distributed stand-in for exact-substring dedup
+    (Lee et al. 2022), whose suffix arrays don't shard.  ONE corpus
+    scan generates every span's grams in-row from the same token array
+    (deduped by array_distinct before the explode); the inverted index
+    is keyed (span, gram) with the family's df cap, one self-join
+    across all spans, and a max-fold.  See
+    operators/dedup.py:max_shared_span."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.max_shared_span(docs, ns=REPORT_SPANS,
+                                 df_max=JACCARD_DF_MAX)

@@ -305,3 +305,47 @@ def power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/profiling.py:power_iteration_pc1."""
     emb = load_table(spark, sf_dir, "embeddings")
     return profiling.power_iteration_pc1(emb, "embedding", PI_DIM)
+
+
+def _pc1_hist_sql() -> str:
+    """DuckDB twin of profiling.pc1_projection_hist: the _pi_sql CTE
+    chain re-used up to v{rounds}, then an exact HUGEINT projection and
+    the same pmod-identity floor-division bucketing."""
+    r = profiling.PI_ROUNDS
+    w = profiling.PC1_BUCKET_WIDTH
+    body = _pi_sql(r)
+    ctes = body[:body.index("\nSELECT CAST(0")]
+    return f"""{ctes},
+proj AS (
+    SELECT x.vec_id, sum(x.xq * vv.v) AS proj
+    FROM x JOIN v{r} vv ON x.i = vv.i GROUP BY x.vec_id),
+pl AS (
+    SELECT p.proj,
+           (p.proj - ((p.proj % {w}) + {w}) % {w}) // {w} AS bucket,
+           e.label
+    FROM proj p JOIN embeddings e USING (vec_id))
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+       CAST(min(proj) AS BIGINT) AS min_proj,
+       CAST(max(proj) AS BIGINT) AS max_proj
+FROM pl GROUP BY bucket
+"""
+
+
+@register("pc1_projection_buckets", _pc1_hist_sql())
+def pc1_projection_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus histogrammed along its top principal direction: each
+    embedding's exact integer projection onto the converged
+    power-iteration vector, floor-divided into fixed-width buckets,
+    with per-bucket label diversity — the semantic-bucketing step
+    SemDeDup-style pipelines run before bucketed near-dup search, and
+    the first diagnostic of a whitening pass.  The pc1 vector rides the
+    plan as a LITERAL array<long> (the Bloom-bitmap trick), so the
+    projection is an in-row zip_with/aggregate fold in whole-stage
+    codegen; the only exchange is the final aggregate over the fixed
+    bucket grid.  Exact integers end-to-end — the oracle reproduces
+    bucketing bit-for-bit via the pmod identity in HUGEINT.
+    See operators/profiling.py:pc1_projection_hist."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return profiling.pc1_projection_hist(emb, "embedding", PI_DIM, "label")

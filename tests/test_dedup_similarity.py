@@ -245,3 +245,23 @@ def test_dedup_eval_queries_invariants(spark):
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     n_distinct = dd.word_shingles(docs).select("shingle").distinct().count()
     assert sum(r["n_novel"] for r in nov) == n_distinct
+
+
+def test_max_shared_span_ladder(spark):
+    from gcp_serverless_mapreduce_spark.operators import dedup
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13"
+    rows = [
+        (0, base),                       # 13 words
+        (1, base),                       # identical -> shares a 13-gram
+        (2, "x0 " + " ".join(base.split()[:8]) + " y0 y1"),  # 8-run
+        (3, "z z w1 w2 w3 q q q"),       # only a 3-run with doc 0
+        (4, "a b c d e f g h"),          # disjoint
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["max_span"]
+           for r in dedup.max_shared_span(docs).collect()}
+    assert got[(0, 1)] == 13
+    assert got[(0, 2)] == 8 and got[(1, 2)] == 8
+    assert got[(0, 3)] == 3 and got[(1, 3)] == 3
+    assert not any(4 in p for p in got)

@@ -116,3 +116,38 @@ def test_temperature_sample_flattens_sources(spark):
     # deterministic: same draw on re-run
     again = curation.temperature_sample(docs, scale=2).collect()
     assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+
+
+def test_source_overlap_exact_jaccard(spark):
+    from gcp_serverless_mapreduce_spark.operators import curation
+
+    rows = [
+        (0, "a b c d", "s1"), (1, "b c d e", "s1"),
+        (2, "a b c x", "s2"), (3, "x y z w", "s2"),
+        (4, "p q r s", "s3"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    got = {(r["src_a"], r["src_b"]): r
+           for r in curation.source_overlap(docs, n=2).collect()}
+
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[i:i + 2]) for i in range(len(w) - 1)}
+
+    sets = {}
+    for _id, t, s in rows:
+        sets.setdefault(s, set()).update(grams(t))
+    import itertools
+    want_pairs = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter:
+            want_pairs.add((a, b))
+            r = got[(a, b)]
+            assert r["inter"] == inter
+            assert r["n_a"] == len(sets[a]) and r["n_b"] == len(sets[b])
+            assert abs(r["jaccard"]
+                       - inter / len(sets[a] | sets[b])) < 1e-9
+    # disjoint pairs emit no row (inter joins drop them)
+    assert set(got) == want_pairs

@@ -88,3 +88,40 @@ def test_power_iteration_converges_to_dominant_direction(spark):
     assert num / den > 0.99
     # renormalization contract: max |component| is exactly PI_SCALE
     assert max(abs(x) for x in v) == profiling.PI_SCALE
+
+
+def test_pc1_projection_hist_matches_python(spark):
+    import math
+
+    from gcp_serverless_mapreduce_spark.operators import profiling
+
+    d = [3.0, 1.0, 0.0, -1.0]
+    rows = []
+    for t in range(30):
+        s = 0.04 * ((t % 5) - 2)
+        rows.append(([0.15 * d[k] + (s if k == t % 4 else 0.0)
+                      for k in range(4)], t % 3))
+    df = spark.createDataFrame(rows, "embedding array<double>, label long")
+    width = 1 << 22  # small vectors -> small projections
+    out = profiling.pc1_projection_hist(
+        df, "embedding", 4, "label", rounds=4, width=width).collect()
+
+    v = profiling.pc1_trajectory(df, "embedding", 4, rounds=4)[-1]
+    projs = []
+    for vec, _lbl in rows:
+        q = [math.floor(x * profiling.PI_EMB_Q) for x in vec]
+        projs.append(sum(q[i] * v[i] for i in range(4)))
+    want_buckets = {}
+    for p, (_vec, lbl) in zip(projs, rows):
+        b = p // width  # Python floor division == the pmod identity
+        ent = want_buckets.setdefault(b, [0, set(), None, None])
+        ent[0] += 1
+        ent[1].add(lbl)
+        ent[2] = p if ent[2] is None else min(ent[2], p)
+        ent[3] = p if ent[3] is None else max(ent[3], p)
+    got = {r["bucket"]: r for r in out}
+    assert set(got) == set(want_buckets)
+    for b, (n, lbls, mn, mx) in want_buckets.items():
+        r = got[b]
+        assert (r["n_vecs"], r["n_labels"], r["min_proj"],
+                r["max_proj"]) == (n, len(lbls), mn, mx)
