@@ -171,23 +171,41 @@ def kmv_hash(key: Column) -> Column:
             .cast("long")
 
 
-def kmv_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
-    """Per-group KMV distinct estimate -> (group, kmv_est, n_hashes).
-
-    Duplicate keys hash identically, so the distinct-hash step is a
-    hash-aggregate with map-side partial dedup (per-task state bounded
-    by the group's distinct count, and a production build would truncate
-    to k *inside* the partial aggregate — the bounded-state property the
-    sketch exists for).  The rank-k selection is a per-group window over
-    at most the distinct hashes; the estimate is (k-1)/frac_k when the
-    group has >= k distinct hashes, else the exact distinct count.
-    """
+def kmv_state(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """-> (grp, h): the KMV sketch STATE — the k smallest distinct
+    48-bit hashes per group.  This is the mergeable representation:
+    union two states, re-truncate to k, and you have exactly the state
+    a single pass over both inputs would have produced (the k smallest
+    of a union of per-part k-smallest sets ARE the k smallest of the
+    whole — each discarded hash was beaten by k smaller ones in its own
+    part)."""
     hashed = df.select(F.col(group_col).alias("grp"),
                        kmv_hash(F.col(key_col)).alias("h")).distinct()
     w = Window.partitionBy("grp").orderBy("h")
-    ranked = hashed.withColumn("rk", F.row_number().over(w))
-    return (ranked
+    return (hashed.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= KMV_K)
+            .select("grp", "h"))
+
+
+def kmv_merge_states(*states: DataFrame) -> DataFrame:
+    """Union sketch states and re-truncate to k per group — the merge
+    half of the sketch contract.  Input per state is at most k rows per
+    group, so the union + re-rank touches k * n_states rows per group
+    regardless of data volume."""
+    out = states[0]
+    for st in states[1:]:
+        out = out.unionByName(st)
+    w = Window.partitionBy("grp").orderBy("h")
+    return (out.distinct()
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= KMV_K)
+            .select("grp", "h"))
+
+
+def kmv_estimate(state: DataFrame, group_col: str) -> DataFrame:
+    """Estimate (k-1)/frac_k from a sketch state (exact count when the
+    group holds fewer than k hashes)."""
+    return (state
             .groupBy("grp")
             .agg(F.count(F.lit(1)).alias("n_hashes"),
                  F.max("h").alias("h_k"))
@@ -199,3 +217,17 @@ def kmv_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
                             / F.col("h_k").cast("double"))
                  .alias("kmv_est"),
                 F.col("n_hashes").cast("long").alias("n_hashes")))
+
+
+def kmv_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Per-group KMV distinct estimate -> (group, kmv_est, n_hashes).
+
+    Duplicate keys hash identically, so the distinct-hash step is a
+    hash-aggregate with map-side partial dedup (per-task state bounded
+    by the group's distinct count, and a production build would truncate
+    to k *inside* the partial aggregate — the bounded-state property the
+    sketch exists for).  The rank-k selection is a per-group window over
+    at most the distinct hashes; the estimate is (k-1)/frac_k when the
+    group has >= k distinct hashes, else the exact distinct count.
+    """
+    return kmv_estimate(kmv_state(df, group_col, key_col), group_col)

@@ -98,6 +98,7 @@ promote([
     "pc1_projection_buckets",
     "source_overlap_jaccard",
     "max_shared_span_pairs",
+    "kmv_merge_equivalence",
     "sorted_neighborhood_multipass",
     "shingle_novelty_scores",
     "lsh_candidate_precision",

@@ -200,3 +200,96 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_grams", "bloom_hits", "exact_hits",
                     (F.col("bloom_hits") - F.col("exact_hits"))
                     .alias("bloom_fp")))
+
+
+_KMV_STATE_SQL = """
+    SELECT grp, h FROM (
+        SELECT grp, h,
+               row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+        FROM (SELECT DISTINCT event_type AS grp,
+                     CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                         1, {d}) AS BIGINT) AS h
+              FROM events WHERE event_id % 2 = {par}))
+    WHERE rk <= {k}"""
+
+
+@register("kmv_merge_equivalence", f"""
+WITH s0 AS ({_KMV_STATE_SQL.format(d=KMV_HEX_DIGITS, par=0, k=KMV_K)}),
+s1 AS ({_KMV_STATE_SQL.format(d=KMV_HEX_DIGITS, par=1, k=KMV_K)}),
+m AS (
+    SELECT grp, h FROM (
+        SELECT grp, h,
+               row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+        FROM (SELECT DISTINCT grp, h FROM
+                  (SELECT * FROM s0 UNION ALL SELECT * FROM s1)))
+    WHERE rk <= {KMV_K}),
+est AS (
+    SELECT grp, CAST(count(*) AS BIGINT) AS n_hashes, max(h) AS h_k
+    FROM m GROUP BY grp),
+direct AS (
+    SELECT grp, CAST(count(*) AS BIGINT) AS n_hashes, max(h) AS h_k
+    FROM (
+        SELECT grp, h FROM (
+            SELECT grp, h,
+                   row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+            FROM (SELECT DISTINCT event_type AS grp,
+                         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                             1, {KMV_HEX_DIGITS})
+                              AS BIGINT) AS h
+                  FROM events))
+        WHERE rk <= {KMV_K})
+    GROUP BY grp)
+SELECT e.grp AS event_type,
+       round(CASE WHEN e.n_hashes < {KMV_K}
+                  THEN CAST(e.n_hashes AS DOUBLE)
+                  ELSE CAST({KMV_NUMER!r} AS DOUBLE)
+                       / CAST(e.h_k AS DOUBLE) END, 6) AS merged_est,
+       round(CASE WHEN d.n_hashes < {KMV_K}
+                  THEN CAST(d.n_hashes AS DOUBLE)
+                  ELSE CAST({KMV_NUMER!r} AS DOUBLE)
+                       / CAST(d.h_k AS DOUBLE) END, 6) AS direct_est,
+       e.n_hashes,
+       (e.n_hashes = d.n_hashes AND e.h_k = d.h_k) AS merge_exact
+FROM est e JOIN direct d USING (grp)
+""")
+def kmv_merge_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-merge contract, demonstrated and gated: build KMV
+    states independently over two disjoint halves of events (even/odd
+    event_id — the per-partition / per-day build a 100 TB deployment
+    runs), merge by union + re-truncate-to-k, and estimate — next to
+    the single-pass estimate over the whole table.  ``merge_exact``
+    asserts state-level equality (the k smallest of the union of
+    per-part k-smallest sets are the k smallest of the whole), which is
+    WHY sketch aggregation parallelizes: partial states combine
+    losslessly, so distinct-counting 100 TB never needs a global
+    distinct.  See operators/sketches.py:kmv_merge_states."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select("event_id", "event_type",
+                      F.col("user_id").cast("string").alias("u"))
+    s0 = sketches.kmv_state(
+        keyed.where(F.col("event_id") % 2 == 0), "event_type", "u")
+    s1 = sketches.kmv_state(
+        keyed.where(F.col("event_id") % 2 == 1), "event_type", "u")
+    merged_state = sketches.kmv_merge_states(s0, s1)
+    merged = (sketches.kmv_estimate(merged_state, "event_type")
+              .withColumnRenamed("kmv_est", "merged_est"))
+    m_hk = (merged_state.groupBy("grp")
+            .agg(F.max("h").alias("m_hk"))
+            .withColumnRenamed("grp", "event_type"))
+    direct_state = sketches.kmv_state(keyed, "event_type", "u")
+    direct = (sketches.kmv_estimate(direct_state, "event_type")
+              .select(F.col("event_type"),
+                      F.col("kmv_est").alias("direct_est"),
+                      F.col("n_hashes").alias("d_n")))
+    d_hk = (direct_state.groupBy("grp")
+            .agg(F.max("h").alias("d_hk"))
+            .withColumnRenamed("grp", "event_type"))
+    return (merged.join(direct, "event_type")
+            .join(m_hk, "event_type").join(d_hk, "event_type")
+            .select("event_type",
+                    F.round("merged_est", 6).alias("merged_est"),
+                    F.round("direct_est", 6).alias("direct_est"),
+                    "n_hashes",
+                    ((F.col("n_hashes") == F.col("d_n"))
+                     & (F.col("m_hk") == F.col("d_hk")))
+                    .alias("merge_exact")))

@@ -82,3 +82,19 @@ def test_bloom_no_false_negatives_and_tiny_fp(spark):
 
     for k in probes[:50] + probes[200:250]:
         assert got[k] == py_hit(k)
+
+
+def test_kmv_merge_states_equals_single_pass(spark):
+    rows = [("g", f"user-{i}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "grp string, key string") \
+        .withColumn("par", F.length("key") % 2)
+    s0 = sketches.kmv_state(df.where("par = 0"), "grp", "key")
+    s1 = sketches.kmv_state(df.where("par = 1"), "grp", "key")
+    merged = sketches.kmv_merge_states(s0, s1)
+    direct = sketches.kmv_state(df, "grp", "key")
+    # state-level equality: the merge is lossless, not just close
+    assert sorted(r["h"] for r in merged.collect()) == \
+        sorted(r["h"] for r in direct.collect())
+    est_m = sketches.kmv_estimate(merged, "grp").collect()[0]["kmv_est"]
+    est_d = sketches.kmv_estimate(direct, "grp").collect()[0]["kmv_est"]
+    assert est_m == est_d
