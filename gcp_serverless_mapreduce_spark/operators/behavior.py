@@ -118,3 +118,50 @@ def retention_cohorts(events: DataFrame, epoch: str,
                  F.round(F.count("*").cast("double")
                          / F.any_value("cohort_size"), 6)
                  .alias("retention")))
+
+
+TOUCH_TYPES = ("click", "view")
+REV_U = 1_000_000  # revenue in exact micro-units (the BIGINT-sum rule)
+
+
+def touch_attribution(events: DataFrame,
+                      touch_types: Sequence[str] = TOUCH_TYPES,
+                      purchase_type: str = "purchase",
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id") -> DataFrame:
+    """-> (model, touch_type, n_purchases, revenue): marketing
+    attribution — every purchase's value credited to the user's FIRST
+    and LAST preceding touch event (click/view), the two classic
+    single-touch models, side by side.
+
+    One window pass over the user-ordered stream computes both running
+    touch columns (first/last with ignorenulls — no self-join of
+    purchases back onto touches, which is the naive O(purchases x
+    touches) shape); purchases with no preceding touch are credited to
+    '(none)' rather than dropped, so the two models' totals both
+    reconcile to total purchase revenue.  Revenue is summed as exact
+    BIGINT micro-units (one rounded double multiply per row, then
+    integer addition), so the aggregate is partition-order-independent
+    and the oracle matches bit-for-bit.
+    """
+    w = _ordered_window(user_col, ts_col, id_col)
+    touch = F.when(F.col("event_type").isin(*touch_types),
+                   F.col("event_type"))
+    base = (events
+            .withColumn("_last_t", F.last(touch, ignorenulls=True).over(w))
+            .withColumn("_first_t", F.first(touch, ignorenulls=True).over(w))
+            .where(F.col("event_type") == purchase_type)
+            .withColumn("_vu", F.round(F.col("value") * REV_U).cast("long")))
+    melted = base.select(F.explode(F.array(
+        F.struct(F.lit("last").alias("model"),
+                 F.coalesce(F.col("_last_t"), F.lit("(none)"))
+                 .alias("touch_type"), F.col("_vu")),
+        F.struct(F.lit("first").alias("model"),
+                 F.coalesce(F.col("_first_t"), F.lit("(none)"))
+                 .alias("touch_type"), F.col("_vu")))).alias("m"))
+    return (melted
+            .groupBy(F.col("m.model").alias("model"),
+                     F.col("m.touch_type").alias("touch_type"))
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.round(F.sum("m._vu").cast("double") / REV_U, 6)
+                 .alias("revenue")))

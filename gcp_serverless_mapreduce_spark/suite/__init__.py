@@ -99,6 +99,8 @@ promote([
     "source_overlap_jaccard",
     "max_shared_span_pairs",
     "kmv_merge_equivalence",
+    "touch_attribution_revenue",
+    "events_parquet_schema_evolution",
     "sorted_neighborhood_multipass",
     "shingle_novelty_scores",
     "lsh_candidate_precision",

@@ -185,3 +185,38 @@ def event_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.regexp_count("seq", F.lit(CEP_PATTERN)).cast("long")
                      .alias("n_patterns"),
                     F.md5("seq").alias("seq_md5")))
+
+
+@register("touch_attribution_revenue", f"""
+WITH w AS (
+    SELECT user_id, ts, event_id, event_type, value,
+           last_value(CASE WHEN event_type IN ('click', 'view')
+                           THEN event_type END IGNORE NULLS)
+               OVER ({_ORDERED_W}) AS last_t,
+           first_value(CASE WHEN event_type IN ('click', 'view')
+                            THEN event_type END IGNORE NULLS)
+               OVER ({_ORDERED_W}) AS first_t
+    FROM events),
+p AS (SELECT * FROM w WHERE event_type = 'purchase'),
+m AS (
+    SELECT 'last' AS model, COALESCE(last_t, '(none)') AS touch_type,
+           CAST(round(value * {behavior.REV_U}) AS BIGINT) AS vu
+    FROM p
+    UNION ALL
+    SELECT 'first', COALESCE(first_t, '(none)'),
+           CAST(round(value * {behavior.REV_U}) AS BIGINT)
+    FROM p)
+SELECT model, touch_type, CAST(count(*) AS BIGINT) AS n_purchases,
+       round(CAST(sum(vu) AS DOUBLE) / {behavior.REV_U}, 6) AS revenue
+FROM m GROUP BY model, touch_type
+""")
+def touch_attribution_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First- and last-touch revenue attribution: each purchase's value
+    credited to the user's first/last preceding click-or-view, in ONE
+    window pass over the user-ordered stream (running first/last with
+    ignorenulls) — never the naive purchases-join-touches shape.
+    Purchases with no preceding touch credit '(none)', so both models
+    reconcile to total revenue; sums are exact BIGINT micro-units.
+    See operators/behavior.py:touch_attribution."""
+    ev = load_table(spark, sf_dir, "events")
+    return behavior.touch_attribution(ev)

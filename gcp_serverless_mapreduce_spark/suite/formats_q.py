@@ -152,3 +152,54 @@ def pyds_click_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("total_value"),
                  F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
                   .alias("first_click")))
+
+
+@register("events_parquet_schema_evolution", """
+WITH h AS (
+    SELECT event_type,
+           CAST(('0x' || substr(md5(concat_ws('|', event_id,
+                epoch_us(ts), user_id, event_type,
+                CAST(round(value * 100) AS BIGINT),
+                CASE WHEN event_id % 2 = 1 THEN props ELSE '-' END,
+                CASE WHEN event_id % 2 = 1 THEN 2 ELSE 1 END)), 1, 15))
+               AS BIGINT) AS h
+    FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS content_sum
+FROM h GROUP BY event_type
+""")
+def events_parquet_schema_evolution(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: even-id events are
+    written with the ORIGINAL schema (no props), odd-id events with an
+    EVOLVED one (props kept, a new schema_v column added) — the
+    landing-zone reality where yesterday's files lack today's columns.
+    A single mergeSchema read reconciles both batches; rows from the
+    old batch surface NULL for the added columns, folded to sentinels
+    inside the same content fingerprint the other format roundtrips
+    use.  At 100 TB this is exactly how a corpus absorbs new metadata
+    without rewriting history: merge on read, NULL-fill, never a
+    backfill job."""
+    events = load_table(spark, sf_dir, "events")
+    scratch = os.path.join("/tmp/spark_graft_scratch", "evolve",
+                           os.path.basename(os.path.normpath(sf_dir)))
+    v1 = events.where(F.col("event_id") % 2 == 0).drop("props")
+    v2 = (events.where(F.col("event_id") % 2 == 1)
+          .withColumn("schema_v", F.lit(2)))
+    v1.write.mode("overwrite").parquet(os.path.join(scratch, "v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(scratch, "v2"))
+    merged = (spark.read.option("mergeSchema", "true")
+              .parquet(os.path.join(scratch, "v1"),
+                       os.path.join(scratch, "v2")))
+    row = F.concat_ws(
+        "|", F.col("event_id"), F.unix_micros("ts"),
+        F.col("user_id"), F.col("event_type"),
+        F.round(F.col("value") * 100).cast("long"),
+        F.coalesce(F.col("props"), F.lit("-")),
+        F.coalesce(F.col("schema_v"), F.lit(1)))
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
+    return (merged.withColumn("_h", h)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.col("_h").cast("decimal(38,0)"))
+                 .cast("string").alias("content_sum")))

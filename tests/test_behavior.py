@@ -161,3 +161,33 @@ def test_stream_static_enrich_matches_batch_join(spark):
                   F.sum(F.col("value").cast("decimal(14,2)"))
                   .cast("double").alias("tv"))).collect()}
     assert got == want
+
+
+def test_touch_attribution_models(spark):
+    from gcp_serverless_mapreduce_spark.operators import behavior
+
+    rows = [
+        # user 1: view -> click -> purchase(10) ; click is last, view first
+        (1, 1, "2024-01-01 10:00:00", "view", 0.0),
+        (2, 1, "2024-01-01 10:01:00", "click", 0.0),
+        (3, 1, "2024-01-01 10:02:00", "purchase", 10.0),
+        # user 2: purchase with NO preceding touch -> (none)
+        (4, 2, "2024-01-01 09:00:00", "purchase", 5.0),
+        # user 2: later view then purchase(2.5)
+        (5, 2, "2024-01-01 09:30:00", "view", 0.0),
+        (6, 2, "2024-01-01 09:45:00", "purchase", 2.5),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string,"
+              " value double").withColumn("ts", F.to_timestamp("ts"))
+    got = {(r["model"], r["touch_type"]): (r["n_purchases"], r["revenue"])
+           for r in behavior.touch_attribution(ev).collect()}
+    assert got[("last", "click")] == (1, 10.0)
+    assert got[("first", "view")] == (2, 12.5)
+    assert got[("last", "view")] == (1, 2.5)
+    assert got[("last", "(none)")] == (1, 5.0)
+    assert got[("first", "(none)")] == (1, 5.0)
+    # both models reconcile to total purchase revenue
+    for model in ("first", "last"):
+        assert sum(v for (m, _t), (_n, v) in got.items()
+                   if m == model) == 17.5
