@@ -178,7 +178,12 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles before the per-doc aggregate — exactly how engine-native
     bloom-join pushdown ships filters to scans.  The exact-hit column
     reuses the broadcast-set plan of ngram_contamination for
-    comparison.  See operators/sketches.py:bloom_build."""
+    comparison.  The gram stream is deliberately re-derived per
+    consumer (filter build, probe, exact twin) rather than
+    materialized: grams are cheap in-row expressions, and at 100 TB a
+    localCheckpoint of the (doc, gram) stream would cost far more disk
+    and wall time than the extra codegen'd scans.
+    See operators/sketches.py:bloom_build."""
     docs = load_table(spark, sf_dir, "documents")
     grams = curation.word_ngrams(docs, NGRAM_N)
     is_eval = (F.col("doc_id") % EVAL_MOD) == 0
