@@ -164,3 +164,58 @@ def test_bpe_learn_batching_engages_on_disjoint_pairs(spark):
                    (3, "e", "f", 21), (4, "g", "h", 18)]
     assert got == _py_learn_bpe(texts, 1, textstats.BPE_MIN_PAIR,
                                 textstats.BPE_BATCH)
+
+
+def test_bloom_fuzz_matches_python_oracle(spark):
+    # Random keys in and out of the filter: Spark's literal-bitmap probe
+    # must agree with a pure-Python bloom bit-for-bit, FPs included.
+    inserted = {f"k{RNG.randint(0, 5000)}" for _ in range(400)}
+    probes = list(inserted) + [f"q{RNG.randint(0, 5000)}"
+                               for _ in range(800)]
+    keys = spark.createDataFrame([(k,) for k in sorted(inserted)],
+                                 "key string")
+    bitmap = sketches.bloom_bitmap(sketches.bloom_build(keys))
+
+    def py_pos(key, seed):
+        return int(hashlib.md5(f"{seed}|{key}".encode()).hexdigest()[:8],
+                   16) % sketches.BLOOM_M
+
+    def py_hit(key):
+        return all(
+            (bitmap[py_pos(key, s) // 64] >> (py_pos(key, s) % 64)) & 1
+            for s in range(sketches.BLOOM_K))
+
+    pf = spark.createDataFrame([(k,) for k in probes], "key string")
+    got = {r["key"]: r["hit"] for r in pf.select(
+        "key", sketches.bloom_hit_expr(F.col("key"), bitmap).alias("hit")
+    ).collect()}
+    assert all(got[k] == py_hit(k) for k in probes)
+    assert all(got[k] for k in inserted)
+
+
+def test_power_iteration_fuzz_matches_python_oracle(spark):
+    # Random small embedding matrix: the distributed Gram + driver
+    # iteration must equal a from-scratch pure-Python replication.
+    import math
+
+    from gcp_serverless_mapreduce_spark.operators import profiling
+
+    dim = 5
+    vecs = [[RNG.uniform(-0.6, 0.6) for _ in range(dim)]
+            for _ in range(25)]
+    df = spark.createDataFrame([(v,) for v in vecs],
+                               "embedding array<double>")
+    traj = profiling.pc1_trajectory(df, "embedding", dim, rounds=5)
+
+    q = [[math.floor(x * profiling.PI_EMB_Q) for x in v] for v in vecs]
+    G = [[sum(r[i] * r[j] for r in q) for j in range(dim)]
+         for i in range(dim)]
+    v = [profiling.PI_SCALE] * dim
+    want = [list(v)]
+    for _ in range(5):
+        w = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        mx = max(abs(x) for x in w)
+        v = [0] * dim if mx == 0 else [(x * profiling.PI_SCALE) // mx
+                                       for x in w]
+        want.append(list(v))
+    assert traj == want
