@@ -287,11 +287,20 @@ def learn_bpe_merges(docs: DataFrame, rounds: int = BPE_LEARN_ROUNDS,
     the number of corpus scans: each round counts adjacent in-word
     symbol pairs corpus-wide ONCE, takes the top ``batch`` candidates
     (count desc, sym_a, sym_b — deterministic), and applies every
-    candidate that shares NO symbol with any higher-ranked candidate.
-    Mutually non-overlapping merges cannot create or destroy each
-    other's occurrences (their ``<a><b>`` patterns occupy disjoint
-    symbol positions), so the measured counts stay exact for every
-    applied merge and application order inside a batch is immaterial.
+    candidate that does not INTERFERE with any higher-ranked candidate.
+    Interference is (a) sharing a symbol, (b) either of the candidate's
+    symbols equalling the CONCATENATION ``a+b`` a higher-ranked merge
+    would create (the merge would manufacture occurrences the count
+    never saw), or (c) the candidate's own concatenation equalling one
+    of a higher-ranked candidate's symbols (this merge would manufacture
+    occurrences for THAT one).  Merges that pass all three clauses
+    cannot create or destroy each other's occurrences — their
+    ``<a><b>`` patterns occupy disjoint symbol positions and neither
+    produces the other's operands — so the measured counts stay exact
+    for every applied merge and application order inside a batch is
+    immaterial.  (Clauses b/c close the symbol-concatenation-collision
+    edge where e.g. ``(ab, c)`` survived alongside a higher-ranked
+    ``(a, b)`` under the name-sharing rule alone.)
 
     -> (rank, sym_a, sym_b, pair_count) for each APPLIED merge, ranks
     numbered in application order across rounds (up to
@@ -326,13 +335,19 @@ def learn_bpe_merges(docs: DataFrame, rounds: int = BPE_LEARN_ROUNDS,
                 .collect())
         if not cand:
             break
-        # keep a candidate iff it shares no symbol with ANY higher-ranked
-        # candidate (kept or not) — checkable per-pair, so the SQL twin
-        # expresses it as NOT EXISTS instead of a sequential greedy scan
+        # keep a candidate iff it does not interfere with ANY
+        # higher-ranked candidate (kept or not): no shared symbol, no
+        # symbol equal to a higher candidate's concatenation a+b, and
+        # its own concatenation not equal to a higher candidate's
+        # symbol — checkable per-pair, so the SQL twin expresses it as
+        # NOT EXISTS instead of a sequential greedy scan
         kept = [
             r for i, r in enumerate(cand)
             if not any(y["a"] in (r["a"], r["b"])
-                       or y["b"] in (r["a"], r["b"]) for y in cand[:i])]
+                       or y["b"] in (r["a"], r["b"])
+                       or (y["a"] + y["b"]) in (r["a"], r["b"])
+                       or (r["a"] + r["b"]) in (y["a"], y["b"])
+                       for y in cand[:i])]
         for r in kept:
             a, b = r["a"], r["b"]
             merges.append((len(merges) + 1, a, b, int(r["c"])))

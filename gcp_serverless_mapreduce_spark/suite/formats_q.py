@@ -42,6 +42,15 @@ FROM h GROUP BY event_type
 """
 
 
+def _scratch(spark: SparkSession, *parts: str) -> str:
+    """Per-session scratch directory: the Spark applicationId component
+    keeps two concurrent runs (e.g. the driver's correctness sweep and a
+    local bench) from overwriting each other's roundtrip files while the
+    other is mid-read."""
+    return os.path.join("/tmp/spark_graft_scratch",
+                        spark.sparkContext.applicationId, *parts)
+
+
 def _fingerprint(df: DataFrame) -> DataFrame:
     # unix_micros/epoch_us on both engines: an integer comparison with
     # zero formatting surface (the old date_format/strftime pair worked
@@ -60,8 +69,8 @@ def _fingerprint(df: DataFrame) -> DataFrame:
 
 def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    scratch = os.path.join("/tmp/spark_graft_scratch", fmt,
-                           os.path.basename(os.path.normpath(sf_dir)))
+    scratch = _scratch(spark, fmt,
+                       os.path.basename(os.path.normpath(sf_dir)))
     return _fingerprint(write_then_read(events, fmt, scratch))
 
 
@@ -110,8 +119,8 @@ def events_json_corrupt_routing(spark: SparkSession,
     from ..sources.formats import write_with_corruption_then_read
 
     events = load_table(spark, sf_dir, "events")
-    scratch = os.path.join("/tmp/spark_graft_scratch", "json_corrupt",
-                           os.path.basename(os.path.normpath(sf_dir)))
+    scratch = _scratch(spark, "json_corrupt",
+                       os.path.basename(os.path.normpath(sf_dir)))
     back = write_with_corruption_then_read(events, scratch)
     good = F.col("_corrupt_record").isNull()
     return (back.withColumn("status",
@@ -160,7 +169,8 @@ WITH h AS (
            CAST(('0x' || substr(md5(concat_ws('|', event_id,
                 epoch_us(ts), user_id, event_type,
                 CAST(round(value * 100) AS BIGINT),
-                CASE WHEN event_id % 2 = 1 THEN props ELSE '-' END,
+                CASE WHEN event_id % 2 = 1 THEN COALESCE(props, '-')
+                     ELSE '-' END,
                 CASE WHEN event_id % 2 = 1 THEN 2 ELSE 1 END)), 1, 15))
                AS BIGINT) AS h
     FROM events)
@@ -181,8 +191,8 @@ def events_parquet_schema_evolution(spark: SparkSession,
     without rewriting history: merge on read, NULL-fill, never a
     backfill job."""
     events = load_table(spark, sf_dir, "events")
-    scratch = os.path.join("/tmp/spark_graft_scratch", "evolve",
-                           os.path.basename(os.path.normpath(sf_dir)))
+    scratch = _scratch(spark, "evolve",
+                       os.path.basename(os.path.normpath(sf_dir)))
     v1 = events.where(F.col("event_id") % 2 == 0).drop("props")
     v2 = (events.where(F.col("event_id") % 2 == 1)
           .withColumn("schema_v", F.lit(2)))
@@ -191,11 +201,19 @@ def events_parquet_schema_evolution(spark: SparkSession,
     merged = (spark.read.option("mergeSchema", "true")
               .parquet(os.path.join(scratch, "v1"),
                        os.path.join(scratch, "v2")))
+    # props sentinel mirrors the oracle's CASE exactly: old-schema rows
+    # (even ids, schema_v NULL after mergeSchema) fold to '-'
+    # unconditionally; new-schema rows keep props with NULL coalesced to
+    # the same sentinel — so a future NULL-props fixture row hashes
+    # identically on both engines (concat_ws would otherwise silently
+    # drop a NULL on the oracle side only).
     row = F.concat_ws(
         "|", F.col("event_id"), F.unix_micros("ts"),
         F.col("user_id"), F.col("event_type"),
         F.round(F.col("value") * 100).cast("long"),
-        F.coalesce(F.col("props"), F.lit("-")),
+        F.when(F.col("event_id") % 2 == 1,
+               F.coalesce(F.col("props"), F.lit("-")))
+        .otherwise(F.lit("-")),
         F.coalesce(F.col("schema_v"), F.lit(1)))
     h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
     return (merged.withColumn("_h", h)

@@ -165,7 +165,7 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> fact joins -> agg -> top-k.
     Catalyst broadcasts the filtered customer side; top-k compiles to
     TakeOrderedAndProject (no global sort)."""
-    t = load_tables3(spark, sf_dir)
+    t = _load_tables3(spark, sf_dir)
     cust, orders, li = t["customer"], t["orders"], t["lineitem"]
     cut = F.lit("1998-03-15").cast("timestamp_ntz")
     return (
@@ -183,7 +183,7 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def load_tables3(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+def _load_tables3(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n)
             for n in ("customer", "orders", "lineitem")}
 

@@ -798,8 +798,9 @@ def bpe_piece_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_learn_sql(rounds: int, min_pair: int, batch: int) -> str:
     """Unrolled DuckDB twin of textstats.learn_bpe_merges (batched):
     round k's top-``batch`` candidates (count desc, a, b) are a CTE;
-    the kept subset (NOT EXISTS a higher-ranked symbol-sharing
-    candidate — the same per-pair rule the Spark side applies) steers
+    the kept subset (NOT EXISTS a higher-ranked INTERFERING candidate —
+    shared symbol, symbol = higher concat a||b, or own concat = a
+    higher symbol; the same per-pair rule the Spark side applies) steers
     round k's replace chain through ``batch`` fixed slots; global
     ranks are re-numbered over (round, batch position)."""
     parts = [f"WITH s0 AS (SELECT regexp_replace({_bpe_esc_sql('text')}, "
@@ -824,7 +825,9 @@ keep{k} AS (
     FROM cand{k} x
     WHERE NOT EXISTS (SELECT 1 FROM cand{k} y
                       WHERE y.rn < x.rn
-                        AND (y.a IN (x.a, x.b) OR y.b IN (x.a, x.b))))""")
+                        AND (y.a IN (x.a, x.b) OR y.b IN (x.a, x.b)
+                             OR (y.a || y.b) IN (x.a, x.b)
+                             OR (x.a || x.b) IN (y.a, y.b))))""")
         for j in range(1, batch + 1):
             parts.append(f""",
 k{k}_{j} AS (SELECT a, b FROM keep{k} WHERE bp = {j})""")
@@ -862,8 +865,10 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds × up to {textstats.BPE_BATCH} merges each — the scalable-BPE
     trick that decouples learned-vocab size from corpus scans): each
     round counts adjacent in-word symbol pairs once (one explode + one
-    hash-agg), keeps the top candidates that share no symbol with a
-    higher-ranked candidate (mutually non-overlapping, so their counts
+    hash-agg), keeps the top candidates that do not interfere with a
+    higher-ranked candidate (no shared symbol, no symbol equal to a
+    higher merge's concatenation, own concatenation not a higher
+    candidate's symbol — mutually non-interfering, so their counts
     stay exact), and merges them with codegen'd literal replaces.  The
     only driver traffic is the <= {textstats.BPE_BATCH}-row candidate
     list per round (scalar steering, as in KMeans) — never data.  The

@@ -106,8 +106,8 @@ def test_bpe_piece_count_bounds(spark):
 
 def _py_learn_bpe(texts, rounds, min_pair, batch):
     """Independent Python oracle of textstats.learn_bpe_merges (batched):
-    same unit wrapping, candidate ranking, non-overlap keep rule, and
-    in-order replace application."""
+    same unit wrapping, candidate ranking, non-interference keep rule,
+    and in-order replace application."""
     def esc(t):
         return (t.replace("\\", "\\\\").replace("<", "\\l")
                 .replace(">", "\\g"))
@@ -126,8 +126,13 @@ def _py_learn_bpe(texts, rounds, min_pair, batch):
                       key=lambda t: (-t[2], t[0], t[1]))[:batch]
         if not cand:
             break
+        # non-interference keep rule (matches operators/textstats.py):
+        # no shared symbol, no symbol equal to a higher-ranked merge's
+        # concatenation, own concatenation not a higher-ranked symbol
         kept = [x for i, x in enumerate(cand)
                 if not any(y[0] in (x[0], x[1]) or y[1] in (x[0], x[1])
+                           or (y[0] + y[1]) in (x[0], x[1])
+                           or (x[0] + x[1]) in (y[0], y[1])
                            for y in cand[:i])]
         for a, b, c in kept:
             merges.append((len(merges) + 1, a, b, c))

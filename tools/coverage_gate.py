@@ -90,7 +90,21 @@ def referenced_names() -> dict[str, set[str]]:
     for full in files:
         rel = os.path.relpath(full, ROOT)
         tree = ast.parse(open(full, encoding="utf-8").read())
+        call_arg_strings: set[str] = set()
         for node in ast.walk(tree):
+            if isinstance(node, ast.Call):
+                # string constants count as symbol references ONLY when
+                # passed as call arguments (registry / format-string
+                # call sites such as .format("events_pyds") or
+                # call_function("shiftright", ...)); an incidental
+                # same-named string elsewhere (a dict key, a column
+                # alias) must not satisfy the gate
+                for a in list(node.args) + [k.value for k in node.keywords]:
+                    if (isinstance(a, ast.Constant)
+                            and isinstance(a.value, str)
+                            and 0 < len(a.value) < 64
+                            and not any(c.isspace() for c in a.value)):
+                        call_arg_strings.add(a.value)
             # count NAME USES and attribute accesses, not defs/imports:
             # `from x import f` alone must not satisfy the gate
             if isinstance(node, ast.Attribute):
@@ -98,14 +112,8 @@ def referenced_names() -> dict[str, set[str]]:
             elif isinstance(node, ast.Name) and isinstance(node.ctx,
                                                            ast.Load):
                 refs[node.id].add(rel)
-            elif (isinstance(node, ast.Constant)
-                  and isinstance(node.value, str)
-                  and 0 < len(node.value) < 64
-                  and not any(c.isspace() for c in node.value)):
-                # registry/format-string references (e.g. data source
-                # names used via .format("events_pyds")); whitespace
-                # exclusion keeps docstrings from counting as uses
-                refs[node.value].add(rel)
+        for s in call_arg_strings:
+            refs[s].add(rel)
     return refs
 
 
@@ -119,11 +127,14 @@ def main() -> int:
         mod_ok = 0
         for name, lineno, registered in syms:
             total += 1
-            # a Load-context use anywhere counts (intra-module helper
-            # calls included: called code is not dead code); a bare def
-            # or import alone never produces a Load of the name at its
-            # definition site
-            if refs.get(name) or registered or name in PROTOCOL_OK:
+            # the reference set EXCLUDES the defining module: a public
+            # symbol only used by its own file (including recursion)
+            # is private surface wearing a public name — either demote
+            # it to _name or exercise it from tests/suite.  This
+            # enforces the docstring's "referenced from outside its
+            # defining module" rule literally.
+            outside = refs.get(name, set()) - {mod}
+            if outside or registered or name in PROTOCOL_OK:
                 ok += 1
                 mod_ok += 1
             else:
