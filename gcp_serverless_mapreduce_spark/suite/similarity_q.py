@@ -246,26 +246,36 @@ def ivf_fixed_cells_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic Lloyd KMeans: rounds unrolled as oracle CTEs.
 LLOYD_ROUNDS = 2
 _TRAIN_Q = similarity.IVF_TRAIN_Q
+_TRAIN_MOD = similarity.IVF_TRAIN_MOD
+
+# Training-sample membership — the EXACT DuckDB rendering of
+# similarity.train_sample_pred (md5 8-hex prefix mod _TRAIN_MOD), so
+# the sample-trained centroids match bit-for-bit.
+_TRAIN_PRED = ("CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) "
+               f"AS BIGINT) % {_TRAIN_MOD} = 0")
 
 
 def _lloyd_cte() -> str:
-    """Lloyd rounds as CTEs: c0 = the fixed md5 init centroids; round r
-    = nearest-cell assignment under c{{r-1}} (score |c|^2 - 2·(v·c),
-    ties to the smallest cell), per-(cell, dim) FIXED-POINT BIGINT sums
-    (floor(v[i]·Q) — order-independent, matching the Spark side's exact
-    integer aggregation), then the new centroid list with empty cells
-    keeping their previous centroid."""
+    """Lloyd rounds as CTEs: tr = the 1-in-{_TRAIN_MOD} hash-sample the
+    Spark side trains on (search still ranks the full corpus); c0 = the
+    fixed md5 init centroids; round r = nearest-cell assignment of the
+    SAMPLE under c{{r-1}} (score |c|^2 - 2·(v·c), ties to the smallest
+    cell), per-(cell, dim) FIXED-POINT BIGINT sums (floor(v[i]·Q) —
+    order-independent, matching the Spark side's exact integer
+    aggregation), then the new centroid list with empty cells keeping
+    their previous centroid."""
     c0_rows = ",\n ".join(
         f"({i}, {_cent_literal(c)}, CAST({_sq_fold(c)!r} AS DOUBLE))"
         for i, c in enumerate(CENTROIDS))
-    parts = [f",\nc0(cell, cent, sq) AS (VALUES {c0_rows})"]
+    parts = [f",\ntr AS (SELECT vec_id, v FROM u WHERE {_TRAIN_PRED})",
+             f",\nc0(cell, cent, sq) AS (VALUES {c0_rows})"]
     for r in range(1, LLOYD_ROUNDS + 1):
         p = r - 1
         dotvc = _dot("u0.v", "c.cent")
         parts.append(f""",
 a{r} AS (
     SELECT u0.vec_id, u0.v, c.cell
-    FROM u u0 CROSS JOIN c{p} c
+    FROM tr u0 CROSS JOIN c{p} c
     QUALIFY row_number() OVER (PARTITION BY u0.vec_id
                                ORDER BY c.sq - 2.0 * {dotvc}, c.cell) = 1),
 s{r} AS (
@@ -308,16 +318,17 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-{K} over TRAINED centroids — {LLOYD_ROUNDS}
     deterministic fixed-point Lloyd rounds from the md5 init (per-dim
     centroid sums quantized to BIGINTs, the logistic_gd_train
-    technique), then the probe-{N_PROBE} search shared with the
-    fixed-centroid twin.  Replaces the former Spark ML KMeans rows-only
-    entry (round-5 verdict item 2): the oracle now unrolls the
-    TRAINING ITSELF as CTEs with identical arithmetic, so cell
-    assignments, trained centroids, and the final ranking are all
-    hash-gated.  Recall vs brute force stays asserted in
-    tests/test_ivf.py."""
+    technique), trained on the 1-in-{_TRAIN_MOD} md5 hash-sample
+    (round-6 verdict item 2: training no longer pays full-corpus scans
+    per execution; the oracle's tr CTE applies the identical
+    predicate), then the probe-{N_PROBE} search over the FULL corpus
+    shared with the fixed-centroid twin.  Cell assignments, trained
+    centroids, and the final ranking are all hash-gated.  Recall vs
+    brute force stays asserted in tests/test_ivf.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_lloyd_topk(emb, K, CENTROIDS,
-                                     rounds=LLOYD_ROUNDS, n_probe=N_PROBE)
+                                     rounds=LLOYD_ROUNDS, n_probe=N_PROBE,
+                                     train_mod=_TRAIN_MOD)
 
 
 # ---- Product quantization (PQ/ADC) — fixed md5-derived codebooks ----
