@@ -683,3 +683,70 @@ def max_shared_span(docs: DataFrame, ns: tuple[int, ...] = SPAN_NS,
             .groupBy(F.col("a.doc").alias("doc_a"),
                      F.col("b.doc").alias("doc_b"))
             .agg(F.max(F.col("a.span")).cast("long").alias("max_span")))
+
+
+def max_shared_span_exact(docs: DataFrame, ns: tuple[int, ...] = SPAN_NS,
+                          df_max: int = 128,
+                          doc_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """-> (doc_a, doc_b, max_span): per candidate pair, the EXACT
+    length of the longest verbatim shared word n-gram — the ladder
+    profile of :func:`max_shared_span` refined to the true maximum.
+
+    Two phases, mirroring how exact-substring dedup scales:
+
+    1. DISCOVERY stays the df-capped (span, gram) inverted index at the
+       fixed ladder — that bounds the candidate-pair set, which is the
+       quadratic danger at 100 TB.
+    2. REFINEMENT runs only on those (bounded) pairs: each pair row
+       carries both token arrays, and an Arrow-batched kernel
+       binary-searches the true span in [ladder hit, min(len_a,
+       len_b)] — shared-n-gram existence is monotone decreasing in n,
+       so log(len) set-intersection probes per pair suffice, never an
+       O(len_a·len_b) DP.
+
+    The ladder hit is a sound lower bound (its gram was genuinely
+    shared; the df cap only *removes* discovery grams).  Cost: the
+    candidate plan + two doc-keyed joins to re-attach token arrays +
+    one Python stage over |pairs| rows — at scale the pair set is df-
+    cap-bounded while the corpus-side joins stay key-partitioned.
+    """
+    cand = max_shared_span(docs, ns, df_max, doc_col, text_col)
+    toked = docs.select(F.col(doc_col).alias("doc"),
+                        tokens_col(text_col).alias("toks"))
+
+    @pandas_udf("long")
+    def exact_span(ta: pd.Series, tb: pd.Series,
+                   lo0: pd.Series) -> pd.Series:
+        out = []
+        for a, b, lo in zip(ta, tb, lo0):
+            a, b = list(a), list(b)
+            if len(b) < len(a):       # probe the shorter side's grams
+                a, b = b, a
+
+            def shared(n: int) -> bool:
+                if n > min(len(a), len(b)):
+                    return False
+                ga = {" ".join(a[i:i + n]) for i in range(len(a) - n + 1)}
+                return any(" ".join(b[j:j + n]) in ga
+                           for j in range(len(b) - n + 1))
+
+            lo, hi = int(lo), min(len(a), len(b))
+            while lo < hi:            # invariant: shared(lo) is True
+                mid = (lo + hi + 1) // 2
+                if shared(mid):
+                    lo = mid
+                else:
+                    hi = mid - 1
+            out.append(lo)
+        return pd.Series(out, dtype="int64")
+
+    return (
+        cand
+        .join(toked.select(F.col("doc").alias("doc_a"),
+                           F.col("toks").alias("ta")), "doc_a")
+        .join(toked.select(F.col("doc").alias("doc_b"),
+                           F.col("toks").alias("tb")), "doc_b")
+        .select("doc_a", "doc_b",
+                exact_span("ta", "tb", "max_span").alias("max_span"))
+    )

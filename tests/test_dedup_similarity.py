@@ -265,3 +265,28 @@ def test_max_shared_span_ladder(spark):
     assert got[(0, 2)] == 8 and got[(1, 2)] == 8
     assert got[(0, 3)] == 3 and got[(1, 3)] == 3
     assert not any(4 in p for p in got)
+
+
+def test_max_shared_span_exact_refines_between_rungs(spark):
+    from gcp_serverless_mapreduce_spark.operators import dedup
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15"
+    rows = [
+        (0, base),                                            # 15 words
+        (1, base),                                            # exact 15
+        # shares words 1..10 with doc 0: ladder (3,5,8,13) reports 8,
+        # the refinement must find the true 10
+        (2, "x0 " + " ".join(base.split()[:10]) + " y0"),
+        # shares only a 4-run: ladder reports 3, exact is 4
+        (3, "p q w1 w2 w3 w4 r s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ladder = {(r["doc_a"], r["doc_b"]): r["max_span"]
+              for r in dedup.max_shared_span(docs).collect()}
+    exact = {(r["doc_a"], r["doc_b"]): r["max_span"]
+             for r in dedup.max_shared_span_exact(docs).collect()}
+    assert set(exact) == set(ladder)     # refinement never adds pairs
+    assert ladder[(0, 2)] == 8 and exact[(0, 2)] == 10
+    assert ladder[(0, 3)] == 3 and exact[(0, 3)] == 4
+    assert exact[(0, 1)] == 15           # full-length identity
+    assert all(exact[p] >= ladder[p] for p in ladder)
