@@ -40,77 +40,69 @@ from . import sketch_q  # noqa: F401, E402
 from . import linkage_q  # noqa: F401, E402
 from . import profiling_q  # noqa: F401, E402
 
-# Round-6 window head (the driver checks the FIRST ~50 registered).
-# Priority order:
-# 1) the 29 queries that have NEVER had a driver CORRECTNESS row
-#    (computed as PARITY names minus the union of CORRECTNESS_r01-r05
-#    keys) — every one passes the builder's two-scale DuckDB-parity
-#    harness, so this converts builder-attested parity into
-#    driver-attested fact;
-# 2) the two formerly-`no_oracle` entries, now deterministic +
-#    oracle-gated this round (approx_stats_parts via KMV/histogram
-#    sketches, ivf_ann_topk via fixed-point Lloyd KMeans the oracle
-#    unrolls);
-# 3) queries whose PLAN changed this round and need a fresh green
-#    (degree-oriented triangles, batched BPE learning);
-# 4) queries NEW this round.  Everything already driver-green and
-#    unchanged rotates behind the head.
+# Round-7 window head (the driver checks the FIRST ~50 registered).
+# Every registered query is cumulatively driver-green (r1-r6 union =
+# 185/185), so this round's window is the ATTESTATION-FRESHNESS
+# rotation the round-6 verdict asked for: the 43 queries last
+# driver-checked in r2/r3 (before the r5/r6 refactors of shared
+# helpers), oldest first, plus the 7 queries whose code changed THIS
+# round and therefore need a fresh green.  After r7 the maximum
+# attestation age of any query drops to 3 rounds.
 promote([
-    # -- never driver-checked (29) --
-    "bigram_coherence_score",
-    "bm25_doc_scores",
-    "dataset_split_counts",
-    "dedup_resolution_by_source",
-    "doc_overlapping_chunks",
-    "domain_capped_corpus",
-    "event_transition_matrix",
-    "events_json_corrupt_routing",
-    "funnel_signup_click_purchase",
-    "jaccard_prefix_dups",
-    "label_centroid_distances",
-    "latest_event_per_user",
-    "m4_downsample_hourly",
-    "pagerank_customer_supplier",
-    "quality_percentile_filter",
-    "regression_price_vs_quantity",
-    "scd2_customer_order_versions",
-    "semdedup_discards",
-    "sequence_packing_plan",
-    "snapshot_diff_customers",
-    "stream_dedup_replayed_events",
-    "stream_dedup_windowed_stats",
-    "stream_static_enrich",
-    "symspell_handle_match",
-    "temperature_mixed_sample",
-    "time_weighted_avg_value",
-    "user_retention_cohorts",
-    "weighted_sample_bychars",
-    "zorder_layout_keys",
-    # -- formerly no_oracle, now deterministic + hash-gated --
-    "approx_stats_parts",
-    "ivf_ann_topk",
-    # -- plan changed this round: fresh green needed --
-    "pmi_graph_triangles",
-    "bpe_learn_merges",
-    # -- new this round --
-    "bloom_decontamination",
-    "power_iteration_pc1",
-    "pc1_projection_buckets",
-    "source_overlap_jaccard",
-    "max_shared_span_pairs",
-    "kmv_merge_equivalence",
-    "touch_attribution_revenue",
-    "events_parquet_schema_evolution",
-    "sorted_neighborhood_multipass",
-    "shingle_novelty_scores",
-    "lsh_candidate_precision",
-    "minhash_estimate_error",
-    "length_bucketed_batches",
-    "ann_recall_eval",
+    # -- last driver-checked in round 2 (8) --
+    "customers_with_big_orders",
+    "customers_without_orders",
+    "distinct_status_priority",
+    "order_fill_stats",
+    "orders_per_nation",
+    "q3_top_unshipped_orders",
+    "q5_supplier_volume_by_nation",
+    "window_running_spend",
+    # -- last driver-checked in round 3 (35) --
+    "audio_decode_roundtrip",
+    "clean_text_stats",
+    "corpus_prep_pipeline",
+    "cosine_topk_bruteforce",
+    "doc_fingerprints",
+    "doc_quality_scores",
+    "docs_per_word_salted",
+    "embedding_near_dup_pairs",
+    "events_json_stats",
+    "image_decode_roundtrip",
+    "ivf_fixed_cells_topk",
+    "language_confusion",
+    "language_id",
+    "language_id_chargram",
+    "media_decode_features",
+    "minhash_lsh_candidates",
+    "minhash_signatures",
+    "multimodal_feature_table",
+    "multires_event_rollup",
+    "q16_parts_supplier_relationship",
+    "q20_excess_shipments_suppliers",
+    "q21_suppliers_kept_orders_waiting",
+    "repetition_quality_filter",
+    "simhash_fingerprints",
+    "simhash_near_dups",
+    "sq8_ann_topk",
+    "srp_ann_topk",
+    "srp_bucket_stats",
+    "stratified_sample_by_lang",
+    "stream_distinct_user_event_pairs",
+    "tfidf_top_terms",
+    "token_count_by_source",
+    "video_decode_roundtrip",
+    "word_bigram_freq_udtf",
+    "word_commonness_by_source_salted",
+    # -- changed this round: fresh green needed --
+    "ivf_ann_topk",            # Lloyd now trains on the 1-in-4 hash-sample
+    "bpe_learn_merges",        # keep rule extended with concat clauses
+    "max_shared_span_pairs",   # exact per-pair span refinement
+    "events_parquet_schema_evolution",  # props sentinel parity + scratch
+    "events_json_roundtrip_fingerprint",   # per-session scratch path
+    "events_csv_roundtrip_fingerprint",
+    "events_orc_roundtrip_fingerprint",
 ])
-# With approx_stats_parts and ivf_ann_topk oracle-gated this round,
-# every registered query has an oracle_sql() twin — zero rows-only
-# entries remain.
 
 # Re-export the flagship for __spark_entry__.entry
 from .anagram_q import anagram_groups  # noqa: F401, E402

@@ -223,6 +223,21 @@ def test_python_datasource_mixed_filters_shared_load_upstream(spark):
     assert clicks.join(other, "event_id").count() == n_clicks
 
 
+def test_parquet_native_mixed_filters_shared_load(spark):
+    """The contrast pin for the xfail above: the IDENTICAL shared-load
+    pattern — two scans of ONE load(), one filtered, one not, joined —
+    is exact through Spark's native parquet source.  Together the pair
+    shows the defect lives in the Python-datasource planning path
+    upstream, not in this repo's reader (whose per-scan binding is
+    pinned green in test_python_datasource_* above)."""
+    sf_dir = "/root/testdata/sf0.001"
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")   # ONE load()
+    n_clicks = df.where("event_type = 'click'").count()
+    clicks = df.where("event_type = 'click'").select("event_id")
+    other = df.select("event_id", "event_type")
+    assert clicks.join(other, "event_id").count() == n_clicks
+
+
 def test_json_shard_writer_append_merges_manifest(spark, tmp_path):
     """A second append must keep the first append's shards in the
     manifest (regression: the manifest was rewritten with only the
