@@ -41,14 +41,18 @@ from . import linkage_q  # noqa: F401, E402
 from . import profiling_q  # noqa: F401, E402
 
 # Round-7 window head (the driver checks the FIRST ~50 registered).
-# Every registered query is cumulatively driver-green (r1-r6 union =
-# 185/185), so this round's window is the ATTESTATION-FRESHNESS
-# rotation the round-6 verdict asked for: the 43 queries last
-# driver-checked in r2/r3 (before the r5/r6 refactors of shared
-# helpers), oldest first, plus the 7 queries whose code changed THIS
-# round and therefore need a fresh green.  After r7 the maximum
-# attestation age of any query drops to 3 rounds.
+# Priority order:
+# 1) the two queries NEW this round (never driver-checked);
+# 2) the ATTESTATION-FRESHNESS rotation the round-6 verdict asked for:
+#    the 43 queries last driver-checked in r2/r3 (before the r5/r6
+#    refactors of shared helpers), oldest first — after r7 the maximum
+#    attestation age of any query drops to 3 rounds;
+# 3) the queries whose code changed THIS round, riskiest first (the
+#    format-roundtrip trio at the tail changed only its scratch path).
 promote([
+    # -- new this round (2) --
+    "knn_label_consistency",
+    "dup_cluster_representatives",
     # -- last driver-checked in round 2 (8) --
     "customers_with_big_orders",
     "customers_without_orders",

@@ -747,3 +747,69 @@ def max_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.max_shared_span_exact(docs, ns=REPORT_SPANS,
                                        df_max=JACCARD_DF_MAX)
+
+
+@register("dup_cluster_representatives", "WITH RECURSIVE "
+          + _PAIRS_CTE.lstrip().removeprefix("WITH ") + """,
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach(doc, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.doc),
+clusters AS (SELECT doc AS doc_id, MIN(r) AS cluster_id
+             FROM reach GROUP BY doc),
+uq AS (
+    SELECT doc_id,
+           len(list_distinct(list_filter(
+               string_split_regex(trim(lower(text)), '\\s+'),
+               x -> x <> ''))) AS n_uniq_tokens
+    FROM documents),
+mem AS (
+    SELECT c.cluster_id, c.doc_id, uq.n_uniq_tokens,
+           COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY uq.n_uniq_tokens DESC, c.doc_id)
+               AS rn
+    FROM clusters c JOIN uq ON uq.doc_id = c.doc_id)
+SELECT cluster_id, doc_id AS rep_doc_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(n_uniq_tokens AS BIGINT) AS rep_uniq_tokens
+FROM mem WHERE rn = 1
+""")
+def dup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH doc survives dedup: per near-dup cluster (connected
+    components over the LSH candidate graph, as in dup_clusters), the
+    QUALITY-chosen representative — highest distinct-token count, ties
+    to the smallest doc_id — instead of the naive min-id keeper.  This
+    is the canonical-selection step of a production dedup pass: cluster
+    membership comes from the audited pointer-doubling CC, the quality
+    signal is one in-row projection, and the selection is a per-cluster
+    window over the (small) clustered-doc set — no new shuffle shape
+    beyond the CC itself."""
+    from pyspark.sql import Window
+
+    from ..operators import textstats
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, NUM_PERM)
+    pairs = dedup.lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND,
+                                      max_bucket=MAX_BUCKET)
+    clusters = dedup.dup_clusters(pairs)
+    uq = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(textstats.tokens(F.col("text"))))
+        .cast("long").alias("n_uniq_tokens"))
+    mem = clusters.join(uq, "doc_id")
+    by_cluster = Window.partitionBy("cluster_id")
+    pick = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_uniq_tokens"), F.asc("doc_id"))
+    return (mem
+            .withColumn("n_members", F.count("*").over(by_cluster))
+            .withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select("cluster_id", F.col("doc_id").alias("rep_doc_id"),
+                    F.col("n_members").cast("long").alias("n_members"),
+                    F.col("n_uniq_tokens").alias("rep_uniq_tokens")))

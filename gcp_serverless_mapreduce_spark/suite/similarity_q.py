@@ -646,3 +646,55 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning.  See operators/similarity.py:contrastive_negatives."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.contrastive_negatives(emb)
+
+
+@register("knn_label_consistency", _UNIT_CTE + f""",
+s AS (SELECT vec_id, u, {_BUCKET} AS bucket FROM u),
+nb AS (SELECT vec_id, u, bucket FROM s
+       QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
+               <= {MAX_BUCKET}),
+ann AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_PAIR_DOT} DESC, b.vec_id) AS rank
+    FROM s a JOIN nb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    QUALIFY rank <= {K})
+SELECT a.query_id AS vec_id,
+       CAST(ql.label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+       CAST(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_agree,
+       round(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS agreement
+FROM ann a
+JOIN embeddings ql ON ql.vec_id = a.query_id
+JOIN embeddings nl ON nl.vec_id = a.neighbor_id
+GROUP BY a.query_id, ql.label
+""")
+def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit (the Confident-Learning-style screen a labeled
+    training set gets before a classifier trusts it): for every vector,
+    the fraction of its top-{K} approximate neighbors sharing its label
+    — rows with low agreement are the mislabel suspects.  Neighbor
+    generation is the PRODUCTION bucketed-SRP path (single bucket-keyed
+    shuffle, hot buckets capped at {MAX_BUCKET}), so the audit costs
+    one ANN sweep + two broadcast-able label joins, never an all-pairs
+    comparison.  Hash-gated end-to-end because the ANN ranking itself
+    is the oracle-matched srp_ann_topk plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", F.col("label").cast("long").alias("_l"))
+    ann = similarity.srp_ann_topk(emb, K, PLANES, max_bucket=MAX_BUCKET)
+    return (
+        ann
+        .join(labels.select(F.col("vec_id").alias("query_id"),
+                            F.col("_l").alias("label")), "query_id")
+        .join(labels.select(F.col("vec_id").alias("neighbor_id"),
+                            F.col("_l").alias("n_label")), "neighbor_id")
+        .groupBy(F.col("query_id").alias("vec_id"), "label")
+        .agg(F.count("*").cast("long").alias("n_neighbors"),
+             F.sum(F.when(F.col("n_label") == F.col("label"), 1)
+                   .otherwise(0)).cast("long").alias("n_agree"))
+        .withColumn("agreement",
+                    F.round(F.col("n_agree")
+                            / F.col("n_neighbors").cast("double"), 6))
+    )

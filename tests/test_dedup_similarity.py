@@ -290,3 +290,37 @@ def test_max_shared_span_exact_refines_between_rungs(spark):
     assert ladder[(0, 3)] == 3 and exact[(0, 3)] == 4
     assert exact[(0, 1)] == 15           # full-length identity
     assert all(exact[p] >= ladder[p] for p in ladder)
+
+
+def test_knn_label_consistency_bounds(spark):
+    from gcp_serverless_mapreduce_spark.suite.similarity_q import (
+        K, knn_label_consistency)
+
+    rows = knn_label_consistency(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_neighbors"] <= K
+        assert 0 <= r["n_agree"] <= r["n_neighbors"]
+        assert abs(r["agreement"] - round(r["n_agree"] / r["n_neighbors"], 6)) < 1e-9
+    # with 8 random labels, average agreement must sit near chance, far
+    # below a labeled-clusters corpus — sanity that the join is not
+    # accidentally comparing a label to itself
+    avg = sum(r["agreement"] for r in rows) / len(rows)
+    assert avg < 0.6
+
+
+def test_dup_cluster_representatives_pick_quality(spark):
+    from gcp_serverless_mapreduce_spark.suite.dedup_q import (
+        dup_cluster_representatives, dup_clusters)
+
+    sf = "/root/testdata/sf0.001"
+    reps = {r["cluster_id"]: r for r in
+            dup_cluster_representatives(spark, sf).collect()}
+    clusters = dup_clusters(spark, sf).collect()
+    by_cluster: dict = {}
+    for r in clusters:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    assert set(reps) == set(by_cluster)
+    for cid, members in by_cluster.items():
+        assert reps[cid]["n_members"] == len(members)
+        assert reps[cid]["rep_doc_id"] in members
