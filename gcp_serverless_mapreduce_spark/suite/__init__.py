@@ -42,7 +42,7 @@ from . import profiling_q  # noqa: F401, E402
 
 # Round-7 window head (the driver checks the FIRST ~50 registered).
 # Priority order:
-# 1) the two queries NEW this round (never driver-checked);
+# 1) the four queries NEW this round (never driver-checked);
 # 2) the ATTESTATION-FRESHNESS rotation the round-6 verdict asked for:
 #    the 43 queries last driver-checked in r2/r3 (before the r5/r6
 #    refactors of shared helpers), oldest first — after r7 the maximum
@@ -50,9 +50,11 @@ from . import profiling_q  # noqa: F401, E402
 # 3) the queries whose code changed THIS round, riskiest first (the
 #    format-roundtrip trio at the tail changed only its scratch path).
 promote([
-    # -- new this round (2) --
+    # -- new this round (4) --
     "knn_label_consistency",
     "dup_cluster_representatives",
+    "bpe_fertility_by_lang",
+    "value_outliers_mad",
     # -- last driver-checked in round 2 (8) --
     "customers_with_big_orders",
     "customers_without_orders",

@@ -349,3 +349,56 @@ def pc1_projection_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/profiling.py:pc1_projection_hist."""
     emb = load_table(spark, sf_dir, "embeddings")
     return profiling.pc1_projection_hist(emb, "embedding", PI_DIM, "label")
+
+
+@register("value_outliers_mad", """
+WITH v AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+med AS (SELECT event_type, quantile_cont(vc, 0.5) AS med
+        FROM v GROUP BY event_type),
+dev AS (SELECT v.event_type, v.vc, med.med,
+               abs(CAST(v.vc AS DOUBLE) - med.med) AS adev
+        FROM v JOIN med USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(MIN(d.med), 4) AS median_cents,
+       round(MIN(m.mad), 4) AS mad_cents,
+       CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers,
+       round(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_rate
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+""")
+def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per event_type: median / MAD (median
+    absolute deviation) of the cent-quantized value, and how many rows
+    sit beyond 3 MADs — the heavy-tail-safe alternative to mean±3σ for
+    flagging corrupt metering before values feed training weights.
+    Cross-engine exact: medians interpolate (a+b)/2 over BIGINTs (exact
+    in double at these magnitudes).  Three event_type-keyed aggregates;
+    the per-type median/MAD frames are broadcast back, so only the
+    first aggregation shuffles data rows.  At 100 TB the exact median
+    swaps for the mergeable-histogram quantile (approx_stats_parts) —
+    same plan shape, bounded state."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_type",
+                  F.round(F.col("value") * 100).cast("long").alias("vc")))
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(vc, 0.5)").alias("med"))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .withColumn("adev", F.abs(F.col("vc").cast("double")
+                                     - F.col("med"))))
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"))
+    is_out = F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+    return (dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.round(F.min("med"), 4).alias("median_cents"),
+                 F.round(F.min("mad"), 4).alias("mad_cents"),
+                 F.sum(is_out).cast("long").alias("n_outliers"),
+                 F.round(F.sum(is_out) / F.count("*").cast("double"), 6)
+                 .alias("outlier_rate")))

@@ -877,3 +877,53 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-for-count.  See operators/textstats.py:learn_bpe_merges."""
     docs = load_table(spark, sf_dir, "documents")
     return textstats.learn_bpe_merges(docs)
+
+
+@register("bpe_fertility_by_lang", f"""
+WITH s AS (SELECT lang,
+                  {_bpe_sql('text')} AS pieces,
+                  len(list_filter(string_split_regex(trim(lower(text)),
+                                                     '\\s+'),
+                                  x -> x <> '')) AS n_toks,
+                  len(regexp_replace(lower(trim(text)), '\\s', '', 'g'))
+                      AS n_sym_chars
+           FROM documents),
+p AS (SELECT lang, n_toks, n_sym_chars,
+             len(pieces) - len(replace(pieces, '<', '')) AS n_pieces
+      FROM s)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+       round(CAST(SUM(n_pieces) AS DOUBLE)
+             / NULLIF(CAST(SUM(n_toks) AS DOUBLE), 0), 6) AS fertility,
+       round(CAST(SUM(n_sym_chars) AS DOUBLE)
+             / NULLIF(CAST(SUM(n_pieces) AS DOUBLE), 0), 6)
+           AS chars_per_piece
+FROM p GROUP BY lang
+""")
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit (pieces per word, chars per piece) per
+    language — the standard check that a learned vocabulary doesn't
+    quietly tax some languages with 2-3x the sequence length (and
+    therefore 2-3x the training cost) of others.  Reuses the codegen'd
+    BPE replace chain of bpe_piece_stats: one scan, map-only up to the
+    per-language aggregate, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = textstats.bpe_piece_stats(docs)
+    toks = docs.select(
+        "doc_id", "lang",
+        F.size(textstats.tokens(F.col("text"))).cast("long").alias("n_toks"))
+    safe = lambda c: F.nullif(c.cast("double"), F.lit(0.0))  # noqa: E731
+    return (per_doc.join(toks, "doc_id")
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_toks").cast("long").alias("n_tokens"),
+                 F.sum("n_pieces").cast("long").alias("n_pieces"),
+                 F.round(F.sum("n_pieces").cast("double")
+                         / F.nullif(F.sum("n_toks").cast("double"),
+                                    F.lit(0.0)), 6).alias("fertility"),
+                 F.round(F.sum("n_chars_sym").cast("double")
+                         / F.nullif(F.sum("n_pieces").cast("double"),
+                                    F.lit(0.0)), 6)
+                 .alias("chars_per_piece")))
