@@ -76,17 +76,26 @@ def main() -> int:
     nbytes = generate_corpus(corpus, n_books, int(BASELINE_MB * 1e6))
     spark = get_spark("bench-baseline")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
-    shutil.rmtree(out, ignore_errors=True)
 
-    t0 = time.perf_counter()
-    docs = read_gutenberg_corpus(spark, corpus).withColumnRenamed(
-        "path", "doc_id").withColumnRenamed("content", "text")
-    groups = anagram_pipeline(docs, gutenberg=True)
-    write_anagram_sink(groups, out, num_partitions=5)
-    elapsed = time.perf_counter() - t0
+    # Measurement protocol (round-6 verdict item 5 — the 5.6 vs 6.4 s
+    # headline drift was run-1 JIT/JVM variance): the full job runs
+    # N_RUNS times in one process; the headline is the MEDIAN, and the
+    # first-run (cold-plan) and spread numbers are pinned alongside so
+    # a future re-measure compares like with like.
+    N_RUNS = 3
+    runs = []
+    for _ in range(N_RUNS):
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.perf_counter()
+        docs = read_gutenberg_corpus(spark, corpus).withColumnRenamed(
+            "path", "doc_id").withColumnRenamed("content", "text")
+        groups = anagram_pipeline(docs, gutenberg=True)
+        write_anagram_sink(groups, out, num_partitions=5)
+        runs.append(time.perf_counter() - t0)
 
     n_groups = sum(1 for p in os.listdir(out) if p.startswith("part-")
                    for _ in open(os.path.join(out, p)))
+    elapsed = sorted(runs)[len(runs) // 2]
     result = {
         "metric": "anagram_job_43mb",
         "value": round(elapsed, 2),
@@ -97,6 +106,10 @@ def main() -> int:
         "baseline_mb_s": round(BASELINE_MB / BASELINE_SECONDS, 2),
         "speedup_vs_baseline": round(BASELINE_SECONDS / elapsed, 1),
         "anagram_groups_written": n_groups,
+        "runs_sec": [round(r, 2) for r in runs],
+        "methodology": "median of 3 back-to-back runs, one JVM "
+                       "(local[32], 1M-row warmup query first); "
+                       "run 1 carries plan-compilation cost",
     }
     print(json.dumps(result))
     if len(sys.argv) > 2:

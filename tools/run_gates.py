@@ -3,7 +3,11 @@ scripts/test-unit.sh + coverage-report.sh): runs, in order,
 
 1. the unit/plan/golden test suite (pytest),
 2. the full DuckDB parity sweep at the driver's sf0.01 gate scale,
-3. the public-surface coverage gate (tools/coverage_gate.py).
+3. the public-surface coverage gate (tools/coverage_gate.py),
+4. the physical-plan drift gate (tools/plan_audit.py --check — fails
+   if any query's plan shape changed without a PLANS.md regen),
+5. the line-coverage floor (tools/line_coverage.py — a traced parity
+   sweep at sf0.001 vs per-module floors).
 
 Exits non-zero on the first failing gate.  The bench pair
 (bench.py at sf0.01/sf0.1 + tools/scaling_report.py) is separate
@@ -34,6 +38,10 @@ def main() -> int:
     run("tests", [sys.executable, "-m", "pytest", "tests/", "-q"])
     run("parity", [sys.executable, "tools/check_parity.py", sf_dir])
     run("surface coverage", [sys.executable, "tools/coverage_gate.py"])
+    run("plan drift", [sys.executable, "tools/plan_audit.py",
+                       "--check", sf_dir])
+    run("line coverage", [sys.executable, "tools/line_coverage.py",
+                          "/root/testdata/sf0.001"])
     print("ALL GATES GREEN")
     return 0
 
