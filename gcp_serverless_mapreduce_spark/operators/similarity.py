@@ -99,6 +99,22 @@ def brute_force_topk(emb: DataFrame, k: int, num_queries: int,
     nested-loop join and every corpus vector is re-normalized once PER
     QUERY (measured 30× slower at |Q|=20).  One extra corpus shuffle,
     amortized over all queries, beats |Q| norm folds per vector."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def pair_dot(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        # dimension-by-dimension accumulation = the oracle's
+        # left-to-right list_reduce fold, vectorized over the Arrow
+        # batch (the interpreted F.aggregate fold measured ~40% slower
+        # over |Q|·N pair rows at sf0.1)
+        if not len(qv):
+            return pd.Series(dtype="float64")
+        Q, C = np.vstack(qv.to_numpy()), np.vstack(cv.to_numpy())
+        acc = np.zeros(len(Q))
+        for i in range(Q.shape[1]):
+            acc += Q[:, i] * C[:, i]
+        return pd.Series(acc)
+
     units = (unit_vectors(emb).select(F.col(id_col), F.col("unit"))
              .filter(F.col("unit").isNotNull())
              .repartition(F.col(id_col)))
@@ -109,7 +125,8 @@ def brute_force_topk(emb: DataFrame, k: int, num_queries: int,
     pairs = (
         F.broadcast(q).crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", dot(F.col("qv"), F.col("cv")).alias("sim"))
+        .select("query_id", "neighbor_id",
+                pair_dot(F.col("qv"), F.col("cv")).alias("sim"))
     )
     return (
         topk_per_query(pairs, k)
