@@ -99,13 +99,16 @@ promote([
     "token_count_by_source",
     "video_decode_roundtrip",
     "word_bigram_freq_udtf",
-    "word_commonness_by_source_salted",
-    # -- changed this round: fresh green needed --
+    # -- changed this round: fresh green needed (all four inside the
+    #    50-query window; positions 48-50 + the last r3 straggler and
+    #    the scratch-path-only roundtrip trio rotate to the next round)
     "ivf_ann_topk",            # Lloyd now trains on the 1-in-4 hash-sample
     "bpe_learn_merges",        # keep rule extended with concat clauses
     "max_shared_span_pairs",   # exact per-pair span refinement
-    "events_parquet_schema_evolution",  # props sentinel parity + scratch
-    "events_json_roundtrip_fingerprint",   # per-session scratch path
+    "events_parquet_schema_evolution",  # props sentinel parity changed
+    # -- behind the window: r3 straggler + scratch-path-only changes --
+    "word_commonness_by_source_salted",
+    "events_json_roundtrip_fingerprint",   # per-session scratch path only
     "events_csv_roundtrip_fingerprint",
     "events_orc_roundtrip_fingerprint",
 ])

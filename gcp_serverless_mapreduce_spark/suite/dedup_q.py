@@ -192,6 +192,22 @@ pairs AS (
       ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc < b.doc)
 """
 
+# Connected components over the LSH ``pairs`` CTE, shared by the four
+# cluster-consuming oracles (dup_clusters, dedup_resolution_by_source,
+# leakage_safe_split_counts, dup_cluster_representatives): symmetric
+# edges + recursive reachability; MIN(r) per doc is the cluster label.
+# Compose as "WITH RECURSIVE " + _PAIRS_CTE.lstrip().removeprefix("WITH ")
+# + _CC_CTE + <query-specific CTEs/SELECT>.
+_CC_CTE = """,
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach(doc, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.doc)"""
+
 
 @register("lsh_candidate_precision", _PAIRS_CTE + f""",
 sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
@@ -330,15 +346,7 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("dup_clusters", "WITH RECURSIVE "
-          + _PAIRS_CTE.lstrip().removeprefix("WITH ") + """,
-edges AS (
-    SELECT doc_a AS src, doc_b AS dst FROM pairs
-    UNION ALL
-    SELECT doc_b AS src, doc_a AS dst FROM pairs),
-reach(doc, r) AS (
-    SELECT src, src FROM edges
-    UNION
-    SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.doc)
+          + _PAIRS_CTE.lstrip().removeprefix("WITH ") + _CC_CTE + """
 SELECT doc AS doc_id, MIN(r) AS cluster_id
 FROM reach GROUP BY doc
 """)
@@ -539,15 +547,7 @@ def symspell_handle_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("dedup_resolution_by_source", "WITH RECURSIVE "
-          + _PAIRS_CTE.lstrip().removeprefix("WITH ") + """,
-edges AS (
-    SELECT doc_a AS src, doc_b AS dst FROM pairs
-    UNION ALL
-    SELECT doc_b AS src, doc_a AS dst FROM pairs),
-reach(doc, r) AS (
-    SELECT src, src FROM edges
-    UNION
-    SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.doc),
+          + _PAIRS_CTE.lstrip().removeprefix("WITH ") + _CC_CTE + """,
 clusters AS (SELECT doc AS doc_id, MIN(r) AS cluster_id
              FROM reach GROUP BY doc),
 labeled AS (
@@ -621,15 +621,7 @@ def containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("leakage_safe_split_counts", "WITH RECURSIVE "
-          + _PAIRS_CTE.lstrip().removeprefix("WITH ") + """,
-edges AS (
-    SELECT doc_a AS src, doc_b AS dst FROM pairs
-    UNION ALL
-    SELECT doc_b AS src, doc_a AS dst FROM pairs),
-reach(doc, r) AS (
-    SELECT src, src FROM edges
-    UNION
-    SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.doc),
+          + _PAIRS_CTE.lstrip().removeprefix("WITH ") + _CC_CTE + """,
 clusters AS (SELECT doc, MIN(r) AS cluster_id FROM reach GROUP BY doc),
 assigned AS (
     SELECT d.doc_id,
@@ -750,15 +742,7 @@ def max_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("dup_cluster_representatives", "WITH RECURSIVE "
-          + _PAIRS_CTE.lstrip().removeprefix("WITH ") + """,
-edges AS (
-    SELECT doc_a AS src, doc_b AS dst FROM pairs
-    UNION ALL
-    SELECT doc_b AS src, doc_a AS dst FROM pairs),
-reach(doc, r) AS (
-    SELECT src, src FROM edges
-    UNION
-    SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.doc),
+          + _PAIRS_CTE.lstrip().removeprefix("WITH ") + _CC_CTE + """,
 clusters AS (SELECT doc AS doc_id, MIN(r) AS cluster_id
              FROM reach GROUP BY doc),
 uq AS (

@@ -42,13 +42,32 @@ FROM h GROUP BY event_type
 """
 
 
+_SCRATCH_ROOT = "/tmp/spark_graft_scratch"
+_SCRATCH_TTL_S = 6 * 3600
+
+
 def _scratch(spark: SparkSession, *parts: str) -> str:
     """Per-session scratch directory: the Spark applicationId component
     keeps two concurrent runs (e.g. the driver's correctness sweep and a
     local bench) from overwriting each other's roundtrip files while the
-    other is mid-read."""
-    return os.path.join("/tmp/spark_graft_scratch",
-                        spark.sparkContext.applicationId, *parts)
+    other is mid-read.  Unique dirs would otherwise accumulate one
+    events-table copy per session, so stale app dirs (untouched for
+    _SCRATCH_TTL_S — far beyond any run's lifetime, so never a live
+    concurrent session's) are pruned on entry."""
+    import shutil
+    import time
+
+    app_id = spark.sparkContext.applicationId
+    try:
+        cutoff = time.time() - _SCRATCH_TTL_S
+        for name in os.listdir(_SCRATCH_ROOT):
+            p = os.path.join(_SCRATCH_ROOT, name)
+            if name != app_id and os.path.isdir(p) \
+                    and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+    return os.path.join(_SCRATCH_ROOT, app_id, *parts)
 
 
 def _fingerprint(df: DataFrame) -> DataFrame:

@@ -914,16 +914,16 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang",
         F.size(textstats.tokens(F.col("text"))).cast("long").alias("n_toks"))
-    safe = lambda c: F.nullif(c.cast("double"), F.lit(0.0))  # noqa: E731
+    def safe(c):
+        return F.nullif(c.cast("double"), F.lit(0.0))
+
     return (per_doc.join(toks, "doc_id")
             .groupBy("lang")
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum("n_toks").cast("long").alias("n_tokens"),
                  F.sum("n_pieces").cast("long").alias("n_pieces"),
                  F.round(F.sum("n_pieces").cast("double")
-                         / F.nullif(F.sum("n_toks").cast("double"),
-                                    F.lit(0.0)), 6).alias("fertility"),
+                         / safe(F.sum("n_toks")), 6).alias("fertility"),
                  F.round(F.sum("n_chars_sym").cast("double")
-                         / F.nullif(F.sum("n_pieces").cast("double"),
-                                    F.lit(0.0)), 6)
+                         / safe(F.sum("n_pieces")), 6)
                  .alias("chars_per_piece")))
