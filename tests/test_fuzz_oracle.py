@@ -295,3 +295,48 @@ def test_pack_sequences_fuzz_vs_python(spark):
         packs.setdefault((src, start // budget), []).append(n)
     expect = {k: (len(v), sum(v), sum(v) > budget) for k, v in packs.items()}
     assert got == expect
+
+
+# ---- exact shared-span refinement vs a brute-force LCS oracle ----
+
+def _py_lcs_tokens(a: list[str], b: list[str]) -> int:
+    """Longest common contiguous token run, classic O(n·m) DP — the
+    independent oracle for the binary-search refinement (which never
+    runs a DP) and for the SQL twin's diagonal-run fold."""
+    best = 0
+    prev = [0] * (len(b) + 1)
+    for i in range(1, len(a) + 1):
+        cur = [0] * (len(b) + 1)
+        ai = a[i - 1]
+        for j in range(1, len(b) + 1):
+            if ai == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+                if cur[j] > best:
+                    best = cur[j]
+        prev = cur
+    return best
+
+
+def test_max_shared_span_exact_matches_lcs_oracle(spark):
+    from gcp_serverless_mapreduce_spark.operators import dedup
+
+    rng = random.Random(20260814)
+    vocab = ["red", "blue", "ox", "fig", "elm", "yew"]
+    toks = {i: [rng.choice(vocab) for _ in range(rng.randint(0, 28))]
+            for i in range(50)}
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in toks.items()],
+        "doc_id long, text string")
+    # df cap far above any gram frequency here -> candidate set is
+    # exactly {pairs sharing some 3-gram} = {pairs with LCS >= 3}
+    got = {(r["doc_a"], r["doc_b"]): r["max_span"]
+           for r in dedup.max_shared_span_exact(
+               docs, df_max=10**6).collect()}
+    want = {}
+    for i in toks:
+        for j in toks:
+            if i < j:
+                n = _py_lcs_tokens(toks[i], toks[j])
+                if n >= 3:
+                    want[(i, j)] = n
+    assert got == want
