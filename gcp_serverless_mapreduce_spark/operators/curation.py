@@ -659,3 +659,73 @@ def source_overlap(docs: DataFrame, n: int = 3,
                     F.round(F.col("inter").cast("double")
                             / (F.col("n_a") + F.col("n_b")
                                - F.col("inter")), 6).alias("jaccard")))
+
+
+UNIMAX_BUDGET_FRAC = 1.5   # token budget = this fraction of the corpus
+#   (>1: the upsampling regime, where low-resource languages actually
+#   hit the epoch cap and the residual water-fills into the big ones)
+UNIMAX_MAX_EPOCHS = 2.0    # no language repeats more than this many times
+
+
+def unimax_language_budget(docs: DataFrame,
+                           budget_frac: float = UNIMAX_BUDGET_FRAC,
+                           max_epochs: float = UNIMAX_MAX_EPOCHS,
+                           lang_col: str = "lang",
+                           chars_col: str = "n_chars") -> DataFrame:
+    """UniMax language budgeting (Chung et al. 2023): split a character
+    budget as UNIFORMLY as possible across languages, capping each at
+    ``max_epochs`` passes over its data — the principled alternative to
+    temperature sampling that never over-repeats a low-resource
+    language.
+
+    -> (lang, n_docs, chars_total, cap_chars, alloc_chars, epochs).
+
+    The allocation is classic water-filling with per-language caps,
+    computed in CLOSED FORM so it is one declarative plan instead of a
+    driver loop: sort languages by cap ascending; for rank i the
+    uniform candidate is t_i = (B - prefix_cap_sum) / (langs - i + 1);
+    the water level θ is t at the FIRST rank whose cap exceeds it
+    (flagged t's decrease monotonically, so θ = max over flagged —
+    provable because a capped prefix consumes more than its uniform
+    share), and every language gets min(cap, θ) (all caps if the budget
+    covers them).  All arithmetic is doubles derived from exact BIGINT
+    sums via the same op sequence on both engines, so the result is
+    hash-stable.  Scale shape: one corpus aggregate (map-side combined)
+    to the per-language frame; the window and the two 1-row broadcast
+    crossJoins run on the LANGUAGE cardinality, never on data rows.
+    """
+    langs = (docs.groupBy(F.col(lang_col).alias("lang"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                  F.sum(chars_col).cast("long").alias("chars_total")))
+    tot = langs.agg(
+        (F.sum("chars_total").cast("double") * F.lit(budget_frac))
+        .alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"))
+    w = Window.orderBy("cap_chars", "lang")
+    ranked = (langs
+              .withColumn("cap_chars",
+                          F.col("chars_total").cast("double")
+                          * F.lit(max_epochs))
+              .crossJoin(F.broadcast(tot))
+              .withColumn("prefix", F.coalesce(
+                  F.sum("cap_chars").over(
+                      w.rowsBetween(Window.unboundedPreceding, -1)),
+                  F.lit(0.0)))
+              .withColumn("i", F.row_number().over(w))
+              .withColumn("t", (F.col("budget") - F.col("prefix"))
+                          / (F.col("n_langs") - F.col("i") + 1)
+                          .cast("double")))
+    theta = ranked.agg(F.max(F.when(F.col("cap_chars") > F.col("t"),
+                                    F.col("t"))).alias("theta"))
+    return (ranked.crossJoin(F.broadcast(theta))
+            .select("lang", "n_docs", "chars_total",
+                    F.round("cap_chars", 4).alias("cap_chars"),
+                    F.round(F.least(
+                        F.col("cap_chars"),
+                        F.coalesce(F.col("theta"), F.col("cap_chars"))), 4)
+                    .alias("alloc_chars"),
+                    F.round(F.least(
+                        F.col("cap_chars"),
+                        F.coalesce(F.col("theta"), F.col("cap_chars")))
+                        / F.col("chars_total").cast("double"), 6)
+                    .alias("epochs")))

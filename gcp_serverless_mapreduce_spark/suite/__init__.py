@@ -42,7 +42,7 @@ from . import profiling_q  # noqa: F401, E402
 
 # Round-7 window head (the driver checks the FIRST ~50 registered).
 # Priority order:
-# 1) the four queries NEW this round (never driver-checked);
+# 1) the six queries NEW this round (never driver-checked);
 # 2) the ATTESTATION-FRESHNESS rotation the round-6 verdict asked for:
 #    the 43 queries last driver-checked in r2/r3 (before the r5/r6
 #    refactors of shared helpers), oldest first — after r7 the maximum
@@ -50,11 +50,13 @@ from . import profiling_q  # noqa: F401, E402
 # 3) the queries whose code changed THIS round, riskiest first (the
 #    format-roundtrip trio at the tail changed only its scratch path).
 promote([
-    # -- new this round (4) --
+    # -- new this round (6) --
     "knn_label_consistency",
     "dup_cluster_representatives",
     "bpe_fertility_by_lang",
     "value_outliers_mad",
+    "unimax_language_budget",
+    "table_quality_audit",
     # -- last driver-checked in round 2 (8) --
     "customers_with_big_orders",
     "customers_without_orders",
@@ -64,7 +66,8 @@ promote([
     "q3_top_unshipped_orders",
     "q5_supplier_volume_by_nation",
     "window_running_spend",
-    # -- last driver-checked in round 3 (35) --
+    # -- last driver-checked in round 3 (32 of 35; the three behind
+    #    the window rotate to round 8's head) --
     "audio_decode_roundtrip",
     "clean_text_stats",
     "corpus_prep_pipeline",
@@ -97,16 +100,16 @@ promote([
     "stream_distinct_user_event_pairs",
     "tfidf_top_terms",
     "token_count_by_source",
-    "video_decode_roundtrip",
-    "word_bigram_freq_udtf",
-    # -- changed this round: fresh green needed (all four inside the
-    #    50-query window; positions 48-50 + the last r3 straggler and
-    #    the scratch-path-only roundtrip trio rotate to the next round)
+    # -- changed this round: fresh green needed; all four semantics-
+    #    changed queries sit inside the 50-query window (6 new + 8 r2
+    #    + 32 r3 + these 4 = 50 exactly) --
     "ivf_ann_topk",            # Lloyd now trains on the 1-in-4 hash-sample
     "bpe_learn_merges",        # keep rule extended with concat clauses
     "max_shared_span_pairs",   # exact per-pair span refinement
     "events_parquet_schema_evolution",  # props sentinel parity changed
-    # -- behind the window: r3 straggler + scratch-path-only changes --
+    # -- behind the window: r3 stragglers + scratch-path-only changes --
+    "video_decode_roundtrip",
+    "word_bigram_freq_udtf",
     "word_commonness_by_source_salted",
     "events_json_roundtrip_fingerprint",   # per-session scratch path only
     "events_csv_roundtrip_fingerprint",

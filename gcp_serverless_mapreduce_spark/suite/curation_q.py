@@ -553,3 +553,51 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/curation.py:source_overlap."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.source_overlap(docs, NGRAM_N)
+
+
+_UM_FRAC = curation.UNIMAX_BUDGET_FRAC
+_UM_EPOCHS = curation.UNIMAX_MAX_EPOCHS
+
+
+@register("unimax_language_budget", f"""
+WITH langs AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total
+    FROM documents GROUP BY lang),
+tot AS (SELECT CAST(SUM(chars_total) AS DOUBLE) * {_UM_FRAC} AS budget,
+               CAST(COUNT(*) AS BIGINT) AS n_langs
+        FROM langs),
+ranked AS (
+    SELECT l.lang, l.n_docs, l.chars_total,
+           CAST(l.chars_total AS DOUBLE) * {_UM_EPOCHS} AS cap_chars,
+           t.budget, t.n_langs,
+           COALESCE(SUM(CAST(l.chars_total AS DOUBLE) * {_UM_EPOCHS})
+                    OVER (ORDER BY CAST(l.chars_total AS DOUBLE)
+                                   * {_UM_EPOCHS}, l.lang
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0.0) AS prefix,
+           row_number() OVER (ORDER BY CAST(l.chars_total AS DOUBLE)
+                                       * {_UM_EPOCHS}, l.lang) AS i
+    FROM langs l CROSS JOIN tot t),
+t AS (SELECT *, (budget - prefix) / CAST(n_langs - i + 1 AS DOUBLE) AS ti
+      FROM ranked),
+th AS (SELECT MAX(CASE WHEN cap_chars > ti THEN ti END) AS theta FROM t)
+SELECT t.lang, t.n_docs, t.chars_total,
+       round(t.cap_chars, 4) AS cap_chars,
+       round(LEAST(t.cap_chars, COALESCE(th.theta, t.cap_chars)), 4)
+           AS alloc_chars,
+       round(LEAST(t.cap_chars, COALESCE(th.theta, t.cap_chars))
+             / CAST(t.chars_total AS DOUBLE), 6) AS epochs
+FROM t CROSS JOIN th
+""")
+def unimax_language_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language budgeting (Chung et al. 2023): a
+    {_UM_FRAC:.0%}-of-corpus character budget split as uniformly as
+    possible across languages with a {_UM_EPOCHS}-epoch per-language
+    cap — water-filling in CLOSED FORM (sorted prefix sums + the
+    first-overflow water level), one declarative plan with no driver
+    loop.  The oracle runs the identical formulation, so the water
+    level, every allocation, and every epoch count are hash-gated.
+    See operators/curation.py:unimax_language_budget."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.unimax_language_budget(docs)

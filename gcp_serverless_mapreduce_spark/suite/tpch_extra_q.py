@@ -680,3 +680,79 @@ def q21_suppliers_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@register("table_quality_audit", """
+SELECT 'orders_orphan_custkey' AS check_name,
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'lineitem_orphan_orderkey',
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'customer_dup_custkey',
+       CAST((SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)
+            AS BIGINT)
+UNION ALL
+SELECT 'lineitem_qty_nonpositive',
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+            AS BIGINT)
+UNION ALL
+SELECT 'lineitem_discount_out_of_range',
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+UNION ALL
+SELECT 'orders_null_orderdate',
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
+            AS BIGINT)
+""")
+def table_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract audit (the dbt-test / Deequ-style gate a landing
+    zone runs before anything downstream trusts it): referential
+    integrity (orphaned orders / lineitems via LEFT ANTI joins — the
+    joins shuffle on their keys exactly like the production joins they
+    protect), key uniqueness, range invariants, and null
+    checks — one (check_name, n_violations) row each.  All six checks
+    are independent single-pass aggregates unioned together; on the
+    intact fixtures every count is 0, and the oracle proves the checks
+    themselves are implemented identically."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("check_name"),
+                         F.col("n").cast("long").alias("n_violations"))
+
+    checks = [
+        one("orders_orphan_custkey",
+            orders.join(customer, orders["o_custkey"]
+                        == customer["c_custkey"], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n"))),
+        one("lineitem_orphan_orderkey",
+            lineitem.join(orders, lineitem["l_orderkey"]
+                          == orders["o_orderkey"], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n"))),
+        one("customer_dup_custkey",
+            customer.agg((F.count(F.lit(1))
+                          - F.countDistinct("c_custkey")).alias("n"))),
+        one("lineitem_qty_nonpositive",
+            lineitem.agg(F.sum(F.when(F.col("l_quantity") <= 0, 1)
+                               .otherwise(0)).alias("n"))),
+        one("lineitem_discount_out_of_range",
+            lineitem.agg(F.sum(F.when((F.col("l_discount") < 0)
+                                      | (F.col("l_discount") > 1), 1)
+                               .otherwise(0)).alias("n"))),
+        one("orders_null_orderdate",
+            orders.agg(F.sum(F.when(F.col("o_orderdate").isNull(), 1)
+                             .otherwise(0)).alias("n"))),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
