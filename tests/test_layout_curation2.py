@@ -151,3 +151,38 @@ def test_source_overlap_exact_jaccard(spark):
                        - inter / len(sets[a] | sets[b])) < 1e-9
     # disjoint pairs emit no row (inter joins drop them)
     assert set(got) == want_pairs
+
+
+def test_unimax_water_filling_regimes(spark):
+    from gcp_serverless_mapreduce_spark.operators.curation import (
+        unimax_language_budget)
+
+    docs = spark.createDataFrame(
+        [(i, lang, chars) for i, (lang, chars) in enumerate(
+            [("en", 500), ("es", 250), ("de", 150), ("fr", 60),
+             ("und", 20)])],
+        "doc_id long, lang string, n_chars long")
+
+    # mixed regime: B=800 of 980 chars, caps = 2x chars -> und and fr
+    # cap out, the remaining three share the residual equally
+    got = {r["lang"]: r for r in unimax_language_budget(
+        docs, budget_frac=800 / 980, max_epochs=2.0).collect()}
+    assert got["und"]["alloc_chars"] == 40.0 and got["und"]["epochs"] == 2.0
+    assert got["fr"]["alloc_chars"] == 120.0
+    level = round((800 - 40 - 120) / 3, 4)
+    for lang in ("de", "es", "en"):
+        assert got[lang]["alloc_chars"] == level
+    # allocations are rounded to 4dp individually, so the sum can be a
+    # few 1e-4 off the exact budget
+    assert abs(sum(r["alloc_chars"] for r in got.values()) - 800) < 1e-3
+
+    # budget covers every cap -> all capped, theta never binds
+    got = {r["lang"]: r["alloc_chars"] for r in unimax_language_budget(
+        docs, budget_frac=5.0, max_epochs=2.0).collect()}
+    assert got == {"en": 1000.0, "es": 500.0, "de": 300.0,
+                   "fr": 120.0, "und": 40.0}
+
+    # tiny budget, no cap binds -> pure uniform split
+    got = {r["lang"]: r["alloc_chars"] for r in unimax_language_budget(
+        docs, budget_frac=100 / 980, max_epochs=2.0).collect()}
+    assert set(got.values()) == {20.0}
