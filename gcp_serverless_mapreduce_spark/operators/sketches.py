@@ -165,6 +165,101 @@ def bloom_hit_expr(key: Column, bitmap: list[int]) -> Column:
     return out
 
 
+# HyperLogLog (Flajolet et al. 2007): m = 2^p registers; register j
+# keeps the max over its keys of rho = 1 + leading-zero count of the
+# scored hash bits.  The per-group state is a FIXED m small integers —
+# 1 KiB at p=10 — mergeable by elementwise max, which is why HLL is the
+# engine-native answer (approx_count_distinct) to distinct-counting
+# 100 TB: partial states combine losslessly with no global distinct.
+# This build is the deterministic md5 twin so the DuckDB oracle
+# reproduces every register, and therefore the exact estimation error.
+HLL_P = 10
+HLL_M = 1 << HLL_P
+HLL_REST_BITS = 48 - HLL_P  # low 38 bits of the 48-bit hash are scored
+HLL_REST_MOD = 1 << HLL_REST_BITS
+HLL_MAX_RHO = HLL_REST_BITS + 1  # all-zero scored bits
+# alpha_m * m^2 pre-folded to ONE python double (same rationale as
+# KMV_NUMER): both engines divide the identical numerator.
+HLL_NUMER = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M
+
+
+def hll_rho(rest: Column) -> Column:
+    """rho of the scored bits: leading zeros (within HLL_REST_BITS) + 1.
+
+    Computed as ``HLL_MAX_RHO - bit_length(rest)`` with the bit length
+    read off the base-2 string rendering — exact integer arithmetic on
+    both engines (DuckDB twin: ``length(bin(rest))``), deliberately NOT
+    ``floor(log2())``, whose libm rounding near integer boundaries is
+    engine-dependent."""
+    blen = F.length(F.conv(rest.cast("string"), 10, 2))
+    return (F.when(rest == 0, F.lit(HLL_MAX_RHO))
+            .otherwise(F.lit(HLL_MAX_RHO) - blen))
+
+
+def hll_project(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """-> (grp, idx, rho): the per-row HLL register contribution — the
+    map-side projection shared by the batch build (:func:`hll_state`)
+    and the streaming build (a streaming groupBy-max over the same
+    columns, suite/streaming_q.py:stream_hll_distinct_users)."""
+    h = kmv_hash(F.col(key_col))
+    return df.select(
+        F.col(group_col).alias("grp"),
+        F.shiftright(h, HLL_REST_BITS).alias("idx"),
+        hll_rho(h % HLL_REST_MOD).alias("rho"))
+
+
+def hll_state(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """-> (grp, idx, r): the HLL register state per group.
+
+    One projection computes (register index, rho) per row; a single
+    hash-aggregate (map-side partial max into at most m cells per task,
+    then one exchange over the fixed group x m grid) produces the
+    registers.  Shuffle width is bounded by m per group — never by key
+    cardinality — the same fixed-grid property as cms_build."""
+    return (hll_project(df, group_col, key_col)
+            .groupBy("grp", "idx")
+            .agg(F.max("rho").alias("r")))
+
+
+def hll_merge_states(*states: DataFrame) -> DataFrame:
+    """Union register states and re-max per (grp, idx) — the merge half
+    of the sketch contract.  max is associative/commutative/idempotent,
+    so merged partial states are EXACTLY the single-pass state (gated by
+    hll_merge_equivalence)."""
+    out = states[0]
+    for st in states[1:]:
+        out = out.unionByName(st)
+    return out.groupBy("grp", "idx").agg(F.max("r").alias("r"))
+
+
+def hll_estimate(state: DataFrame, group_col: str) -> DataFrame:
+    """-> (group, hll_est, registers_used): the raw HLL estimate
+    alpha_m * m^2 / sum_j 2^-M_j, with absent registers contributing
+    2^0 = 1.
+
+    Cross-engine exactness: every term 1/2^r is an exact power of two
+    with exponent in [-39, 0], so every partial sum is exact in double
+    (exponent span + count headroom < 53 bits) and the sum is
+    order-independent — the one division then rounds identically on
+    both engines.  (The small-range linear-counting correction needs
+    ln(), whose libm rounding is engine-dependent; registers_used is
+    emitted so a consumer can apply it driver-side.)"""
+    inv = F.lit(1.0) / F.call_function(
+        "shiftleft", F.lit(1).cast("long"), F.col("r").cast("int")
+    ).cast("double")
+    return (state
+            .groupBy("grp")
+            .agg(F.sum(inv).alias("s_present"),
+                 F.count(F.lit(1)).alias("m_used"))
+            .select(
+                F.col("grp").alias(group_col),
+                (F.lit(HLL_NUMER)
+                 / (F.col("s_present")
+                    + (F.lit(HLL_M) - F.col("m_used")).cast("double")))
+                .alias("hll_est"),
+                F.col("m_used").cast("long").alias("registers_used")))
+
+
 def kmv_hash(key: Column) -> Column:
     """48-bit uniform hash of ``key`` (md5-prefix), as a bigint."""
     return F.conv(F.substring(F.md5(key), 1, KMV_HEX_DIGITS), 16, 10) \

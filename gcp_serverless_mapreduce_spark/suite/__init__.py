@@ -107,7 +107,21 @@ promote([
     "bpe_learn_merges",        # keep rule extended with concat clauses
     "max_shared_span_pairs",   # exact per-pair span refinement
     "events_parquet_schema_evolution",  # props sentinel parity changed
-    # -- behind the window: r3 stragglers + scratch-path-only changes --
+    # -- behind the window: first the six queries added in the round-7
+    #    continuation (builder-parity-green at sf0.001+sf0.01 this
+    #    round; they lead round 8's window for driver attestation —
+    #    the 50 slots above are reserved for the verdict's stale-
+    #    rotation plan), then r3 stragglers + scratch-path-only
+    #    changes --
+    "hll_distinct_users",
+    "hll_merge_equivalence",
+    "hll_hourly_rollup_daily",
+    "stream_hll_distinct_users",
+    "fim_split_plan",
+    "join_key_skew_profile",
+    "source_boilerplate_prefix",
+    "bloom_semijoin_reduction",
+    "neyman_allocation_sample",
     "video_decode_roundtrip",
     "word_bigram_freq_udtf",
     "word_commonness_by_source_salted",

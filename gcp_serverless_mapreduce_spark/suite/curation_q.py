@@ -601,3 +601,168 @@ def unimax_language_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/curation.py:unimax_language_budget."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.unimax_language_budget(docs)
+
+
+# Boilerplate-prefix profile: the k-token prefix ladder scored per source.
+PREFIX_KS = [1, 2, 4, 8]
+
+
+def _prefix_branch_sql(k: int) -> str:
+    return f"""
+SELECT source, {k} AS k, prefix, cnt, n_docs,
+       CAST(cnt * 10000 // n_docs AS BIGINT) AS share_bp
+FROM (
+    SELECT source, prefix, cnt,
+           CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_docs,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY cnt DESC, prefix) AS rk
+    FROM (
+        SELECT source,
+               array_to_string(list_slice(toks, 1, {k}), ' ') AS prefix,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT source, {{toks}} AS toks FROM documents)
+        WHERE len(toks) >= {k}
+        GROUP BY source, prefix))
+WHERE rk = 1"""
+
+
+@register("source_boilerplate_prefix",
+          "\nUNION ALL\n".join(
+              _prefix_branch_sql(k).format(toks="{t}") for k in PREFIX_KS
+          ).replace("{t}", _TOKS))
+def source_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix profile: for each source and each prefix
+    length k in the ladder, the MODAL k-token document prefix, how many
+    docs share it, and its share of the source (basis points).  This is
+    the corpus-scale generalization of the reference's Gutenberg
+    header strip (preprocess.go's marker scan, SURVEY P1): before
+    hand-writing strip markers for a new source, measure whether a
+    dominant prefix exists at all — a share_bp near 10000 at large k
+    means templated boilerplate worth stripping; flat shares mean none.
+
+    Scale shape: one hash-aggregate per ladder rung over (source,
+    prefix) — map-side combinable, shuffle keyed on the fixed-width
+    prefix — then a per-source window over the distinct-prefix counts.
+    Deterministic modal tie-break (max count, then lexicographic
+    prefix) keeps both engines on the same winner."""
+    from ..operators.textstats import tokens
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("source", tokens(F.col("text")).alias("toks"))
+    out = None
+    for k in PREFIX_KS:
+        grouped = (toked.where(F.size("toks") >= k)
+                   .groupBy("source",
+                            F.concat_ws(" ", F.slice("toks", 1, k))
+                            .alias("prefix"))
+                   .agg(F.count(F.lit(1)).alias("cnt")))
+        w_src = Window.partitionBy("source")
+        w_rk = Window.partitionBy("source").orderBy(
+            F.col("cnt").desc(), "prefix")
+        branch = (grouped
+                  .withColumn("n_docs", F.sum("cnt").over(w_src))
+                  .withColumn("rk", F.row_number().over(w_rk))
+                  .where(F.col("rk") == 1)
+                  .select("source", F.lit(k).alias("k"), "prefix", "cnt",
+                          F.col("n_docs").cast("long").alias("n_docs"),
+                          F.floor(F.col("cnt") * 10000
+                                  / F.col("n_docs")).cast("long")
+                          .alias("share_bp")))
+        out = branch if out is None else out.unionByName(branch)
+    return out
+
+
+# Neyman allocation: total sample budget and the fixed-point quantum for
+# the per-stratum weight N_h * sigma_h (sigma is a sqrt — never an exact
+# integer boundary — so the floor-quantization is cross-engine stable).
+NEYMAN_BUDGET = 200
+NEYMAN_Q = 1000
+
+
+@register("neyman_allocation_sample", f"""
+WITH s AS (
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS DOUBLE) AS s1,
+           CAST(sum(n_chars * n_chars) AS DOUBLE) AS s2
+    FROM documents GROUP BY lang),
+w AS (
+    SELECT lang, n_docs,
+           CAST(floor(CAST(n_docs AS DOUBLE)
+                      * sqrt((s2 - s1 * s1 / CAST(n_docs AS DOUBLE))
+                             / (CAST(n_docs AS DOUBLE) - 1.0))
+                      * {NEYMAN_Q}) AS BIGINT) AS w_q
+    FROM s),
+a AS (
+    SELECT lang, n_docs, w_q,
+           least({NEYMAN_BUDGET} * w_q
+                 // (SELECT sum(w_q) FROM w), n_docs) AS alloc_n
+    FROM w),
+rk AS (
+    SELECT d.lang, d.doc_id,
+           row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+    FROM documents d),
+sel AS (
+    SELECT rk.lang,
+           md5(string_agg(lpad(CAST(rk.doc_id AS VARCHAR), 8, '0'), ','
+                          ORDER BY rk.doc_id)) AS sample_fp,
+           CAST(count(*) AS BIGINT) AS n_sampled
+    FROM rk JOIN a ON rk.lang = a.lang AND rk.rk <= a.alloc_n
+    GROUP BY rk.lang)
+SELECT a.lang, a.n_docs, a.w_q, CAST(a.alloc_n AS BIGINT) AS alloc_n,
+       sel.n_sampled, sel.sample_fp
+FROM a JOIN sel USING (lang)
+""")
+def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-optimal (Neyman) stratified sampling: the {NEYMAN_BUDGET}
+    -doc eval budget is allocated across language strata proportional to
+    N_h * sigma_h (strata that are bigger OR more variable in doc length
+    get more slots — the allocation that minimizes the estimator's
+    variance for a fixed budget), then each stratum's docs are picked by
+    deterministic md5 rank.  Complements the share-based samplers
+    (temperature, UniMax): those target mixture RATES, this targets
+    measurement PRECISION — the right tool when the sample feeds an eval
+    metric rather than a training mix.
+
+    Exactness: sigma_h comes from exact BIGINT moment sums (never the
+    engines' streaming stddev, whose accumulation order is partition-
+    dependent), the Neyman weight is floor-quantized to {NEYMAN_Q}ths so
+    the cross-stratum total is an exact integer sum, and the per-stratum
+    pick is the suite's standard hash-rank rule — the selected ids are
+    gated via an order-canonical fingerprint.  Scale shape: one moment
+    aggregate, a broadcast of S strata allocations, one per-stratum
+    window."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("double").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("double")
+        .alias("s2"))
+    nd = F.col("n_docs").cast("double")
+    sigma = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / nd)
+                   / (nd - F.lit(1.0)))
+    w = s.select("lang", "n_docs",
+                 F.floor(nd * sigma * NEYMAN_Q).cast("long").alias("w_q"))
+    tot = w.agg(F.sum("w_q").alias("tot"))
+    a = (w.crossJoin(F.broadcast(tot))
+         .select("lang", "n_docs", "w_q",
+                 F.least(F.floor(NEYMAN_BUDGET * F.col("w_q")
+                                 / F.col("tot")).cast("long"),
+                         F.col("n_docs")).alias("alloc_n")))
+    rk = docs.select(
+        "lang", "doc_id",
+        F.row_number().over(
+            Window.partitionBy("lang")
+            .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+        .alias("rk"))
+    sel = (rk.join(F.broadcast(a.select("lang", "alloc_n")), "lang")
+           .where(F.col("rk") <= F.col("alloc_n"))
+           .groupBy("lang")
+           .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(
+                    F.lpad(F.col("doc_id").cast("string"), 8, "0")))))
+                .alias("sample_fp"),
+                F.count(F.lit(1)).cast("long").alias("n_sampled")))
+    return (a.join(sel, "lang")
+            .select("lang", "n_docs", "w_q", "alloc_n", "n_sampled",
+                    "sample_fp"))

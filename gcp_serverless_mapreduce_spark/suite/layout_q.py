@@ -148,3 +148,76 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
                             - F.col("bucket_toks").cast("double")
                             / F.col("padded_tokens").cast("double"), 6)
                     .alias("pad_waste")))
+
+
+# Fill-in-the-middle split geometry: minimum doc length (chars) to emit
+# a split, so every segment is guaranteed non-empty.
+FIM_MIN_CHARS = 16
+
+
+def _fim_hash_sql(seed: str) -> str:
+    """DuckDB twin of the seeded per-doc split hash (md5-prefix)."""
+    return (f"CAST('0x' || substr(md5('{seed}|' || "
+            f"CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)")
+
+
+@register("fim_split_plan", f"""
+WITH base AS (
+    SELECT doc_id, text, length(text) AS n
+    FROM documents WHERE length(text) >= {FIM_MIN_CHARS}),
+s1c AS (
+    SELECT doc_id, text, n,
+           1 + {_fim_hash_sql('f1')} % (n - 2) AS s1
+    FROM base),
+s2c AS (
+    SELECT doc_id, text, n, s1,
+           s1 + 1 + {_fim_hash_sql('f2')} % (n - s1 - 1) AS s2
+    FROM s1c)
+SELECT doc_id,
+       CAST(s1 AS BIGINT) AS prefix_len,
+       CAST(s2 - s1 AS BIGINT) AS middle_len,
+       CAST(n - s2 AS BIGINT) AS suffix_len,
+       md5(substr(text, 1, CAST(s1 AS INTEGER)) || '|'
+           || substr(text, CAST(s2 + 1 AS INTEGER),
+                     CAST(n - s2 AS INTEGER)) || '|'
+           || substr(text, CAST(s1 + 1 AS INTEGER),
+                     CAST(s2 - s1 AS INTEGER))) AS psm_fingerprint
+FROM s2c
+""")
+def fim_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (FIM, Bavarian et al. 2022) training
+    transform: each document gets two deterministic hash-derived split
+    points 1 <= s1 < s2 < n, yielding non-empty prefix/middle/suffix
+    segments; the emitted fingerprint hashes the PSM arrangement
+    (prefix, suffix, middle — the order an infilling trainer consumes).
+    Pure per-row codegen expressions — no shuffle, no UDF — so the
+    transform runs at scan speed over 100 TB and commutes with any
+    partitioning; determinism (hash of doc_id, not rand()) makes the
+    split reproducible across epochs and engines, which is what the
+    oracle gates byte-for-byte via the fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def seeded(seed: str):
+        return F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|"),
+                           F.col("doc_id").cast("string"))), 1, 8),
+            16, 10).cast("long")
+
+    n = F.length("text")
+    base = (docs.where(n >= FIM_MIN_CHARS)
+            .select("doc_id", "text", n.alias("n")))
+    s1 = (F.lit(1) + seeded("f1") % (F.col("n") - 2)).alias("s1")
+    withs1 = base.select("doc_id", "text", "n", s1)
+    s2 = (F.col("s1") + 1
+          + seeded("f2") % (F.col("n") - F.col("s1") - 1)).alias("s2")
+    withs2 = withs1.select("doc_id", "text", "n", "s1", s2)
+    prefix = F.substr("text", F.lit(1), F.col("s1"))
+    middle = F.substr("text", F.col("s1") + 1, F.col("s2") - F.col("s1"))
+    suffix = F.substr("text", F.col("s2") + 1, F.col("n") - F.col("s2"))
+    return withs2.select(
+        "doc_id",
+        F.col("s1").cast("long").alias("prefix_len"),
+        (F.col("s2") - F.col("s1")).cast("long").alias("middle_len"),
+        (F.col("n") - F.col("s2")).cast("long").alias("suffix_len"),
+        F.md5(F.concat_ws("|", prefix, suffix, middle))
+        .alias("psm_fingerprint"))

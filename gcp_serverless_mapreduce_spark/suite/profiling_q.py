@@ -402,3 +402,82 @@ def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(is_out).cast("long").alias("n_outliers"),
                  F.round(F.sum(is_out) / F.count("*").cast("double"), 6)
                  .alias("outlier_rate")))
+
+
+# Join-key skew audit: the key columns a 100 TB deployment would join on.
+SKEW_KEYS = [
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("events.user_id", "events", "user_id"),
+]
+
+
+def _skew_sql(label: str, tbl: str, col: str) -> str:
+    """One UNION ALL branch of the skew profile: count-of-counts
+    histogram + cumulative quantile pick (same shape as the Spark
+    side)."""
+    cnts = f"(SELECT count(*) AS cnt FROM {tbl} GROUP BY {col})"
+    return f"""
+SELECT '{label}' AS key_name, s.n_keys, s.total_rows, s.max_cnt,
+       q.p50_cnt, q.p99_cnt,
+       s.max_cnt * 10000 // s.total_rows AS top_share_bp
+FROM (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS total_rows,
+             CAST(max(cnt) AS BIGINT) AS max_cnt
+      FROM {cnts}) s,
+     (SELECT CAST(min(CASE WHEN cum >= (n_keys + 1) // 2
+                           THEN cnt END) AS BIGINT) AS p50_cnt,
+             CAST(min(CASE WHEN cum >= (99 * n_keys + 99) // 100
+                           THEN cnt END) AS BIGINT) AS p99_cnt
+      FROM (SELECT cnt, sum(k) OVER (ORDER BY cnt) AS cum,
+                   sum(k) OVER () AS n_keys
+            FROM (SELECT cnt, count(*) AS k FROM {cnts}
+                  GROUP BY cnt))) q"""
+
+
+@register("join_key_skew_profile",
+          "\nUNION ALL\n".join(_skew_sql(*t) for t in SKEW_KEYS))
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-key skew audit: for each would-be join key, the
+    distinct-key count, total rows, the hottest key's row count and its
+    share (basis points), and the p50/p99 of the per-key count
+    distribution.  This is the diagnostic that decides a 100 TB join
+    strategy — broadcast vs shuffle, salting factor, AQE skew-join
+    thresholds — BEFORE paying for a skewed exchange.
+
+    Scale shape: per-key counts reduce to a COUNT-OF-COUNTS histogram
+    (one hash-aggregate each, map-side partial), so the quantile pick
+    runs a window over the tiny histogram — never an N-distinct-key
+    sort.  The single-partition window is over #distinct count-values
+    (hundreds at any scale), and the three scalar stats ride a
+    broadcast crossJoin."""
+    out = None
+    for label, tbl, col in SKEW_KEYS:
+        df = load_table(spark, sf_dir, tbl)
+        cnts = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        cc = cnts.groupBy("cnt").agg(F.count(F.lit(1)).alias("k"))
+        stats = cnts.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("cnt").cast("long").alias("total_rows"),
+            F.max("cnt").cast("long").alias("max_cnt"))
+        from pyspark.sql import Window
+        cum = cc.withColumn("cum", F.sum("k").over(Window.orderBy("cnt")))
+        qs = (cum.crossJoin(F.broadcast(stats))
+              .agg(F.min(F.when(
+                       F.col("cum") >= F.floor((F.col("n_keys") + 1) / 2),
+                       F.col("cnt"))).cast("long").alias("p50_cnt"),
+                   F.min(F.when(
+                       F.col("cum") >= F.floor(
+                           (99 * F.col("n_keys") + 99) / 100),
+                       F.col("cnt"))).cast("long").alias("p99_cnt")))
+        row = (stats.crossJoin(F.broadcast(qs))
+               .select(F.lit(label).alias("key_name"),
+                       "n_keys", "total_rows", "max_cnt",
+                       "p50_cnt", "p99_cnt",
+                       F.floor(F.col("max_cnt") * 10000
+                               / F.col("total_rows")).cast("long")
+                       .alias("top_share_bp")))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -12,7 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import sketches
-from ..operators.sketches import (CMS_DEPTH, CMS_WIDTH, KMV_HEX_DIGITS,
+from ..operators.sketches import (CMS_DEPTH, CMS_WIDTH, HLL_M, HLL_MAX_RHO,
+                                  HLL_NUMER, HLL_REST_MOD, KMV_HEX_DIGITS,
                                   KMV_K, KMV_NUMER)
 from ..registry import register
 from ..tables import load_table
@@ -298,3 +299,266 @@ def kmv_merge_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((F.col("n_hashes") == F.col("d_n"))
                      & (F.col("m_hk") == F.col("d_hk")))
                     .alias("merge_exact")))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: fixed-size register states, merge-by-max, windowed rollup.
+
+# DuckDB twin of sketches.hll_state's per-key (idx, rho) projection over
+# a 48-bit md5-prefix hash column ``h``.
+_HLL_IDX_SQL = f"h // {HLL_REST_MOD}"
+_HLL_RHO_SQL = (f"CASE WHEN h % {HLL_REST_MOD} = 0 THEN {HLL_MAX_RHO} "
+                f"ELSE {HLL_MAX_RHO} - length(bin(h % {HLL_REST_MOD})) END")
+# DuckDB twin of sketches.hll_estimate's aggregate over registers ``r``:
+# absent registers contribute 2^0 = 1 each.
+_HLL_EST_SQL = (f"CAST({HLL_NUMER!r} AS DOUBLE) / "
+                f"(sum(1.0 / CAST(CAST(1 AS BIGINT) << r AS DOUBLE)) "
+                f"+ CAST({HLL_M} - count(*) AS DOUBLE))")
+
+
+def _hll_hash_sql(key_expr: str) -> str:
+    """DuckDB twin of sketches.kmv_hash (48-bit md5-prefix)."""
+    return (f"CAST('0x' || substr(md5({key_expr}), 1, "
+            f"{KMV_HEX_DIGITS}) AS BIGINT)")
+
+
+# Shared by the batch query below and the STREAMING build of the same
+# registers (suite/streaming_q.py:stream_hll_distinct_users): both must
+# equal this exact register-level answer.
+HLL_DISTINCT_USERS_SQL = f"""
+WITH h AS (
+    SELECT event_type AS grp,
+           {_hll_hash_sql("CAST(user_id AS VARCHAR)")} AS h
+    FROM events),
+st AS (
+    SELECT grp, {_HLL_IDX_SQL} AS idx, max({_HLL_RHO_SQL}) AS r
+    FROM h GROUP BY grp, idx),
+est AS (
+    SELECT grp, {_HLL_EST_SQL} AS hll_est,
+           CAST(count(*) AS BIGINT) AS registers_used
+    FROM st GROUP BY grp),
+ex AS (SELECT event_type AS grp,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+       FROM events GROUP BY event_type)
+SELECT est.grp AS event_type, round(est.hll_est, 6) AS hll_est,
+       est.registers_used, ex.exact_distinct
+FROM est JOIN ex USING (grp)
+"""
+
+
+@register("hll_distinct_users", HLL_DISTINCT_USERS_SQL)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via HyperLogLog ({HLL_M} registers,
+    deterministic md5 build) next to the exact answer.  The per-group
+    state is a FIXED ~1 KiB register array — the bounded-state property
+    behind Spark's own approx_count_distinct — built with one map-side
+    partial-max aggregate whose shuffle width is the group x register
+    grid, never the user cardinality.  The oracle rebuilds every
+    register, so the estimate's error is itself gated.
+    See operators/sketches.py:hll_state."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select("event_type",
+                      F.col("user_id").cast("string").alias("u"))
+    est = sketches.hll_estimate(
+        sketches.hll_state(keyed, "event_type", "u"), "event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    return (est.withColumn("hll_est", F.round("hll_est", 6))
+            .join(exact, "event_type")
+            .select("event_type", "hll_est", "registers_used",
+                    "exact_distinct"))
+
+
+_HLL_STATE_SQL = f"""
+    SELECT grp, {_HLL_IDX_SQL} AS idx, max({_HLL_RHO_SQL}) AS r
+    FROM (SELECT event_type AS grp,
+                 {_hll_hash_sql("CAST(user_id AS VARCHAR)")} AS h
+          FROM events WHERE event_id % 2 = {{par}})
+    GROUP BY grp, idx"""
+
+
+@register("hll_merge_equivalence", f"""
+WITH s0 AS ({_HLL_STATE_SQL.format(par=0)}),
+s1 AS ({_HLL_STATE_SQL.format(par=1)}),
+m AS (SELECT grp, idx, max(r) AS r
+      FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1)
+      GROUP BY grp, idx),
+d AS (
+    SELECT grp, {_HLL_IDX_SQL} AS idx, max({_HLL_RHO_SQL}) AS r
+    FROM (SELECT event_type AS grp,
+                 {_hll_hash_sql("CAST(user_id AS VARCHAR)")} AS h
+          FROM events)
+    GROUP BY grp, idx),
+mm AS (
+    SELECT COALESCE(m.grp, d.grp) AS grp,
+           CAST(count(*) FILTER (
+               WHERE m.r IS DISTINCT FROM d.r) AS BIGINT) AS n_mismatch
+    FROM m FULL JOIN d ON m.grp = d.grp AND m.idx = d.idx
+    GROUP BY 1),
+me AS (SELECT grp, {_HLL_EST_SQL} AS est FROM m GROUP BY grp),
+de AS (SELECT grp, {_HLL_EST_SQL} AS est FROM d GROUP BY grp)
+SELECT me.grp AS event_type,
+       round(me.est, 6) AS merged_est,
+       round(de.est, 6) AS direct_est,
+       (mm.n_mismatch = 0) AS merge_exact
+FROM me JOIN de USING (grp) JOIN mm USING (grp)
+""")
+def hll_merge_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL merge contract, demonstrated and gated: register states
+    built independently over two disjoint halves of events merge by
+    elementwise max into EXACTLY the single-pass state (max is
+    associative/commutative/idempotent) — ``merge_exact`` asserts
+    register-level equality via a full outer join of the two states.
+    This losslessness is why HLL distinct-counting parallelizes over
+    100 TB with no global distinct: per-partition 1 KiB states fold in
+    any order, any grouping.  See operators/sketches.py:
+    hll_merge_states; the KMV analog is kmv_merge_equivalence."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select("event_id", "event_type",
+                      F.col("user_id").cast("string").alias("u"))
+    s0 = sketches.hll_state(
+        keyed.where(F.col("event_id") % 2 == 0), "event_type", "u")
+    s1 = sketches.hll_state(
+        keyed.where(F.col("event_id") % 2 == 1), "event_type", "u")
+    merged_state = sketches.hll_merge_states(s0, s1)
+    direct_state = sketches.hll_state(keyed, "event_type", "u")
+    mism = (merged_state.select("grp", "idx", F.col("r").alias("mr"))
+            .join(direct_state.select("grp", "idx", F.col("r").alias("dr")),
+                  ["grp", "idx"], "full_outer")
+            .groupBy("grp")
+            .agg(F.sum((~F.col("mr").eqNullSafe(F.col("dr")))
+                       .cast("long")).alias("n_mismatch")))
+    merged = sketches.hll_estimate(merged_state, "event_type") \
+        .select("event_type", F.round("hll_est", 6).alias("merged_est"))
+    direct = sketches.hll_estimate(direct_state, "event_type") \
+        .select("event_type", F.round("hll_est", 6).alias("direct_est"))
+    return (merged.join(direct, "event_type")
+            .join(mism.withColumnRenamed("grp", "event_type"),
+                  "event_type")
+            .select("event_type", "merged_est", "direct_est",
+                    (F.col("n_mismatch") == 0).alias("merge_exact")))
+
+
+@register("hll_hourly_rollup_daily", f"""
+WITH h AS (
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS grp,
+           {_hll_hash_sql("CAST(user_id AS VARCHAR)")} AS h
+    FROM events),
+st AS (
+    SELECT grp, {_HLL_IDX_SQL} AS idx, max({_HLL_RHO_SQL}) AS r
+    FROM h GROUP BY grp, idx),
+est AS (
+    SELECT grp, {_HLL_EST_SQL} AS hll_est,
+           CAST(count(*) AS BIGINT) AS registers_used
+    FROM st GROUP BY grp),
+ex AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS grp,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+       FROM events GROUP BY 1)
+SELECT est.grp AS day, round(est.hll_est, 6) AS hll_est,
+       est.registers_used, ex.exact_distinct
+FROM est JOIN ex USING (grp)
+""")
+def hll_hourly_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ROLLUP: HLL register states are built once at HOURLY
+    granularity, then daily distinct-user estimates are produced by
+    re-merging the stored hourly states (elementwise max) — the raw
+    events are scanned exactly once.  This is the 100 TB reporting
+    pattern sketches exist for: persist fine-grained states, answer any
+    coarser window by folding states instead of rescanning the fact
+    table.  The oracle computes the DAILY registers directly from the
+    raw rows, so the hash match PROVES the hourly->daily rollup is
+    lossless (max-associativity), the same contract
+    hll_merge_equivalence gates per-register."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.date_format(F.date_trunc("hour", "ts"),
+                      "yyyy-MM-dd HH:mm:ss").alias("hr"),
+        F.col("user_id").cast("string").alias("u"))
+    hourly = sketches.hll_state(keyed, "hr", "u")
+    daily_state = (hourly
+                   .select(F.substring("grp", 1, 10).alias("grp"),
+                           "idx", "r")
+                   .groupBy("grp", "idx").agg(F.max("r").alias("r")))
+    est = sketches.hll_estimate(daily_state, "day")
+    exact = (ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+             .agg(F.countDistinct("user_id").cast("long")
+                  .alias("exact_distinct")))
+    return (est.withColumn("hll_est", F.round("hll_est", 6))
+            .join(exact, "day")
+            .select("day", "hll_est", "registers_used", "exact_distinct"))
+
+
+# Bloom semi-join reduction: the dimension-side predicate that qualifies
+# orders whose lineitems we want (selective: one year x one priority).
+SEMI_YEAR = 1994
+SEMI_PRIORITY = "1-URGENT"
+
+_SEMI_ORDERS = (f"SELECT o_orderkey FROM orders "
+                f"WHERE year(CAST(o_orderdate AS DATE)) = {SEMI_YEAR} "
+                f"AND o_orderpriority = '{SEMI_PRIORITY}'")
+
+
+@register("bloom_semijoin_reduction", f"""
+WITH q AS ({_SEMI_ORDERS}),
+seeds AS (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS s),
+bits AS (SELECT DISTINCT
+             {_bloom_pos_sql("CAST(o_orderkey AS VARCHAR)", 's')} AS pos
+         FROM q, seeds),
+probe AS (
+    SELECT l.l_orderkey, l.l_extendedprice,
+           (SELECT count(*) FROM seeds
+            WHERE {_bloom_pos_sql("CAST(l.l_orderkey AS VARCHAR)", 'seeds.s')}
+                  IN (SELECT pos FROM bits)) = {BLOOM_K} AS bloom_pass,
+           EXISTS (SELECT 1 FROM q WHERE q.o_orderkey = l.l_orderkey)
+               AS true_match
+    FROM lineitem l)
+SELECT CAST(count(*) AS BIGINT) AS n_probe_rows,
+       CAST(count(*) FILTER (WHERE bloom_pass) AS BIGINT) AS n_pass_bloom,
+       CAST(count(*) FILTER (WHERE true_match) AS BIGINT) AS n_true_match,
+       CAST(count(*) FILTER (WHERE bloom_pass AND NOT true_match)
+            AS BIGINT) AS bloom_fp,
+       CAST(count(*) FILTER (WHERE bloom_pass) * 10000 // count(*)
+            AS BIGINT) AS pass_share_bp,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (WHERE true_match) AS DOUBLE) AS matched_revenue
+FROM probe
+""")
+def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom SEMI-JOIN reduction — the runtime-filter pattern engines
+    push into scans: qualified orders ({SEMI_YEAR} x {SEMI_PRIORITY})
+    fold into an 8 KiB bitmap literal, and the lineitem probe becomes
+    whole-stage-codegen'd bit arithmetic ON THE SCAN, discarding ~97%
+    of probe rows before any exchange — at 100 TB this is the
+    difference between shuffling the full fact table into a join and
+    shuffling 3% of it.  No false negatives (every true match passes —
+    the bitmap sets all its keys' bits), so prefilter+join == join; the
+    false-pass count prices the filter's size, and the matched revenue
+    (exact DECIMAL sum) gates end-to-end value correctness.  Same
+    collected-sketch rationale as bloom_decontamination: the bitmap is
+    bounded by m, never by data volume."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qualified = (orders
+                 .where((F.year(F.col("o_orderdate").cast("date"))
+                         == SEMI_YEAR)
+                        & (F.col("o_orderpriority") == SEMI_PRIORITY))
+                 .select("o_orderkey").distinct())
+    bitmap = sketches.bloom_bitmap(sketches.bloom_build(
+        qualified.select(F.col("o_orderkey").cast("string").alias("key"))))
+    probe = (li.select("l_orderkey", "l_extendedprice")
+             .withColumn("bloom_pass", sketches.bloom_hit_expr(
+                 F.col("l_orderkey").cast("string"), bitmap))
+             .join(F.broadcast(qualified.withColumn("_m", F.lit(1))),
+                   li.l_orderkey == qualified.o_orderkey, "left")
+             .withColumn("true_match", F.col("_m").isNotNull()))
+    return probe.agg(
+        F.count(F.lit(1)).alias("n_probe_rows"),
+        F.sum(F.col("bloom_pass").cast("long")).alias("n_pass_bloom"),
+        F.sum(F.col("true_match").cast("long")).alias("n_true_match"),
+        F.sum((F.col("bloom_pass") & ~F.col("true_match")).cast("long"))
+        .alias("bloom_fp"),
+        F.floor(F.sum(F.col("bloom_pass").cast("long")) * 10000
+                / F.count(F.lit(1))).cast("long").alias("pass_share_bp"),
+        F.sum(F.when(F.col("true_match"),
+                     F.col("l_extendedprice").cast("decimal(18,2)")))
+        .cast("double").alias("matched_revenue"))

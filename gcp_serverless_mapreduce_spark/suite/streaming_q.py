@@ -514,3 +514,44 @@ def stream_windowed_event_stats_pyds(spark: SparkSession,
     stats = pipeline.windowed_event_stats(ev)
     return pipeline.run_rate_replay(
         stats, "windowed_event_stats_pyds_sink", n_expected)
+
+
+# ---------------------------------------------------------------------------
+# Streaming cardinality via HLL registers: bounded state by construction.
+
+from ..operators import sketches  # noqa: E402
+from .sketch_q import HLL_DISTINCT_USERS_SQL  # noqa: E402
+
+
+@register("stream_hll_distinct_users", HLL_DISTINCT_USERS_SQL)
+def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING distinct-user cardinality per event type: the HLL
+    register build runs as a Structured Streaming aggregation (per-row
+    (group, register, rho) projection -> streaming groupBy-max), so the
+    state store holds AT MOST groups x 1024 small integers no matter how
+    many events flow through — the sketch translation of "you cannot
+    keep a distinct-set per key on an unbounded 100 TB/day stream".
+    countDistinct on a stream needs unbounded state or a watermark that
+    drops keys; register-max state is bounded, exactly mergeable across
+    micro-batches (max is associative/idempotent — the contract
+    hll_merge_equivalence gates), and restart-safe.  The final
+    registers must equal the BATCH registers bit-for-bit: the oracle is
+    the same SQL as hll_distinct_users, so the hash gate proves the
+    incremental build converges to the one-shot answer.
+    See operators/sketches.py:hll_project."""
+    ev = pipeline.stream_events(spark, sf_dir)
+    proj = sketches.hll_project(
+        ev.select("event_type", F.col("user_id").cast("string").alias("u")),
+        "event_type", "u")
+    regs = proj.groupBy("grp", "idx").agg(F.max("rho").alias("r"))
+    state = pipeline.run_available_now(
+        regs, "hll_stream_registers", mode="complete")
+    est = sketches.hll_estimate(state, "event_type")
+    exact = (load_table(spark, sf_dir, "events")
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").cast("long")
+                  .alias("exact_distinct")))
+    return (est.withColumn("hll_est", F.round("hll_est", 6))
+            .join(exact, "event_type")
+            .select("event_type", "hll_est", "registers_used",
+                    "exact_distinct"))

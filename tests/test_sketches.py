@@ -98,3 +98,49 @@ def test_kmv_merge_states_equals_single_pass(spark):
     est_m = sketches.kmv_estimate(merged, "grp").collect()[0]["kmv_est"]
     est_d = sketches.kmv_estimate(direct, "grp").collect()[0]["kmv_est"]
     assert est_m == est_d
+
+
+def test_hll_rho_matches_leading_zero_definition(spark):
+    # rho = leading zeros of the 38 scored bits + 1, via bit-length.
+    cases = [
+        (0, sketches.HLL_MAX_RHO),          # all-zero scored bits
+        (1, sketches.HLL_REST_BITS),        # 37 leading zeros + 1
+        (sketches.HLL_REST_MOD - 1, 1),     # top bit set
+        (1 << 10, sketches.HLL_REST_BITS - 10),
+    ]
+    df = spark.createDataFrame([(v,) for v, _ in cases], "rest long")
+    got = [r[0] for r in
+           df.select(sketches.hll_rho(F.col("rest"))).collect()]
+    assert got == [exp for _, exp in cases]
+
+
+def test_hll_state_bounded_and_estimate_close(spark):
+    # 20 distinct keys: registers <= 20, estimate within HLL small-n bias
+    # (raw estimator overshoots below ~2.5m; just bound the state here).
+    small = spark.createDataFrame(
+        [("g", f"u{i % 20}") for i in range(300)], "grp string, key string")
+    st = sketches.hll_state(small, "grp", "key")
+    assert st.count() <= 20
+    assert st.agg(F.max("r")).collect()[0][0] <= sketches.HLL_MAX_RHO
+
+    # 5000 distinct keys >> m=1024: raw estimate within ~3 stderr
+    # (1.04/sqrt(1024) ~ 3.3% stderr -> 10% band).
+    big = spark.createDataFrame(
+        [("g", f"user-{i}") for i in range(5000)], "grp string, key string")
+    row = sketches.hll_estimate(
+        sketches.hll_state(big, "grp", "key"), "grp").collect()[0]
+    assert row["registers_used"] <= sketches.HLL_M
+    assert 4500 <= row["hll_est"] <= 5500
+
+
+def test_hll_merge_states_equals_single_pass(spark):
+    rows = [("g", f"k{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, key string")
+    parts = [df.where(F.crc32(F.col("key")) % 3 == i) for i in range(3)]
+    merged = sketches.hll_merge_states(
+        *[sketches.hll_state(p, "grp", "key") for p in parts])
+    direct = sketches.hll_state(df, "grp", "key")
+    diff = (merged.withColumnRenamed("r", "mr")
+            .join(direct, ["grp", "idx"], "full_outer")
+            .where(~F.col("mr").eqNullSafe(F.col("r"))))
+    assert diff.count() == 0

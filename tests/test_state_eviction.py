@@ -106,3 +106,51 @@ def test_watermark_bounds_state_over_24_batches(spark, ordered_events_sf01):
                 .strftime("%Y-%m-%d %H:00:00"))
         assert all(r[0] >= tail for r in missing), \
             "a window older than the final watermark was dropped"
+
+
+def test_streaming_hll_state_is_register_bounded(spark, ordered_events_sf01):
+    """The streaming HLL build's state is the REGISTER GRID, not the key
+    set: over a month of sf0.1 events the state store must hold at most
+    n_groups x HLL_M rows — far below the distinct (group, user) pairs
+    an exact streaming countDistinct would retain — and the final state
+    must equal the batch registers exactly."""
+    from gcp_serverless_mapreduce_spark.operators import sketches
+
+    schema = spark.read.parquet(ordered_events_sf01).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 2)
+              .parquet(ordered_events_sf01))
+    proj = sketches.hll_project(
+        stream.select("event_type",
+                      F.col("user_id").cast("string").alias("u")),
+        "event_type", "u")
+    regs = proj.groupBy("grp", "idx").agg(F.max("rho").alias("r"))
+    with pipeline.stream_state_partitions(spark):
+        q = (regs.writeStream.format("memory").queryName("hll_state_sink")
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+    progress = [json.loads(p.json) for p in q.recentProgress]
+    got_state = spark.table("hll_state_sink").localCheckpoint()
+    q.stop()
+
+    states = [p["stateOperators"][0]["numRowsTotal"]
+              for p in progress if p.get("stateOperators")]
+    assert len([s for s in states if s > 0]) >= 10   # a real long run
+
+    ev = spark.read.parquet(ordered_events_sf01)
+    n_types = ev.select("event_type").distinct().count()
+    n_pairs = ev.select("event_type", "user_id").distinct().count()
+    peak = max(states)
+    assert peak <= n_types * sketches.HLL_M, \
+        f"state peaked at {peak} > register grid {n_types * sketches.HLL_M}"
+    # at sf0.1 the key set (~7.5k pairs) is only ~2x the register grid,
+    # so "far below" is asymptotic; the strict inequality still holds
+    # here and the grid bound above is the invariant that scales
+    assert peak < n_pairs, \
+        f"state peak {peak} >= key-set size {n_pairs}: not sketch-bounded"
+
+    batch = sketches.hll_state(
+        ev.select("event_type", F.col("user_id").cast("string").alias("u")),
+        "event_type", "u")
+    assert {tuple(r) for r in got_state.collect()} == \
+        {tuple(r) for r in batch.collect()}
