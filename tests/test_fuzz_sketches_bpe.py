@@ -229,3 +229,66 @@ def test_power_iteration_fuzz_matches_python_oracle(spark):
                                        for x in w]
         want.append(list(v))
     assert traj == want
+
+
+def _py_hll_registers(keys) -> dict[int, int]:
+    """Pure-Python HLL register oracle (same md5/48-bit convention)."""
+    regs: dict[int, int] = {}
+    for key in keys:
+        h = int(hashlib.md5(key.encode()).hexdigest()[:12], 16)
+        idx, rest = h >> sketches.HLL_REST_BITS, h % sketches.HLL_REST_MOD
+        rho = (sketches.HLL_MAX_RHO if rest == 0
+               else sketches.HLL_MAX_RHO - rest.bit_length())
+        regs[idx] = max(regs.get(idx, 0), rho)
+    return regs
+
+
+def test_hll_fuzz_registers_and_estimate_match_python(spark):
+    # 1500 random keys (dups included): every register must match the
+    # pure-Python build bit-for-bit, and the estimate must equal the
+    # same closed-form evaluated in Python (all terms are exact powers
+    # of two, so equality is exact, not approximate).
+    keys = [f"k{RNG.randrange(900)}" for _ in range(1500)]
+    df = spark.createDataFrame([("g", k) for k in keys],
+                               "grp string, key string")
+    got = {r["idx"]: r["r"] for r in
+           sketches.hll_state(df, "grp", "key").collect()}
+    want = _py_hll_registers(keys)
+    assert got == want
+
+    est = sketches.hll_estimate(
+        sketches.hll_state(df, "grp", "key"), "grp").collect()[0]
+    s = sum(1.0 / (1 << r) for r in want.values()) \
+        + (sketches.HLL_M - len(want))
+    assert est["hll_est"] == sketches.HLL_NUMER / s
+    assert est["registers_used"] == len(want)
+
+
+def test_fim_fuzz_split_bounds_over_random_lengths(spark):
+    # Random doc lengths down to the minimum: splits always give three
+    # non-empty segments and reassemble to the original text.
+    from gcp_serverless_mapreduce_spark.suite.layout_q import FIM_MIN_CHARS
+    rows = []
+    for i in range(200):
+        n = RNG.randrange(FIM_MIN_CHARS, 120)
+        rows.append((i, "".join(RNG.choice("abcdef gh")
+                                for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    did = F.col("doc_id").cast("string")
+
+    def seeded(seed):
+        return F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|"), did)), 1, 8),
+            16, 10).cast("long")
+
+    n = F.length("text")
+    s1 = F.lit(1) + seeded("f1") % (n - 2)
+    s2 = s1 + 1 + seeded("f2") % (n - s1 - 1)
+    parts = df.select(
+        "doc_id", "text",
+        F.substr("text", F.lit(1), s1).alias("p"),
+        F.substr("text", s1 + 1, s2 - s1).alias("m"),
+        F.substr("text", s2 + 1, n - s2).alias("s"))
+    for r in parts.collect():
+        assert len(r["p"]) >= 1 and len(r["m"]) >= 1 and len(r["s"]) >= 1
+        assert r["p"] + r["m"] + r["s"] == r["text"]
