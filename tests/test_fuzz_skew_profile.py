@@ -1,0 +1,75 @@
+"""Randomized pure-Python oracle for the join-key skew audit.
+
+The invariant test covers totals and ordering on the fixture; this pass
+recomputes the whole count-of-counts quantile pick (p50/p99 as the
+minimal count whose cumulative key mass reaches the floor'd rank) in
+pure Python over synthetic Zipf-skewed tables written as a temp fixture
+directory — the exact math a 100 TB deployment would use to choose a
+salting factor, so it must not drift by one rank position.
+"""
+from __future__ import annotations
+
+import math
+import random
+
+from gcp_serverless_mapreduce_spark.suite.profiling_q import (
+    SKEW_KEYS,
+    join_key_skew_profile,
+)
+
+RNG = random.Random(0x53EB)
+
+
+def _zipf_keys(n_rows: int, n_keys: int) -> list[int]:
+    weights = [1.0 / (i + 1) for i in range(n_keys)]
+    return RNG.choices(range(1, n_keys + 1), weights=weights, k=n_rows)
+
+
+def _py_profile(keys: list[int]) -> tuple:
+    per_key: dict[int, int] = {}
+    for k in keys:
+        per_key[k] = per_key.get(k, 0) + 1
+    n_keys, total, mx = len(per_key), len(keys), max(per_key.values())
+    cc: dict[int, int] = {}
+    for c in per_key.values():
+        cc[c] = cc.get(c, 0) + 1
+    cum, p50, p99 = 0, None, None
+    for cnt in sorted(cc):
+        cum += cc[cnt]
+        if p50 is None and cum >= math.floor((n_keys + 1) / 2):
+            p50 = cnt
+        if p99 is None and cum >= math.floor((99 * n_keys + 99) / 100):
+            p99 = cnt
+    return (n_keys, total, mx, p50, p99, math.floor(mx * 10000 / total))
+
+
+def test_skew_profile_fuzz_matches_python_recompute(spark, tmp_path):
+    # One synthetic frame per audited key column, each with its own
+    # skew shape (including a no-skew uniform one and a single-key one).
+    cols: dict[tuple[str, str], list[int]] = {}
+    shapes = [(300, 80), (250, 1), (400, 200), (120, 5), (500, 350)]
+    for (label, tbl, col), (n_rows, n_keys) in zip(SKEW_KEYS, shapes):
+        cols[(tbl, col)] = _zipf_keys(n_rows, n_keys)
+
+    by_tbl: dict[str, dict[str, list[int]]] = {}
+    for (tbl, col), keys in cols.items():
+        by_tbl.setdefault(tbl, {})[col] = keys
+    for tbl, col_map in by_tbl.items():
+        n = max(len(v) for v in col_map.values())
+        names = sorted(col_map)
+        rows = [tuple(col_map[c][i % len(col_map[c])] for c in names)
+                for i in range(n)]
+        # %-recycling shorter columns changes their distribution, so
+        # re-derive the oracle input from what is actually written.
+        for c in names:
+            col_map[c] = [r[names.index(c)] for r in rows]
+        spark.createDataFrame(
+            rows, ", ".join(f"{c} long" for c in names)
+        ).write.parquet(str(tmp_path / f"{tbl}.parquet"))
+
+    got = {r["key_name"]: (r["n_keys"], r["total_rows"], r["max_cnt"],
+                           r["p50_cnt"], r["p99_cnt"], r["top_share_bp"])
+           for r in join_key_skew_profile(spark, str(tmp_path)).collect()}
+    want = {label: _py_profile(by_tbl[tbl][col])
+            for label, tbl, col in SKEW_KEYS}
+    assert got == want
