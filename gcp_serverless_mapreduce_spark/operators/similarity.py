@@ -553,6 +553,11 @@ def _probe_cells_udf(centers: list[list[float]], n_probe: int):
     return probe_cells
 
 
+# Query-side salt width for the per-cell re-rank (see _ivf_search):
+# a hot IVF cell's work fans out over this many parallel tasks.
+IVF_SALT = 8
+
+
 def _ivf_search(emb: DataFrame, k: int, centers: list[list[float]],
                 n_probe: int, id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
@@ -588,29 +593,60 @@ def _ivf_search(emb: DataFrame, k: int, centers: list[list[float]],
         .withColumn("is_home", F.col("pos") == 0).drop("pos")
     )
 
-    # Re-rank cell-by-cell with one vectorized pass per cell
-    # (applyInPandas on the cell id), instead of exploding
-    # |Q_cell| x |C_cell| pair rows and folding a 64-dim dot per row in
-    # the interpreter (~500k interpreted folds at sf0.1; measured ~3x
-    # slower).  Each cell emits only its local top-k per query; the
-    # global top-k over the n_probe probed cells is then a window over
-    # k*n_probe candidate rows per query.  This is the scale plan: the
-    # shuffle moves each vector n_probe times (keyed by cell), and each
-    # cell block fits one task.
+    # Re-rank cell-by-cell with vectorized passes (applyInPandas),
+    # instead of exploding |Q_cell| x |C_cell| pair rows and folding a
+    # 64-dim dot per row in the interpreter (~500k interpreted folds at
+    # sf0.1; measured ~3x slower).  Each bucket emits only its local
+    # top-k per query; the global top-k over the n_probe probed cells
+    # is then a window over k*n_probe candidate rows per query.
+    #
+    # SKEW: cell populations follow the data, and a hot cell would put
+    # its entire |Q| x |C| re-rank in ONE task (measured: one fixed-
+    # centroid cell held half the corpus at sf0.1 — a 2 s single-core
+    # task on a 32-core box).  Standard fix, output-identical: salt the
+    # QUERY side by vid into IVF_SALT buckets and replicate each cell's
+    # (bounded, by construction) corpus block to every bucket, so each
+    # bucket re-ranks its query slice against the FULL cell.  Per-query
+    # results are unchanged — a query's top-k depends only on (query,
+    # cell corpus) — while the hot cell fans out IVF_SALT-wide.  Cost:
+    # the shuffle carries the corpus IVF_SALT times instead of once —
+    # the classic replicate-the-bounded-side trade, same as a salted
+    # broadcast join.
+    # Both roles come out of ONE in-row explode (a query entry for every
+    # member row + IVF_SALT corpus entries for home rows), so the
+    # normalize + probe UDF pipeline still runs exactly once per vector
+    # — a union of two branches over the same source would re-run it.
+    q_entry = F.struct(
+        F.pmod(F.xxhash64("vid"), F.lit(IVF_SALT)).cast("int")
+        .alias("salt"), F.lit(False).alias("is_corpus"))
+    c_entries = [F.struct(F.lit(i).cast("int").alias("salt"),
+                          F.lit(True).alias("is_corpus"))
+                 for i in range(IVF_SALT)]
+    roles = F.concat(
+        F.array(q_entry),
+        F.when(F.col("is_home"), F.array(*c_entries))
+        .otherwise(F.array().cast("array<struct<salt:int,is_corpus:boolean>>")))
+    both = (member.select("vid", "unit", "cell",
+                          F.explode(roles).alias("r"))
+            .select("vid", "unit", "cell", "r.salt", "r.is_corpus"))
+
     def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {"query_id": pd.Series(dtype="int64"),
              "neighbor_id": pd.Series(dtype="int64"),
              "sim": pd.Series(dtype="float64")})
-        cdf = pdf[pdf["is_home"]].sort_values("vid")   # nid-asc tie order
-        if pdf.empty or cdf.empty:
+        qdf = pdf[~pdf["is_corpus"]]
+        cdf = pdf[pdf["is_corpus"]].sort_values("vid")  # nid-asc tie order
+        if qdf.empty or cdf.empty:
             return empty
-        Q = np.vstack(pdf["unit"].to_numpy())    # every row queries here
-        C = np.vstack(cdf["unit"].to_numpy())    # home rows are the corpus
+        Q = np.vstack(qdf["unit"].to_numpy())
+        C = np.vstack(cdf["unit"].to_numpy())
         sims = np.zeros((Q.shape[0], C.shape[0]))
+        tmp = np.empty_like(sims)
         for i in range(dim):                     # fold order = oracle
-            sims += Q[:, i:i + 1] * C[None, :, i]
-        qids = pdf["vid"].to_numpy()
+            np.multiply(Q[:, i:i + 1], C[None, :, i], out=tmp)
+            sims += tmp
+        qids = qdf["vid"].to_numpy()
         nids = cdf["vid"].to_numpy()
         sims[qids[:, None] == nids[None, :]] = -np.inf   # mask self-pairs
         kk = min(k, sims.shape[1])
@@ -625,7 +661,7 @@ def _ivf_search(emb: DataFrame, k: int, centers: list[list[float]],
                              "sim": vals[keep]})
 
     candidates = (
-        member.groupBy("cell")
+        both.groupBy("cell", "salt")
         .applyInPandas(cell_topk,
                        "query_id long, neighbor_id long, sim double")
     )
@@ -742,9 +778,11 @@ def lloyd_centroids(emb: DataFrame, init_centers: list[list[float]],
     order-independent (the logistic_gd_train technique,
     operators/profiling.py), and the new centroid dim is one
     deterministic double expression ``sum / (Q * n)``.  The per-round
-    collect is <= n_cells rows of index state (centroids), never data —
-    the same driver-side steering as any KMeans fit.  Cells that lose
-    all members keep their previous centroid.
+    collect is <= n_cells x dim rows of index state (one (cell, dim)
+    partial sum each — the exploded layout keeps each round's freshly-
+    compiled plan down to two agg expressions), never data — the same
+    driver-side steering as any KMeans fit.  Cells that lose all
+    members keep their previous centroid.
 
     ``train_filter`` (e.g. :func:`train_sample_pred`) restricts
     TRAINING to a deterministic hash-sample: cost drops from rounds ×
@@ -770,18 +808,25 @@ def lloyd_centroids(emb: DataFrame, init_centers: list[list[float]],
         # kernel (Arrow-batched; see _probe_cells_udf on why this beats
         # the all-expression rendering)
         home = F.element_at(_probe_cells_udf(centers, 1)("arr"), 1)
+        # (cell, dim) exploded layout: ONE sum expression over dim x n
+        # tiny rows instead of a dim-wide aggregate column list.  The
+        # per-(cell,dim) BIGINT sums are identical either way (exact,
+        # order-independent), but each round's plan — rebuilt every
+        # round because the centroids are literals — goes from a
+        # 64-expression agg tree Catalyst must re-analyze/codegen to a
+        # 2-expression one (measured ~2x faster per round at sf0.1).
         sums = (base.withColumn("cell", home)
-                .groupBy("cell")
+                .select("cell", F.posexplode("arr").alias("d", "v"))
+                .groupBy("cell", "d")
                 .agg(F.count(F.lit(1)).alias("n"),
-                     *[F.sum(F.floor(F.element_at("arr", d + 1)
-                                     * IVF_TRAIN_Q).cast("long"))
-                       .alias(f"s{d}") for d in range(dim)]))
-        got = {int(r["cell"]): r for r in sums.collect()}
+                     F.sum(F.floor(F.col("v") * IVF_TRAIN_Q)
+                           .cast("long")).alias("s")))
+        got = {(int(r["cell"]), int(r["d"])): r for r in sums.collect()}
         centers = [
-            [float(got[c][f"s{d}"])
-             / (float(IVF_TRAIN_Q) * float(got[c]["n"]))
+            [float(got[(c, d)]["s"])
+             / (float(IVF_TRAIN_Q) * float(got[(c, d)]["n"]))
              for d in range(dim)]
-            if c in got else centers[c]
+            if (c, 0) in got else centers[c]
             for c in range(n_cells)]
     return centers
 
