@@ -106,3 +106,22 @@ def test_ivf_lloyd_recall_and_shape(spark):
     hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
     recall = hits / sum(len(v) for v in truth.values())
     assert recall > 0.2, recall
+
+
+def test_ivf_search_invariant_to_salt_width(spark, monkeypatch):
+    # The skew fix's core claim: salting the query side and replicating
+    # each cell's corpus block across buckets must not change a single
+    # output row — a query's top-k depends only on (query, cell corpus).
+    emb = load_table(spark, SF_DIR, "embeddings").limit(300)
+    centers = similarity.fixed_centroids(16, 64)
+
+    def run():
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"], r["sim"])
+            for r in similarity._ivf_search(emb, 5, centers, 2).collect())
+
+    monkeypatch.setattr(similarity, "IVF_SALT", 1)
+    unsalted = run()
+    monkeypatch.setattr(similarity, "IVF_SALT", 8)
+    salted = run()
+    assert salted == unsalted and len(salted) > 0
