@@ -727,5 +727,10 @@ def unimax_language_budget(docs: DataFrame,
                     F.round(F.least(
                         F.col("cap_chars"),
                         F.coalesce(F.col("theta"), F.col("cap_chars")))
-                        / F.col("chars_total").cast("double"), 6)
+                        # nullif: a language whose docs all have 0 chars
+                        # must yield NULL on BOTH engines (DuckDB's IEEE
+                        # division would give NaN/inf, a cross-engine
+                        # hash mismatch; same guard as bpe_fertility).
+                        / F.nullif(F.col("chars_total").cast("double"),
+                                   F.lit(0.0)), 6)
                     .alias("epochs")))

@@ -702,8 +702,9 @@ def max_shared_span_exact(docs: DataFrame, ns: tuple[int, ...] = SPAN_NS,
        carries both token arrays, and an Arrow-batched kernel
        binary-searches the true span in [ladder hit, min(len_a,
        len_b)] — shared-n-gram existence is monotone decreasing in n,
-       so log(len) set-intersection probes per pair suffice, never an
-       O(len_a·len_b) DP.
+       so log(len) rolling-hash probes per pair suffice — each holds
+       O(len) integers of transient state, never an O(len_a·len_b) DP
+       nor the O(L·n) characters of materialized gram strings.
 
     The ladder hit is a sound lower bound (its gram was genuinely
     shared; the df cap only *removes* discovery grams).  Cost: the
@@ -718,20 +719,46 @@ def max_shared_span_exact(docs: DataFrame, ns: tuple[int, ...] = SPAN_NS,
     @pandas_udf("long")
     def exact_span(ta: pd.Series, tb: pd.Series,
                    lo0: pd.Series) -> pd.Series:
+        # Rolling polynomial hashes over per-pair token ids: each probe
+        # materializes O(len_a + len_b) integers, never the O(L·n)
+        # characters of joined gram strings (for near-duplicate long
+        # docs at n ~ L/2 that was an O(L^2) transient per pair row — a
+        # per-task OOM risk at scale).  Hash hits are verified by token
+        # slice comparison, so the result stays exact.
+        B, M = 1_000_003, (1 << 61) - 1
+
+        def win_hashes(seq: list[int], n: int, pw: int):
+            h = 0
+            for i, x in enumerate(seq):
+                h = (h * B + x + 1) % M
+                if i >= n:
+                    h = (h - (seq[i - n] + 1) * pw) % M
+                if i >= n - 1:
+                    yield i - n + 1, h
+
         out = []
         for a, b, lo in zip(ta, tb, lo0):
             a, b = list(a), list(b)
-            if len(b) < len(a):       # probe the shorter side's grams
+            if len(b) < len(a):       # index the shorter side's grams
                 a, b = b, a
+            ids: dict[str, int] = {}
+            ai = [ids.setdefault(t, len(ids)) for t in a]
+            bi = [ids.setdefault(t, len(ids)) for t in b]
 
             def shared(n: int) -> bool:
-                if n > min(len(a), len(b)):
+                if n > min(len(ai), len(bi)):
                     return False
-                ga = {" ".join(a[i:i + n]) for i in range(len(a) - n + 1)}
-                return any(" ".join(b[j:j + n]) in ga
-                           for j in range(len(b) - n + 1))
+                pw = pow(B, n, M)
+                pos: dict[int, list[int]] = {}
+                for i, h in win_hashes(ai, n, pw):
+                    pos.setdefault(h, []).append(i)
+                for j, h in win_hashes(bi, n, pw):
+                    for i in pos.get(h, ()):
+                        if ai[i:i + n] == bi[j:j + n]:
+                            return True
+                return False
 
-            lo, hi = int(lo), min(len(a), len(b))
+            lo, hi = int(lo), min(len(ai), len(bi))
             while lo < hi:            # invariant: shared(lo) is True
                 mid = (lo + hi + 1) // 2
                 if shared(mid):

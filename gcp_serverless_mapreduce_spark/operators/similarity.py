@@ -822,6 +822,17 @@ def lloyd_centroids(emb: DataFrame, init_centers: list[list[float]],
                      F.sum(F.floor(F.col("v") * IVF_TRAIN_Q)
                            .cast("long")).alias("s")))
         got = {(int(r["cell"]), int(r["d"])): r for r in sums.collect()}
+        # A ragged embedding (shorter than dim) produces no posexplode
+        # rows for its missing trailing dims; surface that as a clear
+        # error instead of a bare KeyError on got[(c, d)].
+        for c in range(n_cells):
+            if (c, 0) in got:
+                missing = [d for d in range(dim) if (c, d) not in got]
+                if missing:
+                    raise ValueError(
+                        "lloyd_centroids: embeddings assigned to cell "
+                        f"{c} are shorter than dim={dim} (no values for "
+                        f"dims {missing[:4]}) — ragged embedding column")
         centers = [
             [float(got[(c, d)]["s"])
              / (float(IVF_TRAIN_Q) * float(got[(c, d)]["n"]))

@@ -587,7 +587,7 @@ SELECT t.lang, t.n_docs, t.chars_total,
        round(LEAST(t.cap_chars, COALESCE(th.theta, t.cap_chars)), 4)
            AS alloc_chars,
        round(LEAST(t.cap_chars, COALESCE(th.theta, t.cap_chars))
-             / CAST(t.chars_total AS DOUBLE), 6) AS epochs
+             / nullif(CAST(t.chars_total AS DOUBLE), 0), 6) AS epochs
 FROM t CROSS JOIN th
 """)
 def unimax_language_budget(spark: SparkSession, sf_dir: str) -> DataFrame:

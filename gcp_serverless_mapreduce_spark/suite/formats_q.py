@@ -67,6 +67,13 @@ def _scratch(spark: SparkSession, *parts: str) -> str:
                 shutil.rmtree(p, ignore_errors=True)
     except OSError:
         pass
+    try:
+        # Writes land in nested fmt/sf subdirs and would not refresh the
+        # app dir's own mtime — touch it so a session alive past the TTL
+        # can't have its scratch pruned mid-read by a new session.
+        os.utime(os.path.join(_SCRATCH_ROOT, app_id))
+    except OSError:
+        pass
     return os.path.join(_SCRATCH_ROOT, app_id, *parts)
 
 

@@ -28,6 +28,10 @@ import types
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+# run_traced() imports bench_baseline from this tools/ dir; insert at
+# module scope so main() also works when line_coverage is *imported*
+# (e.g. by run_gates), not only under the __main__ guard.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 PKG = os.path.join(ROOT, "gcp_serverless_mapreduce_spark") + os.sep
 
 # Per-module minimum line coverage (percent), calibrated to the traced
@@ -235,5 +239,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     sys.exit(main())
