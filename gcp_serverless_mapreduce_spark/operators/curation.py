@@ -734,3 +734,79 @@ def unimax_language_budget(docs: DataFrame,
                         / F.nullif(F.col("chars_total").cast("double"),
                                    F.lit(0.0)), 6)
                     .alias("epochs")))
+
+
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MWL_LO, GOPHER_MWL_HI = 3.0, 10.0
+GOPHER_SYMBOL_MAX = 0.1
+GOPHER_BULLET_MAX = 0.9
+GOPHER_ELLIPSIS_LINE_MAX = 0.3
+GOPHER_ALPHA_MIN = 0.8
+GOPHER_MIN_STOPS = 2
+
+
+def gopher_rule_flags(text_col: str = "text") -> list[tuple[str, Column]]:
+    """The Gopher quality-rule battery (Rae et al. 2021, §A1.1) as named
+    boolean columns over one document — all built-in expressions, so the
+    whole battery runs map-only inside codegen.  NULL-valued rules (e.g.
+    mean word length of an empty doc) count as failures via coalesce."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    # nullif denominators: Spark division-by-zero yields NULL but DuckDB
+    # does IEEE inf/NaN (and DuckDB orders NaN above every threshold) —
+    # NULL on both engines falls to the coalesce(…, False) fail path.
+    n_words = F.nullif(F.size(toks).cast("double"), F.lit(0.0))
+    tok_chars = F.aggregate(F.transform(toks, F.length),
+                            F.lit(0), lambda a, x: a + x)
+    mwl = tok_chars.cast("double") / n_words
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    n_ell = (F.length(text)
+             - F.length(F.replace(text, F.lit("...")))) / F.lit(3)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda x: F.ltrim(x).like("- %") | F.ltrim(x).like("* %")
+        | F.ltrim(x).like("•%")))
+    n_ell_lines = F.size(F.filter(
+        lines, lambda x: F.rtrim(x).like("%...")))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    n_stops = F.size(F.array_distinct(F.filter(
+        toks, lambda x: x.isin(*GOPHER_STOPS))))
+    rules = [
+        ("word_count", (n_words >= GOPHER_MIN_WORDS)
+         & (n_words <= GOPHER_MAX_WORDS)),
+        ("mean_word_len", (mwl >= GOPHER_MWL_LO) & (mwl <= GOPHER_MWL_HI)),
+        ("symbol_ratio",
+         (n_hash.cast("double") / n_words <= GOPHER_SYMBOL_MAX)
+         & (n_ell.cast("double") / n_words <= GOPHER_SYMBOL_MAX)),
+        ("bullet_lines",
+         n_bullet.cast("double") / n_lines <= GOPHER_BULLET_MAX),
+        ("ellipsis_lines",
+         n_ell_lines.cast("double") / n_lines <= GOPHER_ELLIPSIS_LINE_MAX),
+        ("alpha_words",
+         n_alpha.cast("double") / n_words >= GOPHER_ALPHA_MIN),
+        ("stop_words", n_stops >= GOPHER_MIN_STOPS),
+    ]
+    return [(name, F.coalesce(c, F.lit(False))) for name, c in rules]
+
+
+def gopher_rule_filter(docs: DataFrame, source_col: str = "source",
+                       text_col: str = "text") -> DataFrame:
+    """-> (source, n_docs, n_pass, fail_<rule>...): per-source pass/fail
+    census of the Gopher rule battery — the first screen of a
+    pre-training curation pipeline, and the per-rule breakdown an
+    operator watches to see WHICH rule is eating a source.  One map-only
+    projection then a source-keyed aggregate (map-side combined)."""
+    flags = gopher_rule_flags(text_col)
+    flagged = docs.select(
+        F.col(source_col).alias("source"),
+        *[c.alias(f"r_{name}") for name, c in flags])
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    passc = F.lit(True)
+    for name, _ in flags:
+        passc = passc & F.col(f"r_{name}")
+    aggs.append(F.sum(passc.cast("long")).cast("long").alias("n_pass"))
+    aggs += [F.sum((~F.col(f"r_{name}")).cast("long")).cast("long")
+             .alias(f"fail_{name}") for name, _ in flags]
+    return flagged.groupBy("source").agg(*aggs)

@@ -171,3 +171,48 @@ def interval_overlap_join(left: DataFrame, right: DataFrame, key: str,
            .drop("bin"))
     return out.where(F.col("overlap_us") > 0) if strict \
         else out.where(F.col("overlap_us") >= 0)
+
+
+def scd2_intervals(events: DataFrame, key_col: str = "user_id",
+                   state_col: str = "event_type",
+                   ts_col: str = "ts",
+                   tie_col: str = "event_id") -> DataFrame:
+    """Slowly-changing-dimension type-2 history from an event log: per
+    key, collapse consecutive runs of the same state into validity
+    intervals — the warehouse operator that turns an append-only event
+    stream into a point-in-time dimension (the reference engine's data
+    model has no temporal dimension at all; this is the standard
+    gaps-and-islands construction).
+
+    -> (key, state, valid_from_us, valid_to_us, n_events, is_current):
+    ``valid_to_us`` is the next run's start (NULL on the open current
+    run).  Ties on ``ts`` break on ``tie_col`` so run boundaries are
+    deterministic cross-engine.
+
+    Scale shape: ONE shuffle on the key drives both windows and the run
+    aggregate (all three are partitioned by the key); no self-join, no
+    per-key collect.  100 TB of events with a bounded key space flows
+    through as an ordinary windowed aggregation.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    prev = F.lag(state_col).over(w)
+    chg = F.when(prev.isNull() | (prev != F.col(state_col)), 1).otherwise(0)
+    runs = (events
+            .withColumn("_run", F.sum(chg).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy(key_col, "_run", state_col)
+            .agg(F.min(F.unix_micros(ts_col)).alias("valid_from_us"),
+                 F.count(F.lit(1)).cast("long").alias("n_events")))
+    # order on the run id, not valid_from_us: two adjacent runs can
+    # share a start microsecond when ts ties straddle a state change
+    # (the tie_col breaks the ordering inside the run window above),
+    # and the run id is monotone in that same (ts, tie) order.
+    w2 = Window.partitionBy(key_col).orderBy("_run")
+    nxt = F.lead("valid_from_us").over(w2)
+    return (runs
+            .select(F.col(key_col),
+                    F.col(state_col).alias("state"),
+                    "valid_from_us",
+                    nxt.alias("valid_to_us"),
+                    "n_events",
+                    nxt.isNull().alias("is_current")))

@@ -357,3 +357,47 @@ def learn_bpe_merges(docs: DataFrame, rounds: int = BPE_LEARN_ROUNDS,
     spark = docs.sparkSession
     return spark.createDataFrame(
         merges, "rank long, sym_a string, sym_b string, pair_count long")
+
+
+def zipf_fit_by_source(docs: DataFrame, topn: int = 100,
+                       source_col: str = "source",
+                       text_col: str = "text") -> DataFrame:
+    """-> (source, n_words, slope, intercept, r2): closed-form OLS fit of
+    ln(freq) ~ ln(rank) over each source's ``topn`` most frequent words —
+    the Zipf-law diagnostic for corpus naturalness (natural language sits
+    near slope -1; boilerplate/spam and synthetic text deviate).
+
+    Ranks come from a per-source window over the word-count aggregate
+    (ties break on the word so the fit set is deterministic); the five
+    OLS sums reduce per source, so after the word-count shuffle the fit
+    itself is a ``topn``-row-per-source aggregate.  At 100 TB the only
+    data-sized stage is the (source, word) count — map-side combined —
+    and the window runs on the counted frame, never on raw tokens."""
+    toks = docs.select(F.col(source_col).alias("source"),
+                       F.explode(tokens(F.col(text_col))).alias("tok"))
+    wc = toks.groupBy("source", "tok").agg(F.count("*").alias("freq"))
+    w = Window.partitionBy("source").orderBy(F.col("freq").desc(),
+                                             F.col("tok").asc())
+    ranked = (wc.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= topn))
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    agg = (ranked
+           .select("source", x.alias("x"), y.alias("y"))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).cast("double").alias("n"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).alias("syy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = cov / F.nullif(dx, F.lit(0.0))
+    return agg.select(
+        "source",
+        F.col("n").cast("long").alias("n_words"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+        .alias("intercept"),
+        F.round(cov * cov / F.nullif(dx * dy, F.lit(0.0)), 6).alias("r2"))

@@ -766,3 +766,82 @@ def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (a.join(sel, "lang")
             .select("lang", "n_docs", "w_q", "alloc_n", "n_sampled",
                     "sample_fp"))
+
+
+_GR = curation  # thresholds referenced below
+_GR_STOPS = ", ".join(f"'{w}'" for w in curation.GOPHER_STOPS)
+
+_GR_FLAGS_SQL = f"""
+    SELECT source,
+      COALESCE(nw >= {_GR.GOPHER_MIN_WORDS}
+               AND nw <= {_GR.GOPHER_MAX_WORDS}, FALSE) AS r_word_count,
+      COALESCE(tok_chars / nw >= {_GR.GOPHER_MWL_LO}
+               AND tok_chars / nw <= {_GR.GOPHER_MWL_HI}, FALSE)
+          AS r_mean_word_len,
+      COALESCE(n_hash / nw <= {_GR.GOPHER_SYMBOL_MAX}
+               AND n_ell / nw <= {_GR.GOPHER_SYMBOL_MAX}, FALSE)
+          AS r_symbol_ratio,
+      COALESCE(n_bullet / n_lines <= {_GR.GOPHER_BULLET_MAX}, FALSE)
+          AS r_bullet_lines,
+      COALESCE(n_ell_lines / n_lines <= {_GR.GOPHER_ELLIPSIS_LINE_MAX},
+               FALSE) AS r_ellipsis_lines,
+      COALESCE(n_alpha / nw >= {_GR.GOPHER_ALPHA_MIN}, FALSE)
+          AS r_alpha_words,
+      COALESCE(n_stops >= {_GR.GOPHER_MIN_STOPS}, FALSE) AS r_stop_words
+    FROM f
+"""
+
+
+@register("gopher_rule_filter", f"""
+WITH t AS (
+    SELECT source, text, {_TOKS} AS toks FROM documents),
+f AS (
+    SELECT source,
+      nullif(CAST(len(toks) AS DOUBLE), 0) AS nw,
+      CAST(list_sum(list_transform(toks, x -> len(x)))
+           AS DOUBLE) AS tok_chars,
+      CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE) AS n_hash,
+      CAST(len(text) - len(replace(text, '...', '')) AS DOUBLE) / 3
+          AS n_ell,
+      CAST(len(string_split(text, chr(10))) AS DOUBLE) AS n_lines,
+      CAST(len(list_filter(string_split(text, chr(10)),
+               l -> ltrim(l) LIKE '- %' OR ltrim(l) LIKE '* %'
+                    OR ltrim(l) LIKE '•%')) AS DOUBLE) AS n_bullet,
+      CAST(len(list_filter(string_split(text, chr(10)),
+               l -> rtrim(l) LIKE '%...')) AS DOUBLE) AS n_ell_lines,
+      CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+           AS DOUBLE) AS n_alpha,
+      len(list_distinct(list_filter(toks, x -> x IN ({_GR_STOPS}))))
+          AS n_stops
+    FROM t),
+r AS ({_GR_FLAGS_SQL})
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN r_word_count AND r_mean_word_len
+                      AND r_symbol_ratio AND r_bullet_lines
+                      AND r_ellipsis_lines AND r_alpha_words
+                      AND r_stop_words THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass,
+       CAST(SUM(CASE WHEN NOT r_word_count THEN 1 ELSE 0 END) AS BIGINT)
+           AS fail_word_count,
+       CAST(SUM(CASE WHEN NOT r_mean_word_len THEN 1 ELSE 0 END)
+            AS BIGINT) AS fail_mean_word_len,
+       CAST(SUM(CASE WHEN NOT r_symbol_ratio THEN 1 ELSE 0 END)
+            AS BIGINT) AS fail_symbol_ratio,
+       CAST(SUM(CASE WHEN NOT r_bullet_lines THEN 1 ELSE 0 END)
+            AS BIGINT) AS fail_bullet_lines,
+       CAST(SUM(CASE WHEN NOT r_ellipsis_lines THEN 1 ELSE 0 END)
+            AS BIGINT) AS fail_ellipsis_lines,
+       CAST(SUM(CASE WHEN NOT r_alpha_words THEN 1 ELSE 0 END)
+            AS BIGINT) AS fail_alpha_words,
+       CAST(SUM(CASE WHEN NOT r_stop_words THEN 1 ELSE 0 END) AS BIGINT)
+           AS fail_stop_words
+FROM r GROUP BY source
+""")
+def gopher_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule battery (Rae et al. 2021 §A1.1) per source:
+    docs passing all 7 rules plus a per-rule failure breakdown
+    (operators/curation.gopher_rule_flags).  Map-only rule projection
+    into one source-keyed aggregate; every rule is a built-in
+    expression, so the battery rides the scan at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.gopher_rule_filter(docs)

@@ -213,3 +213,38 @@ def user_error_purchase_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_id").alias("purchase_id"),
         F.round(F.col("overlap_us").cast("double") / 1000000.0, 6)
          .alias("overlap_secs"))
+
+
+@register("scd2_user_event_state", """
+WITH o AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+m AS (
+    SELECT user_id, event_type, us, event_id,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+r AS (
+    SELECT user_id, event_type, us,
+           SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM m),
+g AS (
+    SELECT user_id, run_id, event_type AS state,
+           MIN(us) AS valid_from_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM r GROUP BY user_id, run_id, event_type)
+SELECT user_id, state, valid_from_us,
+       lead(valid_from_us) OVER w2 AS valid_to_us,
+       n_events,
+       lead(valid_from_us) OVER w2 IS NULL AS is_current
+FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+""")
+def scd2_user_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build (operators/temporal.scd2_intervals):
+    consecutive same-event_type runs per user collapse to validity
+    intervals via gaps-and-islands — one user_id-keyed shuffle drives
+    the change-flag window, the run aggregate, and the valid_to lead.
+    The oracle replays the identical construction in window SQL."""
+    events = load_table(spark, sf_dir, "events")
+    return temporal.scd2_intervals(events)

@@ -927,3 +927,44 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("n_chars_sym").cast("double")
                          / safe(F.sum("n_pieces")), 6)
                  .alias("chars_per_piece")))
+
+
+ZIPF_TOPN = 100
+
+
+@register("zipf_slope_by_source", _T_CTE + f""",
+wcts AS (
+    SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT source, unnest(toks) AS tok FROM t)
+    GROUP BY source, tok),
+rk AS (
+    SELECT source, ln(CAST(rank AS DOUBLE)) AS x,
+           ln(CAST(freq AS DOUBLE)) AS y
+    FROM (SELECT source, freq,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY freq DESC, tok) AS rank
+          FROM wcts)
+    WHERE rank <= {ZIPF_TOPN}),
+s AS (
+    SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+    FROM rk GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n_words,
+       round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6)
+           AS slope,
+       round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) * sx)
+             / n, 6) AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6)
+           AS r2
+FROM s
+""")
+def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law OLS fit per source over the top-{ZIPF_TOPN} word
+    frequencies (operators/textstats.zipf_fit_by_source) — slope near -1
+    marks natural language; the corpus-naturalness screen of a
+    training-data audit.  The oracle mirrors the five OLS sums and the
+    closed forms term for term."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.zipf_fit_by_source(docs, ZIPF_TOPN)
