@@ -810,3 +810,52 @@ def gopher_rule_filter(docs: DataFrame, source_col: str = "source",
     aggs += [F.sum((~F.col(f"r_{name}")).cast("long")).cast("long")
              .alias(f"fail_{name}") for name, _ in flags]
     return flagged.groupBy("source").agg(*aggs)
+
+
+HASH_FEAT_DIM = 4096
+HASH_FEAT_MULT = 2_654_435_761        # Knuth multiplicative constant
+HASH_FEAT_MOD = 2_000_001             # weight numerators in [-1e6, 1e6]
+
+
+def hashed_ngram_scores(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """fastText-style hashed linear classifier INFERENCE (Joulin et al.
+    2017): features are word unigrams + bigrams bucketed into
+    ``HASH_FEAT_DIM`` hash slots; each slot's weight derives from the
+    slot id by exact integer arithmetic (md5 → bucket → Knuth multiply →
+    mod), standing in for a trained weight vector while keeping the
+    whole pipeline hash-gateable.  Score = mean slot weight; quality
+    probability = sigmoid(score).
+
+    -> (doc_id, n_feats, score, prob, keep).
+
+    Scale shape: the entire computation is IN-ROW — gram construction,
+    hashing, and the weight sum are array expressions inside one
+    map-only projection; no explode, no shuffle, nothing but the scan.
+    The weight sum accumulates exact BIGINT numerators (order-free), so
+    only the final sigmoid touches floating point."""
+    toks = tokens(F.col(text_col))
+    # zip_with against the 1-shifted array, then drop the null-padded
+    # tail: safe for 0/1-token docs (Spark's sequence(1, 0) counts DOWN
+    # instead of returning empty, so the sequence formulation isn't).
+    pairs = F.zip_with(
+        toks, F.slice(toks, 2, F.greatest(F.size(toks), F.lit(1))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+    bi = F.transform(F.filter(pairs, lambda s: s["b"].isNotNull()),
+                     lambda s: F.concat_ws(" ", s["a"], s["b"]))
+    grams = F.concat(toks, bi)
+    wnum = F.transform(
+        grams,
+        lambda g: (F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+                   .cast("long") % HASH_FEAT_DIM * HASH_FEAT_MULT)
+        % HASH_FEAT_MOD - (HASH_FEAT_MOD - 1) // 2)
+    ssum = F.aggregate(wnum, F.lit(0).cast("long"), lambda a, x: a + x)
+    n = F.size(grams)
+    score = (ssum.cast("double") / ((HASH_FEAT_MOD - 1) // 2)
+             / F.nullif(n.cast("double"), F.lit(0.0)))
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_feats"),
+        F.round(score, 6).alias("score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6).alias("prob"),
+        F.coalesce(score > 0, F.lit(False)).alias("keep"))

@@ -151,3 +151,32 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
                 .groupBy("node")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
     return per_node
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Bounded-round k-core peeling over undirected edges (u < v) ->
+    (node, deg): ``rounds`` synchronous peel iterations — each drops
+    every node whose current degree is < ``k`` together with its edges —
+    then the residual per-node degree.  With enough rounds this is the
+    exact k-core; the FIXED round count keeps the result deterministic
+    and lets the oracle unroll the peeling as CTEs (the same contract as
+    the PageRank fixpoint).
+
+    Scale shape: per round one degree aggregate plus two semi-joins of
+    the edge list against the (node-cardinality, therefore broadcast-
+    sized) survivor set — the edge list shuffles on its endpoints only;
+    no per-node driver work, no collect.  The bidirected frame is
+    localCheckpoint-ed once so each round's three consumers don't
+    replay the upstream edge construction."""
+    e = edges.select("u", "v")
+    bi = (e.unionByName(e.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
+          .localCheckpoint())
+    for _ in range(rounds):
+        deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        bi = (bi.join(keep, "u")
+              .join(keep.select(F.col("u").alias("v")), "v")
+              .select("u", "v"))
+    return (bi.groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("deg")))

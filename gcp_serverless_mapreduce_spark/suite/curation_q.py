@@ -845,3 +845,47 @@ def gopher_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression, so the battery rides the scan at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.gopher_rule_filter(docs)
+
+
+_HF_DIM = curation.HASH_FEAT_DIM
+_HF_MULT = curation.HASH_FEAT_MULT
+_HF_MOD = curation.HASH_FEAT_MOD
+_HF_HALF = (curation.HASH_FEAT_MOD - 1) // 2
+
+
+@register("hashed_ngram_quality_scores", f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+    SELECT doc_id,
+           list_concat(
+               toks,
+               list_transform(generate_series(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i + 1]))
+               AS grams
+    FROM t),
+s AS (
+    SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_feats,
+           CAST(list_sum(list_transform(grams,
+               gr -> CAST(('0x' || substr(md5(gr), 1, 8)) AS BIGINT)
+                     % {_HF_DIM} * {_HF_MULT} % {_HF_MOD} - {_HF_HALF}))
+                AS DOUBLE) AS ssum
+    FROM g)
+SELECT doc_id, n_feats,
+       round(ssum / {_HF_HALF} / nullif(CAST(n_feats AS DOUBLE), 0), 6)
+           AS score,
+       round(1.0 / (1.0 + exp(-(ssum / {_HF_HALF}
+             / nullif(CAST(n_feats AS DOUBLE), 0)))), 6) AS prob,
+       COALESCE(ssum / {_HF_HALF} / nullif(CAST(n_feats AS DOUBLE), 0)
+                > 0, FALSE) AS keep
+FROM s
+""")
+def hashed_ngram_quality_scores(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """fastText-style hashed-n-gram classifier inference
+    (operators/curation.hashed_ngram_scores): unigram+bigram features
+    bucketed into {_HF_DIM} hash slots, exact-integer slot weights,
+    sigmoid score — entirely in-row expressions, zero shuffles.  The
+    oracle replays the md5 bucket and Knuth-multiply weight arithmetic
+    integer for integer."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.hashed_ngram_scores(docs)

@@ -91,7 +91,10 @@ TRI_PMI_MIN = 0.0    # keep positively-associated pairs as edges
 TRI_PAIR_MIN = 5     # same support floor as word_cooccurrence_pmi
 
 
-@register("pmi_graph_triangles", _T_CTE + f""",
+# The tokenize → co-occurrence counts → PMI threshold → canonical
+# undirected edge list, shared verbatim by the triangle and k-core
+# oracles (mirrors textstats.cooccurrence_pmi + graph.undirect).
+_PMI_EDGES_CTE = _T_CTE + f""",
 idx1 AS (SELECT toks AS tk, unnest(generate_series(1, len(toks) - 1)) AS i
          FROM t),
 p1 AS (SELECT tk[i] AS word_a, tk[i + 1] AS word_b FROM idx1),
@@ -116,7 +119,10 @@ pmi AS (
 e AS (
     SELECT DISTINCT least(word_a, word_b) AS u,
                     greatest(word_a, word_b) AS v
-    FROM pmi WHERE pmi >= {TRI_PMI_MIN!r} AND word_a <> word_b),
+    FROM pmi WHERE pmi >= {TRI_PMI_MIN!r} AND word_a <> word_b)"""
+
+
+@register("pmi_graph_triangles", _PMI_EDGES_CTE + """,
 w AS (
     SELECT e1.u AS x, e1.v AS y, e2.v AS z
     FROM e e1 JOIN e e2 ON e1.v = e2.u),
@@ -139,3 +145,38 @@ def pmi_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = graph.undirect(
         pmi.where(F.col("pmi") >= TRI_PMI_MIN))
     return graph.triangle_counts(edges)
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 4
+
+_KC_ROUND = """,
+d{i} AS (SELECT u, COUNT(*) AS deg FROM e{prev} GROUP BY u),
+k{i} AS (SELECT u FROM d{i} WHERE deg >= {k}),
+e{i} AS (SELECT e{prev}.u, e{prev}.v FROM e{prev}
+         JOIN k{i} a ON a.u = e{prev}.u
+         JOIN k{i} b ON b.u = e{prev}.v)"""
+
+_KC_SQL = (_PMI_EDGES_CTE + """,
+e0 AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)"""
+           + "".join(_KC_ROUND.format(i=i, prev=i - 1, k=KCORE_K)
+                     for i in range(1, KCORE_ROUNDS + 1))
+           + f"""
+SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+FROM e{KCORE_ROUNDS} GROUP BY u
+""")
+
+
+@register("kcore_pmi_words", _KC_SQL)
+def kcore_pmi_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_ROUNDS}-round k-core peeling (k={KCORE_K}) over the same
+    PMI word-association graph as the triangle query — the
+    dense-community extraction a corpus-graph audit runs (k-core is the
+    standard cheap community-density screen before clustering).
+    Spark side (operators/graph.kcore_peel): per round one degree
+    aggregate + two survivor semi-joins over a once-checkpointed
+    bidirected edge list; the oracle unrolls the peeling as CTEs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pmi = textstats.cooccurrence_pmi(docs, PMI_MAX_GAP, PMI_MIN_COUNT)
+    edges = graph.undirect(pmi.where(F.col("pmi") >= TRI_PMI_MIN))
+    return graph.kcore_peel(edges, KCORE_K, KCORE_ROUNDS)
