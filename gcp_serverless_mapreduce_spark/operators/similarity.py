@@ -1115,3 +1115,112 @@ def contrastive_negatives(emb: DataFrame, pool: int = NEG_POOL,
             .withColumn("neg_rank", F.row_number().over(w).cast("long"))
             .where(F.col("neg_rank") <= k)
             .select("vec_id", "neg_rank", "neg_id", "neg_label"))
+
+
+def matryoshka_recall(emb: DataFrame, k: int, num_queries: int,
+                      trunc_dim: int, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Matryoshka-representation ablation (Kusupati et al. 2022): how
+    much cosine-top-k recall survives truncating every embedding to its
+    first ``trunc_dim`` dimensions — the eval that decides whether a
+    100 TB vector corpus can run its first-stage retrieval on prefix
+    dims (storage/bandwidth ÷ dim ratio) and re-rank on full vectors.
+
+    -> (query_id, n_hits, recall_at_k) per probe query: ground truth =
+    full-dim exact top-k, candidate = truncated-dim exact top-k over
+    re-normalized prefixes (zero-norm prefixes drop, mirroring the
+    full-dim zero-vector rule).  Both sides reuse the brute-force plan
+    (broadcast query panel, corpus streams once each)."""
+    exact = (brute_force_topk(emb, k, num_queries, id_col)
+             .select("query_id", "neighbor_id"))
+    trunc = emb.select(F.col(id_col),
+                       F.slice(F.col(vec_col), 1, trunc_dim).alias(vec_col))
+    ann = (brute_force_topk(trunc, k, num_queries, id_col)
+           .select("query_id", "neighbor_id", F.lit(1).alias("_hit")))
+    return (
+        exact.join(F.broadcast(ann), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_hit").cast("long").alias("n_hits"),
+             F.round(F.count("_hit") / k, 6).alias("recall_at_k"))
+    )
+
+
+def ivf_pq_topk(emb: DataFrame, k: int, centers: list[list[float]],
+                codebooks: list[list[list[float]]], n_probe: int,
+                num_queries: int, m_rerank: int,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ with exact re-rank — the production ANN index shape
+    (FAISS IVFPQ / DiskANN first stage): coarse quantizer routes each
+    corpus vector to its HOME cell and each query to its ``n_probe``
+    nearest cells; inside probed cells candidates rank by the PQ
+    asymmetric-distance lookup sum over 8-byte codes; the best
+    ``m_rerank`` per query re-rank EXACTLY on their raw vectors for the
+    final top-``k``.
+
+    -> (query_id, neighbor_id, rank, sim).
+
+    100 TB shape: the corpus side carries (home cell, codes) only —
+    32× smaller than raw vectors — and shuffles once on the cell id;
+    the exact re-rank touches raw vectors for just |Q|·m_rerank rows
+    via a broadcast shortlist join (the "fetch the shortlist's full
+    vectors" I/O pattern of a disk-resident index).  Every stage
+    reuses the audited fold kernels, so the whole composition is
+    hash-gated against the oracle's CTE unroll."""
+    import numpy as np
+
+    n_sub, n_codes = len(codebooks), len(codebooks[0])
+    units = (unit_vectors(emb, vec_col)
+             .filter(F.col("unit").isNotNull())
+             .select(F.col(id_col), "unit",
+                     F.col(vec_col).cast("array<double>").alias("arr"))
+             .repartition(F.col(id_col)))  # materialization barrier
+    probe = _probe_cells_udf(centers, n_probe)
+    base = units.withColumn("cells", probe("arr"))
+    corpus = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at("cells", 1).alias("cell"),
+        pq_encode_udf(codebooks)(F.col("unit")).alias("codes"))
+    queries = (base.filter(F.col(id_col) < num_queries)
+               .select(F.col(id_col).alias("query_id"),
+                       F.explode("cells").alias("cell"),
+                       pq_adc_table_udf(codebooks)(F.col("unit"))
+                       .alias("qtab")))
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc + F.element_at(
+            F.col("qtab"),
+            (m * n_codes + F.element_at(F.col("codes"), m + 1) + 1)
+            .cast("int")),
+    )
+    cand = (F.broadcast(queries).join(corpus, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", adist.alias("adist")))
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc())
+    short = (cand.withColumn("arank", F.row_number().over(wa))
+             .filter(F.col("arank") <= m_rerank)
+             .select("query_id", "neighbor_id"))
+
+    @pandas_udf("double")
+    def pair_dot(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        if not len(qv):
+            return pd.Series(dtype="float64")
+        Q, C = np.vstack(qv.to_numpy()), np.vstack(cv.to_numpy())
+        acc = np.zeros(len(Q))
+        for i in range(Q.shape[1]):    # fold order = the oracle's
+            acc += Q[:, i] * C[:, i]
+        return pd.Series(acc)
+
+    qu = units.select(F.col(id_col).alias("query_id"),
+                      F.col("unit").alias("qu"))
+    cu = units.select(F.col(id_col).alias("neighbor_id"),
+                      F.col("unit").alias("cu"))
+    rer = (F.broadcast(short)
+           .join(qu, "query_id").join(cu, "neighbor_id")
+           .select("query_id", "neighbor_id",
+                   pair_dot(F.col("qu"), F.col("cu")).alias("sim")))
+    return (topk_per_query(rer, k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("sim", 4).alias("sim")))

@@ -797,3 +797,55 @@ def dup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cluster_id", F.col("doc_id").alias("rep_doc_id"),
                     F.col("n_members").cast("long").alias("n_members"),
                     F.col("n_uniq_tokens").alias("rep_uniq_tokens")))
+
+
+@register("soft_dedup_weights", "WITH RECURSIVE "
+          + _PAIRS_CTE.lstrip().removeprefix("WITH ") + _CC_CTE + """,
+clusters AS (SELECT doc AS doc_id, MIN(r) AS cluster_id
+             FROM reach GROUP BY doc),
+labeled AS (
+    SELECT d.doc_id, d.source, d.n_chars,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN clusters c USING (doc_id)),
+cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csize
+       FROM labeled GROUP BY cluster_id)
+SELECT l.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE csize > 1) AS BIGINT)
+           AS n_in_dup_clusters,
+       round(SUM(1.0 / csize), 6) AS effective_docs,
+       round(SUM(CAST(n_chars AS DOUBLE) / csize), 4) AS effective_chars
+FROM labeled l JOIN cs USING (cluster_id)
+GROUP BY l.source
+""")
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (SoftDeDup, She et al. 2024): instead of
+    DROPPING near-duplicates, every document gets sampling weight
+    1/|its near-dup cluster| — duplicates down-weight rather than
+    vanish.  Per source: raw vs effective (weight-summed) corpus size
+    in docs and chars, plus how many docs sit in multi-doc clusters.
+    Same LSH-candidate + pointer-doubling cluster frame as
+    dedup_resolution_by_source; the weight join adds one
+    cluster-id-keyed size aggregate (cluster-bounded groups, never
+    corpus-wide)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, NUM_PERM)
+    pairs = dedup.lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND,
+                                      max_bucket=MAX_BUCKET)
+    clusters = dedup.dup_clusters(pairs)
+    labeled = (docs.select("doc_id", "source", "n_chars")
+               .join(clusters, "doc_id", "left")
+               .withColumn("cluster_id",
+                           F.coalesce("cluster_id", "doc_id")))
+    cs = (labeled.groupBy("cluster_id")
+          .agg(F.count(F.lit(1)).cast("long").alias("csize")))
+    return (labeled.join(cs, "cluster_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum((F.col("csize") > 1).cast("long")).cast("long")
+                 .alias("n_in_dup_clusters"),
+                 F.round(F.sum(F.lit(1.0) / F.col("csize")), 6)
+                 .alias("effective_docs"),
+                 F.round(F.sum(F.col("n_chars").cast("double")
+                               / F.col("csize")), 4)
+                 .alias("effective_chars")))

@@ -698,3 +698,103 @@ def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_agree")
                             / F.col("n_neighbors").cast("double"), 6))
     )
+
+
+MRL_DIM = 16
+
+_MRL_PAIR_DOT = _fold_sum(
+    f"list_transform(generate_series(1, {MRL_DIM}), "
+    "i -> a.u[i] * b.u[i])")
+
+
+@register("matryoshka_recall_eval", _UNIT_CTE + f""",
+te AS (SELECT vec_id, list_slice(v, 1, {MRL_DIM}) AS v FROM e),
+tn AS (SELECT vec_id, v, {_NORM} AS nrm FROM te),
+tu AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+       FROM tn WHERE nrm <> 0),
+exact AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_PAIR_DOT} DESC, b.vec_id) AS rank
+    FROM u a JOIN u b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < {NUM_QUERIES}
+    QUALIFY rank <= {K}),
+ann AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_MRL_PAIR_DOT} DESC, b.vec_id)
+               AS rank
+    FROM tu a JOIN tu b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < {NUM_QUERIES}
+    QUALIFY rank <= {K})
+SELECT e.query_id,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+       round(COUNT(a.neighbor_id) / {K}.0, 6) AS recall_at_k
+FROM exact e LEFT JOIN ann a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+""")
+def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka dimension-truncation ablation (Kusupati et al. 2022):
+    recall@{K} of exact cosine top-k over the first {MRL_DIM} of {DIM}
+    dims vs the full-dim ground truth, per probe query
+    (operators/similarity.matryoshka_recall) — the eval behind running
+    first-stage retrieval on prefix dims at a fraction of the scan
+    bytes.  Both sides reuse the brute-force broadcast plan; truncated
+    prefixes re-normalize (zero prefixes drop, mirrored in the
+    oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.matryoshka_recall(emb, K, NUM_QUERIES, MRL_DIM)
+
+
+IVFPQ_RERANK = 3 * K
+
+
+@register("ivf_pq_topk", _UNIT_CTE + f""",
+c AS (SELECT unnest(generate_series(0, {N_CELLS - 1})) AS cell),
+sc AS (SELECT vec_id, v, u.u AS u, c.cell AS cell, {_SCORE_CASE} AS score
+       FROM u CROSS JOIN c),
+pr AS (SELECT vec_id, u, cell,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY score, cell) AS pr
+       FROM sc QUALIFY pr <= {N_PROBE}),
+home AS (SELECT vec_id, u, cell FROM pr WHERE pr = 1)""" + _PQ_CTE + f""",
+qt AS (SELECT u.vec_id AS query_id, cb.m, cb.c, {_PQ_SCORE} AS val
+       FROM u CROSS JOIN cb WHERE u.vec_id < {NUM_QUERIES}),
+cand AS (
+    SELECT p.vec_id AS query_id, h.vec_id AS neighbor_id
+    FROM pr p JOIN home h ON p.cell = h.cell AND p.vec_id <> h.vec_id
+    WHERE p.vec_id < {NUM_QUERIES}),
+ad AS (
+    SELECT cd.query_id, cd.neighbor_id,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                    list(qt.val ORDER BY qt.m)),
+                       (acc, x) -> acc + x) AS adist
+    FROM cand cd JOIN co ON co.vec_id = cd.neighbor_id
+                 JOIN qt ON qt.query_id = cd.query_id
+                        AND qt.m = co.m AND qt.c = co.code
+    GROUP BY cd.query_id, cd.neighbor_id),
+sh AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adist, neighbor_id) AS arank
+    FROM ad QUALIFY arank <= {IVFPQ_RERANK})
+SELECT s.query_id, s.neighbor_id,
+       row_number() OVER (PARTITION BY s.query_id
+                          ORDER BY {_PAIR_DOT} DESC, s.neighbor_id) AS rank,
+       round({_PAIR_DOT}, 4) AS sim
+FROM sh s JOIN u a ON a.vec_id = s.query_id
+          JOIN u b ON b.vec_id = s.neighbor_id
+QUALIFY rank <= {K}
+""")
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact re-rank (operators/similarity.ivf_pq_topk) —
+    the production ANN composition: {N_CELLS}-cell coarse quantizer
+    (probe {N_PROBE}) routes the scan, {M_SUB}x{PQ_CODES} PQ codes rank
+    candidates by ADC lookup sums, and the best {IVFPQ_RERANK} per
+    query re-rank exactly on raw vectors for the top-{K}.  Corpus
+    shuffles once as (cell, 8-byte codes); raw vectors are touched only
+    for the broadcast shortlist."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(emb, K, CENTROIDS, PQ_BOOKS,
+                                  N_PROBE, NUM_QUERIES, IVFPQ_RERANK)
