@@ -40,79 +40,28 @@ from . import sketch_q  # noqa: F401, E402
 from . import linkage_q  # noqa: F401, E402
 from . import profiling_q  # noqa: F401, E402
 
-# Round-7 window head (the driver checks the FIRST ~50 registered).
+# Round-8 window head (the driver checks the FIRST ~50 registered).
 # Priority order:
-# 1) the six queries NEW this round (never driver-checked);
-# 2) the ATTESTATION-FRESHNESS rotation the round-6 verdict asked for:
-#    the 43 queries last driver-checked in r2/r3 (before the r5/r6
-#    refactors of shared helpers), oldest first — after r7 the maximum
-#    attestation age of any query drops to 3 rounds;
-# 3) the queries whose code changed THIS round, riskiest first (the
-#    format-roundtrip trio at the tail changed only its scratch path).
+# 1) the eight queries NEW this round (never driver-checked);
+# 2) the nine round-7-continuation queries the r7 window could not fit
+#    (builder-parity-green at both scales, never driver-attested);
+# 3) the two queries whose SEMANTICS changed this round
+#    (unimax epochs nullif guard; exact-span rolling-hash rewrite);
+# 4) attestation-freshness rotation, oldest first: the 3 queries last
+#    driver-checked in r3, then 28 of the 44 r4-era queries (the TPC-H
+#    q-series + window/agg block that shares the most refactored
+#    helpers; the remaining 16 lead round 9).
 promote([
-    # -- new this round (6) --
-    "knn_label_consistency",
-    "dup_cluster_representatives",
-    "bpe_fertility_by_lang",
-    "value_outliers_mad",
-    "unimax_language_budget",
-    "table_quality_audit",
-    # -- last driver-checked in round 2 (8) --
-    "customers_with_big_orders",
-    "customers_without_orders",
-    "distinct_status_priority",
-    "order_fill_stats",
-    "orders_per_nation",
-    "q3_top_unshipped_orders",
-    "q5_supplier_volume_by_nation",
-    "window_running_spend",
-    # -- last driver-checked in round 3 (32 of 35; the three behind
-    #    the window rotate to round 8's head) --
-    "audio_decode_roundtrip",
-    "clean_text_stats",
-    "corpus_prep_pipeline",
-    "cosine_topk_bruteforce",
-    "doc_fingerprints",
-    "doc_quality_scores",
-    "docs_per_word_salted",
-    "embedding_near_dup_pairs",
-    "events_json_stats",
-    "image_decode_roundtrip",
-    "ivf_fixed_cells_topk",
-    "language_confusion",
-    "language_id",
-    "language_id_chargram",
-    "media_decode_features",
-    "minhash_lsh_candidates",
-    "minhash_signatures",
-    "multimodal_feature_table",
-    "multires_event_rollup",
-    "q16_parts_supplier_relationship",
-    "q20_excess_shipments_suppliers",
-    "q21_suppliers_kept_orders_waiting",
-    "repetition_quality_filter",
-    "simhash_fingerprints",
-    "simhash_near_dups",
-    "sq8_ann_topk",
-    "srp_ann_topk",
-    "srp_bucket_stats",
-    "stratified_sample_by_lang",
-    "stream_distinct_user_event_pairs",
-    "tfidf_top_terms",
-    "token_count_by_source",
-    # -- changed this round: fresh green needed; all four semantics-
-    #    changed queries sit inside the 50-query window (6 new + 8 r2
-    #    + 32 r3 + these 4 = 50 exactly) --
-    "ivf_ann_topk",            # Lloyd now trains on the 1-in-4 hash-sample
-    "bpe_learn_merges",        # keep rule extended with concat clauses
-    "max_shared_span_pairs",   # exact per-pair span refinement
-    "events_parquet_schema_evolution",  # props sentinel parity changed
-    # -- behind the window: first the six queries added in the round-7
-    #    continuation (builder-parity-green at sf0.001+sf0.01 this
-    #    round; they lead round 8's window for driver attestation —
-    #    the 50 slots above are reserved for the verdict's stale-
-    #    rotation plan), then r3 stragglers + scratch-path-only
-    #    changes --
+    # -- new this round (8) --
+    "scd2_user_event_state",
+    "zipf_slope_by_source",
+    "gopher_rule_filter",
+    "hashed_ngram_quality_scores",
+    "kcore_pmi_words",
+    "matryoshka_recall_eval",
+    "ivf_pq_topk",
+    "soft_dedup_weights",
+    # -- round-7 continuation, never driver-attested (9) --
     "hll_distinct_users",
     "hll_merge_equivalence",
     "hll_hourly_rollup_daily",
@@ -122,12 +71,51 @@ promote([
     "source_boilerplate_prefix",
     "bloom_semijoin_reduction",
     "neyman_allocation_sample",
-    "video_decode_roundtrip",
+    # -- semantics changed this round (2) --
+    "unimax_language_budget",
+    "max_shared_span_pairs",
+    # -- last driver-checked in round 3 (3) --
     "word_bigram_freq_udtf",
     "word_commonness_by_source_salted",
-    "events_json_roundtrip_fingerprint",   # per-session scratch path only
-    "events_csv_roundtrip_fingerprint",
-    "events_orc_roundtrip_fingerprint",
+    "video_decode_roundtrip",
+    # -- last driver-checked in round 4 (28 of 44) --
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q4_order_priority_check",
+    "q6_revenue_forecast",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_item_revenue",
+    "q11_part_value_concentration",
+    "q12_priority_line_counts",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_order_customers",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    "having_orders_per_customer",
+    "rollup_lineitem_status",
+    "cube_orders_status_priority",
+    "grouping_sets_order_stats",
+    "window_top3_orders_per_customer",
+    "window_trailing_7d_spend",
+    "ntile_customer_value_quartiles",
+    "udaf_geomean_by_status",
+    "pivot_priority_by_status",
+    "setops_customer_segments",
+    "hot_key_join_aqe",
+    # -- behind the window: the 16 remaining r4-era queries lead
+    #    round 9 (orders_by_month, part_string_functions,
+    #    top20_lineitems_by_price, bucket_histogram,
+    #    price_quantiles_by_flag, daily_orders_gapfilled,
+    #    locf_hourly_event_values, media_feature_summary,
+    #    video_frame_samples, image_resize_plan,
+    #    asof_click_before_purchase, pii_redaction_stats,
+    #    chunk_dedup_docs, ngram_contamination, pq_code_stats,
+    #    pq_adc_topk), then the r5 block.
 ])
 
 # Re-export the flagship for __spark_entry__.entry
