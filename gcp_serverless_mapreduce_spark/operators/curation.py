@@ -859,3 +859,16 @@ def hashed_ngram_scores(docs: DataFrame, id_col: str = "doc_id",
         F.round(score, 6).alias("score"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6).alias("prob"),
         F.coalesce(score > 0, F.lit(False)).alias("keep"))
+
+
+def normalize_text(col: Column) -> Column:
+    """Dedup-robust canonical form: lowercase, digits folded to '0',
+    every other non-[a-z0 space] char to space, whitespace collapsed,
+    trimmed — the normalize-then-hash canonicalization web-scale dedup
+    applies before exact fingerprinting so that case/punctuation/number
+    jitter can't hide an otherwise verbatim copy (same character classes
+    in Java regex and DuckDB RE2)."""
+    x = F.lower(col)
+    x = F.regexp_replace(x, "[0-9]", "0")
+    x = F.regexp_replace(x, "[^a-z0 ]", " ")
+    return F.trim(F.regexp_replace(x, " +", " "))

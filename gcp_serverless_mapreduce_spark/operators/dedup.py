@@ -777,3 +777,68 @@ def max_shared_span_exact(docs: DataFrame, ns: tuple[int, ...] = SPAN_NS,
         .select("doc_a", "doc_b",
                 exact_span("ta", "tb", "max_span").alias("max_span"))
     )
+
+
+def incremental_dedup(docs: DataFrame, mod: int = 3, num_perm: int = 8,
+                      bands: int = 4, rows_per_band: int = 2,
+                      max_bucket: int | None = None,
+                      doc_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Incremental-ingest dedup: screen a NEW batch (``doc_id % mod ==
+    0`` stands in for "this ingest") against the EXISTING corpus without
+    ever re-deduplicating the old side — the steady-state shape of a
+    production pipeline, where each day's crawl checks against an index
+    of fingerprints rather than joining the full history against itself.
+
+    -> (doc_id, exact_dup, n_near_partners, is_dup) for every new doc:
+    ``exact_dup`` = content md5 seen in the old corpus;
+    ``n_near_partners`` = distinct old docs sharing >= 1 LSH band.
+
+    Scale shape: the exact probe joins on the 128-bit content hash (at
+    deployment the old side is the stored fingerprint index, not a
+    rescan); the near probe shuffles band rows on (band, band_hash) with
+    the old side of each bucket capped at ``max_bucket`` (hot
+    boilerplate buckets stay O(new·cap)).  Old-side text is read once to
+    build fingerprints; the quadratic old×old join never happens."""
+    is_new = F.col(doc_col) % mod == 0
+    new_h = (docs.filter(is_new)
+             .select(F.col(doc_col), F.md5(F.col(text_col)).alias("h")))
+    old_h = (docs.filter(~is_new)
+             .select(F.md5(F.col(text_col)).alias("h")).distinct()
+             .withColumn("_seen", F.lit(1)))
+    exact = (new_h.join(old_h, "h", "left")
+             .select(F.col(doc_col),
+                     F.col("_seen").isNotNull().alias("exact_dup")))
+
+    sig = minhash_signatures(docs, num_perm, doc_col=doc_col,
+                             text_col=text_col)
+    band_cols = F.array(*[
+        F.md5(F.concat_ws("|", *[
+            F.col(f"mh_{b * rows_per_band + r}")
+            for r in range(rows_per_band)]))
+        for b in range(bands)
+    ])
+    banded = sig.select("doc",
+                        F.posexplode(band_cols).alias("band", "band_hash"))
+    nb = banded.filter(F.col("doc") % mod == 0)
+    ob = banded.filter(F.col("doc") % mod != 0)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("band", "band_hash").orderBy("doc")
+        ob = (ob.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= max_bucket).drop("_rn"))
+    near = (nb.alias("n")
+            .join(ob.alias("o"),
+                  (F.col("n.band") == F.col("o.band"))
+                  & (F.col("n.band_hash") == F.col("o.band_hash")))
+            .groupBy(F.col("n.doc").alias(doc_col))
+            .agg(F.countDistinct(F.col("o.doc")).cast("long")
+                 .alias("n_near_partners")))
+    return (exact.join(near, doc_col, "left")
+            .select(F.col(doc_col),
+                    "exact_dup",
+                    F.coalesce("n_near_partners", F.lit(0)).cast("long")
+                    .alias("n_near_partners"),
+                    (F.col("exact_dup")
+                     | (F.coalesce("n_near_partners", F.lit(0)) > 0))
+                    .alias("is_dup")))

@@ -889,3 +889,71 @@ def hashed_ngram_quality_scores(spark: SparkSession,
     integer for integer."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.hashed_ngram_scores(docs)
+
+
+NORM_TWIN_MOD = 7
+
+# Deterministic near-verbatim twins: every NORM_TWIN_MOD-th doc gets a
+# copy that differs only by case + trailing punctuation — invisible to
+# raw exact dedup, collapsed by the normalize-then-hash pass, so the
+# lift the query measures is real on the synthetic fixture.
+_NORM_AUG = f"""
+a AS (
+    SELECT doc_id, source, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, source,
+           upper(text) || ' !!!' AS text
+    FROM documents WHERE doc_id % {NORM_TWIN_MOD} = 0)
+"""
+
+_NORM_SQL = ("trim(regexp_replace(regexp_replace(regexp_replace("
+             "lower(text), '[0-9]', '0', 'g'), '[^a-z0 ]', ' ', 'g'),"
+             " ' +', ' ', 'g'))")
+
+
+@register("normalization_dedup_lift", f"""
+WITH {_NORM_AUG},
+rg AS (SELECT md5(text) AS h, COUNT(*) AS c FROM a GROUP BY md5(text)),
+ng AS (SELECT md5({_NORM_SQL}) AS h, COUNT(*) AS c FROM a
+       GROUP BY md5({_NORM_SQL}))
+SELECT a.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE rg.c > 1) AS BIGINT) AS n_raw_dup_docs,
+       CAST(COUNT(*) FILTER (WHERE ng.c > 1) AS BIGINT)
+           AS n_norm_dup_docs,
+       CAST(COUNT(*) FILTER (WHERE ng.c > 1) AS BIGINT)
+           - CAST(COUNT(*) FILTER (WHERE rg.c > 1) AS BIGINT)
+           AS norm_lift
+FROM a JOIN rg ON rg.h = md5(a.text)
+       JOIN ng ON ng.h = md5({_NORM_SQL})
+GROUP BY a.source
+""")
+def normalization_dedup_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many exact duplicates does normalize-then-hash surface that
+    raw hashing misses (operators/curation.normalize_text)?  Per source:
+    docs in raw vs normalized exact-dup groups and the lift, over a
+    corpus with deterministic case/punctuation twins injected (the same
+    synthetic-augmentation trick as pii_redaction_stats).  Two hash
+    aggregates + two hash joins, all keyed on 128-bit content hashes —
+    uniform keys, no skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.select("doc_id", "source", "text").unionByName(
+        docs.filter(did % NORM_TWIN_MOD == 0)
+        .select((did + 1_000_000).alias("doc_id"), F.col("source"),
+                F.concat(F.upper("text"), F.lit(" !!!")).alias("text")))
+    rawh = F.md5("text")
+    normh = F.md5(curation.normalize_text(F.col("text")))
+    framed = aug.select("source", rawh.alias("rh"), normh.alias("nh"))
+    rg = framed.groupBy("rh").agg(F.count(F.lit(1)).alias("rc"))
+    ng = framed.groupBy("nh").agg(F.count(F.lit(1)).alias("nc"))
+    return (framed.join(rg, "rh").join(ng, "nh")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum((F.col("rc") > 1).cast("long")).cast("long")
+                 .alias("n_raw_dup_docs"),
+                 F.sum((F.col("nc") > 1).cast("long")).cast("long")
+                 .alias("n_norm_dup_docs"),
+                 (F.sum((F.col("nc") > 1).cast("long"))
+                  - F.sum((F.col("rc") > 1).cast("long"))).cast("long")
+                 .alias("norm_lift")))

@@ -849,3 +849,41 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.col("n_chars").cast("double")
                                / F.col("csize")), 4)
                  .alias("effective_chars")))
+
+
+INC_MOD = 3
+
+
+@register("incremental_dedup_new_docs", _SIG_CTE + f""",
+bd AS ({_BANDED_SELECTS}),
+nb AS (SELECT doc, band, band_hash FROM bd WHERE doc % {INC_MOD} = 0),
+ob AS (SELECT doc, band, band_hash FROM bd WHERE doc % {INC_MOD} <> 0
+       QUALIFY row_number() OVER (PARTITION BY band, band_hash
+                                  ORDER BY doc) <= {MAX_BUCKET}),
+np AS (
+    SELECT nb.doc, CAST(COUNT(DISTINCT ob.doc) AS BIGINT)
+               AS n_near_partners
+    FROM nb JOIN ob ON nb.band = ob.band AND nb.band_hash = ob.band_hash
+    GROUP BY nb.doc),
+oh AS (SELECT DISTINCT md5(text) AS h FROM documents
+       WHERE doc_id % {INC_MOD} <> 0),
+ex AS (
+    SELECT d.doc_id, (oh.h IS NOT NULL) AS exact_dup
+    FROM (SELECT doc_id, md5(text) AS h FROM documents
+          WHERE doc_id % {INC_MOD} = 0) d
+    LEFT JOIN oh USING (h))
+SELECT e.doc_id, e.exact_dup,
+       COALESCE(np.n_near_partners, 0) AS n_near_partners,
+       e.exact_dup OR COALESCE(np.n_near_partners, 0) > 0 AS is_dup
+FROM ex e LEFT JOIN np ON np.doc = e.doc_id
+""")
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (operators/dedup.incremental_dedup):
+    the NEW batch (doc_id % {INC_MOD} = 0) screens against the EXISTING
+    corpus only — exact via content-md5 fingerprint probe, near via LSH
+    band collisions with the old side of each bucket capped at
+    {MAX_BUCKET} — the steady-state daily-crawl shape where the old×old
+    join never happens."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.incremental_dedup(docs, INC_MOD, NUM_PERM, BANDS,
+                                   ROWS_PER_BAND, max_bucket=MAX_BUCKET)

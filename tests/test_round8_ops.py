@@ -266,3 +266,47 @@ def test_ivf_pq_narrow_probe_is_subset_sized(spark):
     for r in out:
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
     assert all(c <= 5 for c in per_q.values())
+
+
+# ---- incremental dedup / normalization ------------------------------------
+
+def test_incremental_dedup_flags(spark):
+    from gcp_serverless_mapreduce_spark.operators import dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    near = base.replace("pi", "phi")          # 1-token change -> near-dup
+    rows = [
+        (1, base, "en", "s", 0),              # old
+        (3, base, "en", "s", 0),              # new: exact copy of old #1
+        (6, near, "en", "s", 0),              # new: near-dup of old #1
+        (9, "totally different words entirely unrelated content here "
+            "nothing shared with any other document in this corpus at "
+            "all whatsoever believe me", "en", "s", 0),  # new: unique
+        (2, "another old doc with its own words", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = {r["doc_id"]: r
+           for r in dedup.incremental_dedup(df, mod=3).collect()}
+    assert set(out) == {3, 6, 9}              # new docs only
+    assert out[3]["exact_dup"] and out[3]["is_dup"]
+    assert not out[6]["exact_dup"]
+    assert out[6]["n_near_partners"] >= 1 and out[6]["is_dup"]
+    assert not out[9]["exact_dup"] and not out[9]["is_dup"]
+
+
+def test_normalize_text_canonicalizes(spark):
+    from gcp_serverless_mapreduce_spark.operators import curation
+
+    pairs = [
+        ("Hello,  World!", "hello world"),
+        ("HELLO world !!!", "hello world"),
+        ("room 42\nfloor 7", "room 00 floor 0"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in pairs], "text string")
+    got = [r[0] for r in
+           df.select(curation.normalize_text(F.col("text"))).collect()]
+    assert got == [want for _, want in pairs]
