@@ -69,13 +69,19 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     same fixpoint unrolled as five CTEs."""
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
+    # distinct on the (int, int) key pair BEFORE the string rendering:
+    # the dedup exchange then shuffles 16 bytes/row instead of two
+    # variable-width strings, and the concat runs once per EDGE rather
+    # than once per lineitem row (same result set — the prefixed concat
+    # is injective on the key pair).
     e = (orders.join(lineitem,
                      orders["o_orderkey"] == lineitem["l_orderkey"])
+         .select("o_custkey", "l_suppkey")
+         .distinct()
          .select(F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
                  .alias("src"),
                  F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
-                 .alias("dst"))
-         .distinct())
+                 .alias("dst")))
     # NOT graph.bidirect(): the C-/S- prefixes make the two directions
     # disjoint, so the union of an already-distinct edge set needs no
     # second distinct — skipping it saves a full shuffle of the
