@@ -175,8 +175,13 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     for _ in range(rounds):
         deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("u")
+        # checkpoint every round, like dup_clusters: round r's frame has
+        # TWO consumers (next round's degree agg and its semi-joins), so
+        # a lazy loop re-derives the whole prefix per consumer — the
+        # 4-round plan carried 81 exchanges before, 11 after.
         bi = (bi.join(keep, "u")
               .join(keep.select(F.col("u").alias("v")), "v")
-              .select("u", "v"))
+              .select("u", "v")
+              .localCheckpoint(eager=False))
     return (bi.groupBy(F.col("u").alias("node"))
             .agg(F.count(F.lit(1)).cast("long").alias("deg")))
