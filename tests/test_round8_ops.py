@@ -310,3 +310,14 @@ def test_normalize_text_canonicalizes(spark):
     got = [r[0] for r in
            df.select(curation.normalize_text(F.col("text"))).collect()]
     assert got == [want for _, want in pairs]
+
+
+def test_gopher_rule_flags_per_doc(spark):
+    from gcp_serverless_mapreduce_spark.operators import curation
+
+    good = " ".join(["the quick brown fox jumps over that lazy dog and"] * 6)
+    df = spark.createDataFrame([(good,), ("the of and",)], "text string")
+    flags = curation.gopher_rule_flags()
+    out = df.select(*[c.alias(n) for n, c in flags]).collect()
+    assert all(out[0][n] for n, _ in flags)          # good doc: all pass
+    assert not out[1]["word_count"]                  # short doc fails length
