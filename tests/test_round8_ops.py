@@ -321,3 +321,44 @@ def test_gopher_rule_flags_per_doc(spark):
     out = df.select(*[c.alias(n) for n, c in flags]).collect()
     assert all(out[0][n] for n, _ in flags)          # good doc: all pass
     assert not out[1]["word_count"]                  # short doc fails length
+
+
+# ---- plan-shape pins for the round-8 scale claims --------------------------
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(plan: str) -> int:
+    import re
+    return len(re.findall(r"\bExchange (?:hash|range|Single)", plan))
+
+
+def test_hashed_ngram_scores_is_map_only(spark):
+    from gcp_serverless_mapreduce_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(curation.hashed_ngram_scores(docs))
+    # the docstring's claim IS the plan: no explode, no shuffle
+    assert _exchanges(plan) == 0, plan
+
+
+def test_gopher_rule_filter_single_shuffle(spark):
+    from gcp_serverless_mapreduce_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(curation.gopher_rule_filter(docs))
+    # map-only rule projection, ONE exchange for the source aggregate
+    assert _exchanges(plan) == 1, plan
+
+
+def test_scd2_single_shuffle(spark):
+    from gcp_serverless_mapreduce_spark.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    plan = _plan(temporal.scd2_intervals(ev))
+    # both windows and the run aggregate share the user_id partitioning
+    assert _exchanges(plan) == 1, plan
