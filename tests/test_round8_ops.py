@@ -362,3 +362,41 @@ def test_scd2_single_shuffle(spark):
     plan = _plan(temporal.scd2_intervals(ev))
     # both windows and the run aggregate share the user_id partitioning
     assert _exchanges(plan) == 1, plan
+
+
+def test_soft_dedup_effective_docs_equals_cluster_count(spark):
+    # sum over docs of 1/|cluster| = number of clusters: each cluster
+    # contributes exactly 1 regardless of its size, so the per-source
+    # effective sizes must total the distinct-cluster count.
+    from gcp_serverless_mapreduce_spark.suite.dedup_q import (
+        INC_MOD, MAX_BUCKET, NUM_PERM, BANDS, ROWS_PER_BAND,
+        soft_dedup_weights,
+    )
+    from gcp_serverless_mapreduce_spark.operators import dedup as dd
+    from gcp_serverless_mapreduce_spark.tables import load_table
+
+    out = soft_dedup_weights(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    sig = dd.minhash_signatures(docs, NUM_PERM)
+    pairs = dd.lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND,
+                                   max_bucket=MAX_BUCKET)
+    clustered = {r["doc_id"]: r["cluster_id"]
+                 for r in dd.dup_clusters(pairs).collect()}
+    n_docs = docs.count()
+    n_clusters = (n_docs - len(clustered)
+                  + len(set(clustered.values())))
+    assert abs(sum(r["effective_docs"] for r in out) - n_clusters) < 1e-3
+    assert sum(r["n_docs"] for r in out) == n_docs
+
+
+def test_incremental_dedup_covers_every_new_doc(spark):
+    from gcp_serverless_mapreduce_spark.suite.dedup_q import (
+        incremental_dedup_new_docs, INC_MOD,
+    )
+    from gcp_serverless_mapreduce_spark.tables import load_table
+
+    out = incremental_dedup_new_docs(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    want = {r["doc_id"] for r in docs.collect()
+            if r["doc_id"] % INC_MOD == 0}
+    assert {r["doc_id"] for r in out} == want
