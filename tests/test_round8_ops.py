@@ -400,3 +400,51 @@ def test_incremental_dedup_covers_every_new_doc(spark):
     want = {r["doc_id"] for r in docs.collect()
             if r["doc_id"] % INC_MOD == 0}
     assert {r["doc_id"] for r in out} == want
+
+
+def _py_scd2(rows):
+    # rows: (event_id, us, user_id, event_type); replay the exact
+    # gaps-and-islands semantics: order (us, event_id), runs of equal
+    # state, valid_to = next run's start
+    out = []
+    by_u: dict[int, list] = {}
+    for eid, us, uid, et in rows:
+        by_u.setdefault(uid, []).append((us, eid, et))
+    for uid, evs in by_u.items():
+        evs.sort()
+        runs = []
+        for us, eid, et in evs:
+            if runs and runs[-1][0] == et:
+                runs[-1][2] += 1
+            else:
+                runs.append([et, us, 1])
+        for i, (et, us, n) in enumerate(runs):
+            nxt = runs[i + 1][1] if i + 1 < len(runs) else None
+            out.append((uid, et, us, nxt, n, nxt is None))
+    return sorted(out, key=lambda r: (r[0], r[2], r[1]))
+
+
+def test_scd2_fuzz_vs_python(spark):
+    for trial in range(3):
+        rng = random.Random(0x5CD2 + trial)
+        rows = []
+        for uid in range(8):
+            t = 1_000_000
+            for _ in range(rng.randint(0, 40)):
+                # heavy tie pressure: 50% of steps add zero time
+                t += rng.choice([0, 0, 1, 1_000_000])
+                rows.append((len(rows), t, uid,
+                             rng.choice(["a", "b"])))
+        if not rows:
+            continue
+        ev = spark.createDataFrame(
+            [(e, u, uid, et, 0.0) for e, u, uid, et in rows],
+            "event_id long, us long, user_id long, event_type string, "
+            "value double").withColumn(
+            "ts", F.timestamp_micros("us")).drop("us")
+        got = sorted(
+            ((r["user_id"], r["state"], r["valid_from_us"],
+              r["valid_to_us"], r["n_events"], r["is_current"])
+             for r in temporal.scd2_intervals(ev).collect()),
+            key=lambda r: (r[0], r[2], r[1]))
+        assert got == _py_scd2(rows), trial
