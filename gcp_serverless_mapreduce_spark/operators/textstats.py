@@ -401,3 +401,57 @@ def zipf_fit_by_source(docs: DataFrame, topn: int = 100,
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
         .alias("intercept"),
         F.round(cov * cov / F.nullif(dx * dy, F.lit(0.0)), 6).alias("r2"))
+
+
+def bigram_structs(toks: Column) -> Column:
+    """array<struct<w1,w2>> of consecutive token pairs, in-row; safe for
+    0/1-token docs (zip_with against the 1-shifted array + null-tail
+    filter — Spark's sequence(1, 0) would count DOWN instead of empty)."""
+    pairs = F.zip_with(
+        toks, F.slice(toks, 2, F.greatest(F.size(toks), F.lit(1))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    return F.filter(pairs, lambda s: s["w2"].isNotNull())
+
+
+def heldout_bigram_xent(docs: DataFrame, train_mod: int = 2,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """CCNet-style perplexity filter (Wenzek et al. 2020) with a
+    HELD-OUT language model: bigram counts train on the ``doc_id %
+    train_mod == 0`` half only, and every OTHER doc scores its mean
+    cross-entropy under add-1 smoothing — P(w2|w1) = (c2+1)/(c1+V),
+    unseen contexts fall back to 1/V.  The held-out split is the point:
+    scoring a doc under an LM trained on itself (the in-corpus
+    coherence query) systematically flatters duplicated boilerplate.
+
+    -> (doc_id, n_bigrams, xent, ppl) for scored docs with >= 1 bigram;
+    high xent = unnatural text, the CCNet "tail" bucket.
+
+    Scale shape: bigram construction is in-row; the two count frames
+    are vocab-sized aggregates off ONE exploded train frame (exchange
+    reuse); scoring joins key on the gram, V broadcasts as a scalar.
+    """
+    toked = docs.select(F.col(id_col),
+                        tokens(F.col(text_col)).alias("toks"))
+    train = toked.filter(F.col(id_col) % train_mod == 0)
+    score = toked.filter(F.col(id_col) % train_mod != 0)
+    tb = train.select(F.explode(bigram_structs(F.col("toks"))).alias("b"))
+    c2 = (tb.groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+          .agg(F.count(F.lit(1)).alias("c2")))
+    c1 = (tb.groupBy(F.col("b.w1").alias("w1"))
+          .agg(F.count(F.lit(1)).alias("c1")))
+    vocab = (train.select(F.explode("toks").alias("tok"))
+             .agg(F.countDistinct("tok").cast("long").alias("v")))
+    sb = score.select(
+        F.col(id_col), F.explode(bigram_structs(F.col("toks"))).alias("b")
+    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    p = ((F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+         / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double"))
+    xent = F.round(F.sum(-F.log(p)) / F.count(F.lit(1)), 6)
+    return (sb.join(c2, ["w1", "w2"], "left")
+            .join(c1, "w1", "left")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                 xent.alias("xent"))
+            .withColumn("ppl", F.round(F.exp("xent"), 4)))

@@ -968,3 +968,47 @@ def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed forms term for term."""
     docs = load_table(spark, sf_dir, "documents")
     return textstats.zipf_fit_by_source(docs, ZIPF_TOPN)
+
+
+LM_TRAIN_MOD = 2
+
+
+@register("heldout_bigram_perplexity", _T_CTE + f""",
+tr AS (SELECT doc_id, toks FROM t WHERE doc_id % {LM_TRAIN_MOD} = 0),
+sc AS (SELECT doc_id, toks FROM t WHERE doc_id % {LM_TRAIN_MOD} <> 0),
+tb AS (
+    SELECT tk[i] AS w1, tk[i + 1] AS w2
+    FROM (SELECT toks AS tk,
+                 unnest(generate_series(1, len(toks) - 1)) AS i
+          FROM tr)),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM tb GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM tb GROUP BY w1),
+v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+      FROM (SELECT unnest(toks) AS tok FROM tr)),
+sb AS (
+    SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+    FROM (SELECT doc_id, toks AS tk,
+                 unnest(generate_series(1, len(toks) - 1)) AS i
+          FROM sc)),
+j AS (
+    SELECT sb.doc_id,
+           -ln((CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE))
+               / (CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE))) AS nll
+    FROM sb LEFT JOIN c2 ON c2.w1 = sb.w1 AND c2.w2 = sb.w2
+            LEFT JOIN c1 ON c1.w1 = sb.w1
+            CROSS JOIN v),
+g AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(SUM(nll) / COUNT(*), 6) AS xent
+    FROM j GROUP BY doc_id)
+SELECT doc_id, n_bigrams, xent, round(exp(xent), 4) AS ppl FROM g
+""")
+def heldout_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style held-out perplexity filter (Wenzek et al. 2020;
+    operators/textstats.heldout_bigram_xent): an add-1 bigram LM trains
+    on the doc_id-hash half of the corpus and every other doc scores
+    its mean cross-entropy — the leakage-aware form of the coherence
+    screen (in-corpus LMs flatter duplicated boilerplate).  Vocab-sized
+    count joins keyed on the gram; V broadcasts as one row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.heldout_bigram_xent(docs, LM_TRAIN_MOD)

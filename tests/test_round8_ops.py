@@ -448,3 +448,47 @@ def test_scd2_fuzz_vs_python(spark):
              for r in temporal.scd2_intervals(ev).collect()),
             key=lambda r: (r[0], r[2], r[1]))
         assert got == _py_scd2(rows), trial
+
+
+def test_bigram_structs_edges(spark):
+    df = spark.createDataFrame([("a b c",), ("a",), ("",)], "text string")
+    toks = textstats.tokens(F.col("text"))
+    out = [r[0] for r in
+           df.select(textstats.bigram_structs(toks)).collect()]
+    assert [len(x) for x in out] == [2, 0, 0]
+    assert (out[0][0]["w1"], out[0][0]["w2"]) == ("a", "b")
+
+
+def test_heldout_bigram_xent_matches_python(spark):
+    rng = random.Random(0xCC9E7)
+    words = ["w%d" % i for i in range(12)]
+    docs = [(d, " ".join(rng.choices(words, k=rng.randint(0, 25))),
+             "en", "s", 0) for d in range(20)]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    got = {r["doc_id"]: r for r in
+           textstats.heldout_bigram_xent(df, train_mod=2).collect()}
+
+    c2: dict[tuple, int] = {}
+    c1: dict[str, int] = {}
+    vocab = set()
+    for d, text, *_ in docs:
+        toks = text.split()
+        if d % 2 == 0:
+            vocab.update(toks)
+            for a, b in zip(toks, toks[1:]):
+                c2[(a, b)] = c2.get((a, b), 0) + 1
+                c1[a] = c1.get(a, 0) + 1
+    V = len(vocab)
+    for d, text, *_ in docs:
+        toks = text.split()
+        if d % 2 == 0 or len(toks) < 2:
+            assert d not in got
+            continue
+        nlls = [-math.log((c2.get((a, b), 0) + 1) / (c1.get(a, 0) + V))
+                for a, b in zip(toks, toks[1:])]
+        r = got[d]
+        assert r["n_bigrams"] == len(nlls)
+        assert abs(r["xent"] - round(sum(nlls) / len(nlls), 6)) < 1e-9
+        assert abs(r["ppl"] - round(math.exp(r["xent"]), 4)) < 1e-9
