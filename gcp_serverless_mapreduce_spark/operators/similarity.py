@@ -1224,3 +1224,19 @@ def ivf_pq_topk(emb: DataFrame, k: int, centers: list[list[float]],
     return (topk_per_query(rer, k)
             .select("query_id", "neighbor_id", "rank",
                     F.round("sim", 4).alias("sim")))
+
+
+def ivf_home_cells(emb: DataFrame, centers: list[list[float]],
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """-> (vec_id, cell): each non-zero vector's nearest coarse cell
+    (the IVF home assignment), via the shared fold-exact scoring kernel
+    — the building block behind cell-balance observability and any
+    routing-table export."""
+    units = (unit_vectors(emb, vec_col)
+             .filter(F.col("unit").isNotNull())
+             .select(F.col(id_col),
+                     F.col(vec_col).cast("array<double>").alias("arr")))
+    return units.select(
+        id_col,
+        F.element_at(_probe_cells_udf(centers, 1)("arr"), 1).alias("cell"))

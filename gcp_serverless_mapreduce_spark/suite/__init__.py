@@ -42,7 +42,7 @@ from . import profiling_q  # noqa: F401, E402
 
 # Round-8 window head (the driver checks the FIRST ~50 registered).
 # Priority order:
-# 1) the eleven queries NEW this round (never driver-checked);
+# 1) the twelve queries NEW this round (never driver-checked);
 # 2) the nine round-7-continuation queries the r7 window could not fit
 #    (builder-parity-green at both scales, never driver-attested);
 # 3) the two queries whose SEMANTICS changed this round
@@ -52,7 +52,7 @@ from . import profiling_q  # noqa: F401, E402
 #    q-series + window/agg block that shares the most refactored
 #    helpers; the remaining 16 lead round 9).
 promote([
-    # -- new this round (11) --
+    # -- new this round (12) --
     "scd2_user_event_state",
     "zipf_slope_by_source",
     "gopher_rule_filter",
@@ -64,6 +64,7 @@ promote([
     "incremental_dedup_new_docs",
     "normalization_dedup_lift",
     "heldout_bigram_perplexity",
+    "ivf_cell_balance",
     # -- round-7 continuation, never driver-attested (9) --
     "hll_distinct_users",
     "hll_merge_equivalence",
@@ -81,7 +82,7 @@ promote([
     "word_bigram_freq_udtf",
     "word_commonness_by_source_salted",
     "video_decode_roundtrip",
-    # -- last driver-checked in round 4 (25 of 44) --
+    # -- last driver-checked in round 4 (24 of 44) --
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q4_order_priority_check",
@@ -106,8 +107,7 @@ promote([
     "window_top3_orders_per_customer",
     "window_trailing_7d_spend",
     "ntile_customer_value_quartiles",
-    "udaf_geomean_by_status",
-    # -- behind the window: the 19 remaining r4-era queries lead
+    # -- behind the window: the 20 remaining r4-era queries lead
     #    round 9 (orders_by_month, part_string_functions,
     #    top20_lineitems_by_price, bucket_histogram,
     #    price_quantiles_by_flag, daily_orders_gapfilled,
@@ -116,7 +116,8 @@ promote([
     #    asof_click_before_purchase, pii_redaction_stats,
     #    chunk_dedup_docs, ngram_contamination, pq_code_stats,
     #    pq_adc_topk, setops_customer_segments, hot_key_join_aqe,
-    #    pivot_priority_by_status), then the r5 block.
+    #    pivot_priority_by_status, udaf_geomean_by_status), then the
+    #    r5 block.
 ])
 
 # Re-export the flagship for __spark_entry__.entry

@@ -798,3 +798,44 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_pq_topk(emb, K, CENTROIDS, PQ_BOOKS,
                                   N_PROBE, NUM_QUERIES, IVFPQ_RERANK)
+
+
+@register("ivf_cell_balance", _UNIT_CTE + f""",
+c AS (SELECT unnest(generate_series(0, {N_CELLS - 1})) AS cell),
+sc AS (SELECT vec_id, v, c.cell AS cell, {_SCORE_CASE} AS score
+       FROM u CROSS JOIN c),
+home AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score, cell) AS rn
+        FROM sc) WHERE rn = 1),
+cc AS (SELECT c.cell, CAST(COUNT(home.vec_id) AS BIGINT) AS n_vecs
+       FROM c LEFT JOIN home ON home.cell = c.cell
+       GROUP BY c.cell),
+tot AS (SELECT CAST(SUM(n_vecs) AS DOUBLE) AS n, COUNT(*) AS k FROM cc)
+SELECT cc.cell, cc.n_vecs,
+       round(cc.n_vecs / (tot.n / tot.k), 6) AS load_factor,
+       (cc.n_vecs = 0) AS is_empty
+FROM cc CROSS JOIN tot
+""")
+def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index observability: vectors per coarse cell, each cell's
+    load factor vs the uniform ideal, and empty cells — the balance
+    diagnostic an ANN deployment monitors before trusting cell-probe
+    latency (a hot cell IS the tail).  One assignment scan + a
+    {N_CELLS}-row aggregate; empty cells surface via the cell-spine
+    left join rather than vanishing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    home = similarity.ivf_home_cells(emb, CENTROIDS)
+    spine = spark.range(N_CELLS).select(F.col("id").cast("int").alias("cell"))
+    cc = (spine.join(home, "cell", "left")
+          .groupBy("cell")
+          .agg(F.count("vec_id").cast("long").alias("n_vecs")))
+    tot = cc.agg(F.sum("n_vecs").cast("double").alias("n"),
+                 F.count(F.lit(1)).alias("k"))
+    return (cc.crossJoin(F.broadcast(tot))
+            .select("cell", "n_vecs",
+                    F.round(F.col("n_vecs") / (F.col("n") / F.col("k")), 6)
+                    .alias("load_factor"),
+                    (F.col("n_vecs") == 0).alias("is_empty")))

@@ -492,3 +492,17 @@ def test_heldout_bigram_xent_matches_python(spark):
         assert r["n_bigrams"] == len(nlls)
         assert abs(r["xent"] - round(sum(nlls) / len(nlls), 6)) < 1e-9
         assert abs(r["ppl"] - round(math.exp(r["xent"]), 4)) < 1e-9
+
+
+def test_ivf_cell_balance_invariants(spark):
+    from gcp_serverless_mapreduce_spark.suite.similarity_q import (
+        N_CELLS, ivf_cell_balance,
+    )
+
+    out = ivf_cell_balance(spark, SF_DIR).collect()
+    assert len(out) == N_CELLS                    # empty cells surface
+    n = sum(r["n_vecs"] for r in out)
+    assert n > 0
+    # load factors average to 1 by construction
+    assert abs(sum(r["load_factor"] for r in out) / N_CELLS - 1.0) < 1e-4
+    assert all(r["is_empty"] == (r["n_vecs"] == 0) for r in out)
