@@ -506,3 +506,40 @@ def test_ivf_cell_balance_invariants(spark):
     # load factors average to 1 by construction
     assert abs(sum(r["load_factor"] for r in out) / N_CELLS - 1.0) < 1e-4
     assert all(r["is_empty"] == (r["n_vecs"] == 0) for r in out)
+
+
+def test_normalize_text_fuzz_vs_python(spark):
+    import re as _re
+
+    def py_norm(t: str) -> str:
+        x = t.lower()
+        x = _re.sub("[0-9]", "0", x)
+        x = _re.sub("[^a-z0 ]", " ", x)
+        return _re.sub(" +", " ", x).strip()
+
+    rng = random.Random(0x70F)
+    alphabet = "abcXYZ012 .,!\n\t#-—é"
+    texts = ["".join(rng.choice(alphabet)
+                     for _ in range(rng.randint(0, 60)))
+             for _ in range(40)]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r[0] for r in df.select(
+        curation.normalize_text(F.col("text"))).collect()]
+    assert got == [py_norm(t) for t in texts]
+
+
+def test_zipf_degenerate_sources(spark):
+    # one distinct word -> rank set {1}, dx = 0 -> NULL slope/intercept/r2
+    df = spark.createDataFrame(
+        [(0, "aaa aaa aaa", "en", "one_word", 0),
+         (1, "b c b c b", "en", "two_words", 0)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = {r["source"]: r
+           for r in textstats.zipf_fit_by_source(df, topn=10).collect()}
+    r1 = out["one_word"]
+    assert r1["n_words"] == 1 and r1["slope"] is None
+    r2 = out["two_words"]
+    # two points: slope defined; y-variance > 0 so r2 = 1
+    assert r2["n_words"] == 2 and r2["slope"] is not None
+    assert abs(r2["r2"] - 1.0) < 1e-9
