@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textstats import tokens
+from .textstats import bigram_structs, tokens
 
 # Deliberately simple, engine-portable patterns (identical semantics in
 # Java regex and DuckDB's RE2): a production deployment would swap in a
@@ -835,14 +835,8 @@ def hashed_ngram_scores(docs: DataFrame, id_col: str = "doc_id",
     The weight sum accumulates exact BIGINT numerators (order-free), so
     only the final sigmoid touches floating point."""
     toks = tokens(F.col(text_col))
-    # zip_with against the 1-shifted array, then drop the null-padded
-    # tail: safe for 0/1-token docs (Spark's sequence(1, 0) counts DOWN
-    # instead of returning empty, so the sequence formulation isn't).
-    pairs = F.zip_with(
-        toks, F.slice(toks, 2, F.greatest(F.size(toks), F.lit(1))),
-        lambda a, b: F.struct(a.alias("a"), b.alias("b")))
-    bi = F.transform(F.filter(pairs, lambda s: s["b"].isNotNull()),
-                     lambda s: F.concat_ws(" ", s["a"], s["b"]))
+    bi = F.transform(bigram_structs(toks),
+                     lambda s: F.concat_ws(" ", s["w1"], s["w2"]))
     grams = F.concat(toks, bi)
     wnum = F.transform(
         grams,

@@ -119,6 +119,31 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 8, k: int = 3,
     return sh.groupBy("doc").agg(*aggs)
 
 
+def banded_signatures(signatures: DataFrame, bands: int = 4,
+                      rows_per_band: int = 2,
+                      max_bucket: int | None = None) -> DataFrame:
+    """-> (doc, band, band_hash): the LSH banding layout shared by the
+    self-join candidate generator and the incremental-ingest probe.
+    Band hash = md5 of the band's '|'-joined minhashes; ``max_bucket``
+    keeps only the ``max_bucket`` smallest doc ids per (band, band_hash)
+    bucket (rank within the bucket's own shuffle key — a sort inside
+    the existing exchange, not a new one)."""
+    band_cols = F.array(*[
+        F.md5(F.concat_ws("|", *[
+            F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]))
+        for b in range(bands)
+    ])
+    banded = signatures.select(
+        "doc", F.posexplode(band_cols).alias("band", "band_hash"))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("band", "band_hash").orderBy("doc")
+        banded = (banded.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= max_bucket).drop("_rn"))
+    return banded
+
+
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
                         rows_per_band: int = 2,
                         max_bucket: int | None = None) -> DataFrame:
@@ -142,19 +167,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
     the SAME key the join shuffles on, so the cap costs a sort within the
     existing exchange, not a new shuffle.
     """
-    band_cols = F.array(*[
-        F.md5(F.concat_ws("|", *[
-            F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
-        ]))
-        for b in range(bands)
-    ])
-    banded = signatures.select(
-        "doc", F.posexplode(band_cols).alias("band", "band_hash"))
-    if max_bucket is not None:
-        from pyspark.sql import Window
-        w = Window.partitionBy("band", "band_hash").orderBy("doc")
-        banded = (banded.withColumn("_rn", F.row_number().over(w))
-                  .filter(F.col("_rn") <= max_bucket).drop("_rn"))
+    banded = banded_signatures(signatures, bands, rows_per_band, max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -812,14 +825,7 @@ def incremental_dedup(docs: DataFrame, mod: int = 3, num_perm: int = 8,
 
     sig = minhash_signatures(docs, num_perm, doc_col=doc_col,
                              text_col=text_col)
-    band_cols = F.array(*[
-        F.md5(F.concat_ws("|", *[
-            F.col(f"mh_{b * rows_per_band + r}")
-            for r in range(rows_per_band)]))
-        for b in range(bands)
-    ])
-    banded = sig.select("doc",
-                        F.posexplode(band_cols).alias("band", "band_hash"))
+    banded = banded_signatures(sig, bands, rows_per_band)
     nb = banded.filter(F.col("doc") % mod == 0)
     ob = banded.filter(F.col("doc") % mod != 0)
     if max_bucket is not None:

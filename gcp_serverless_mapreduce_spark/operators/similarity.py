@@ -833,6 +833,14 @@ def lloyd_centroids(emb: DataFrame, init_centers: list[list[float]],
                         "lloyd_centroids: embeddings assigned to cell "
                         f"{c} are shorter than dim={dim} (no values for "
                         f"dims {missing[:4]}) — ragged embedding column")
+                # a cell MIXING full-length and ragged vectors still has
+                # a row per dim; uneven per-dim counts are the tell
+                ns = {int(got[(c, d)]["n"]) for d in range(dim)}
+                if len(ns) > 1:
+                    raise ValueError(
+                        "lloyd_centroids: cell "
+                        f"{c} mixes embedding lengths (per-dim counts "
+                        f"{sorted(ns)}) — ragged embedding column")
         centers = [
             [float(got[(c, d)]["s"])
              / (float(IVF_TRAIN_Q) * float(got[(c, d)]["n"]))

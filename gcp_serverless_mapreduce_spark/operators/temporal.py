@@ -195,8 +195,13 @@ def scd2_intervals(events: DataFrame, key_col: str = "user_id",
     through as an ordinary windowed aggregation.
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    # eqNullSafe, not `!=`: a NULL state must open its own run (plain
+    # inequality evaluates to NULL there, silently merging a NULL-state
+    # event into the prior run and leaving two groupBy rows sharing one
+    # run id — a nondeterministic lead() downstream).  The first row of
+    # a partition (lag NULL vs non-NULL state) still flags 1.
     prev = F.lag(state_col).over(w)
-    chg = F.when(prev.isNull() | (prev != F.col(state_col)), 1).otherwise(0)
+    chg = F.when(prev.eqNullSafe(F.col(state_col)), 0).otherwise(1)
     runs = (events
             .withColumn("_run", F.sum(chg).over(
                 w.rowsBetween(Window.unboundedPreceding, 0)))

@@ -445,8 +445,13 @@ def heldout_bigram_xent(docs: DataFrame, train_mod: int = 2,
     sb = score.select(
         F.col(id_col), F.explode(bigram_structs(F.col("toks"))).alias("b")
     ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    # nullif: a train split with zero tokens gives V = 0 and an unseen
+    # context gives c1 = 0 — the denominator would be 0 and Spark's
+    # default ANSI mode THROWS on division by zero (DuckDB gives inf);
+    # NULL on both engines degrades those docs to NULL xent instead.
     p = ((F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
-         / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double"))
+         / F.nullif((F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+                    .cast("double"), F.lit(0.0)))
     xent = F.round(F.sum(-F.log(p)) / F.count(F.lit(1)), 6)
     return (sb.join(c2, ["w1", "w2"], "left")
             .join(c1, "w1", "left")

@@ -48,9 +48,9 @@ from . import profiling_q  # noqa: F401, E402
 # 3) the two queries whose SEMANTICS changed this round
 #    (unimax epochs nullif guard; exact-span rolling-hash rewrite);
 # 4) attestation-freshness rotation, oldest first: the 3 queries last
-#    driver-checked in r3, then 28 of the 44 r4-era queries (the TPC-H
+#    driver-checked in r3, then 24 of the 44 r4-era queries (the TPC-H
 #    q-series + window/agg block that shares the most refactored
-#    helpers; the remaining 16 lead round 9).
+#    helpers; the remaining 20 lead round 9).
 promote([
     # -- new this round (12) --
     "scd2_user_event_state",

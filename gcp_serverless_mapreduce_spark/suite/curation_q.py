@@ -894,15 +894,19 @@ def hashed_ngram_quality_scores(spark: SparkSession,
 NORM_TWIN_MOD = 7
 
 # Deterministic near-verbatim twins: every NORM_TWIN_MOD-th doc gets a
-# copy that differs only by case + trailing punctuation — invisible to
-# raw exact dedup, collapsed by the normalize-then-hash pass, so the
-# lift the query measures is real on the synthetic fixture.
+# copy that differs only by trailing punctuation — invisible to raw
+# exact dedup, collapsed by the normalize-then-hash pass, so the lift
+# the query measures is real on the synthetic fixture.  Punctuation
+# only, NOT upper(): Java full case mapping and DuckDB's utf8proc
+# disagree on non-ASCII uppercase ('straße' -> 'STRASSE' vs 'STRAẞE'),
+# which would diverge the raw md5 groups the moment a fixture
+# regeneration introduces non-ASCII text.
 _NORM_AUG = f"""
 a AS (
     SELECT doc_id, source, text FROM documents
     UNION ALL
     SELECT doc_id + 1000000 AS doc_id, source,
-           upper(text) || ' !!!' AS text
+           text || ' !!!' AS text
     FROM documents WHERE doc_id % {NORM_TWIN_MOD} = 0)
 """
 
@@ -932,7 +936,7 @@ def normalization_dedup_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How many exact duplicates does normalize-then-hash surface that
     raw hashing misses (operators/curation.normalize_text)?  Per source:
     docs in raw vs normalized exact-dup groups and the lift, over a
-    corpus with deterministic case/punctuation twins injected (the same
+    corpus with deterministic punctuation twins injected (the same
     synthetic-augmentation trick as pii_redaction_stats).  Two hash
     aggregates + two hash joins, all keyed on 128-bit content hashes —
     uniform keys, no skew."""
@@ -941,7 +945,7 @@ def normalization_dedup_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = docs.select("doc_id", "source", "text").unionByName(
         docs.filter(did % NORM_TWIN_MOD == 0)
         .select((did + 1_000_000).alias("doc_id"), F.col("source"),
-                F.concat(F.upper("text"), F.lit(" !!!")).alias("text")))
+                F.concat(F.col("text"), F.lit(" !!!")).alias("text")))
     rawh = F.md5("text")
     normh = F.md5(curation.normalize_text(F.col("text")))
     framed = aug.select("source", rawh.alias("rh"), normh.alias("nh"))

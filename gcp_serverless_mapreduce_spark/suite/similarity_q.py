@@ -815,7 +815,7 @@ cc AS (SELECT c.cell, CAST(COUNT(home.vec_id) AS BIGINT) AS n_vecs
        GROUP BY c.cell),
 tot AS (SELECT CAST(SUM(n_vecs) AS DOUBLE) AS n, COUNT(*) AS k FROM cc)
 SELECT cc.cell, cc.n_vecs,
-       round(cc.n_vecs / (tot.n / tot.k), 6) AS load_factor,
+       round(cc.n_vecs / nullif(tot.n / tot.k, 0), 6) AS load_factor,
        (cc.n_vecs = 0) AS is_empty
 FROM cc CROSS JOIN tot
 """)
@@ -834,8 +834,13 @@ def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.count("vec_id").cast("long").alias("n_vecs")))
     tot = cc.agg(F.sum("n_vecs").cast("double").alias("n"),
                  F.count(F.lit(1)).alias("k"))
+    # nullif: an empty/all-zero-vector corpus makes the mean load 0.0
+    # and Spark's default ANSI mode throws on /0 (DuckDB gives NaN) —
+    # NULL load factors on both engines instead.
     return (cc.crossJoin(F.broadcast(tot))
             .select("cell", "n_vecs",
-                    F.round(F.col("n_vecs") / (F.col("n") / F.col("k")), 6)
+                    F.round(F.col("n_vecs")
+                            / F.nullif(F.col("n") / F.col("k"),
+                                       F.lit(0.0)), 6)
                     .alias("load_factor"),
                     (F.col("n_vecs") == 0).alias("is_empty")))

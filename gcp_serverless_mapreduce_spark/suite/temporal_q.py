@@ -220,9 +220,9 @@ WITH o AS (
     SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
 m AS (
     SELECT user_id, event_type, us, event_id,
-           CASE WHEN lag(event_type) OVER w IS NULL
-                  OR lag(event_type) OVER w <> event_type
-                THEN 1 ELSE 0 END AS chg
+           CASE WHEN lag(event_type) OVER w
+                     IS NOT DISTINCT FROM event_type
+                THEN 0 ELSE 1 END AS chg
     FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
 r AS (
     SELECT user_id, event_type, us,

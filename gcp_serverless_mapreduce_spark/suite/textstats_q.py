@@ -993,7 +993,8 @@ sb AS (
 j AS (
     SELECT sb.doc_id,
            -ln((CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE))
-               / (CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE))) AS nll
+               / nullif(CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE), 0))
+               AS nll
     FROM sb LEFT JOIN c2 ON c2.w1 = sb.w1 AND c2.w2 = sb.w2
             LEFT JOIN c1 ON c1.w1 = sb.w1
             CROSS JOIN v),

@@ -543,3 +543,37 @@ def test_zipf_degenerate_sources(spark):
     # two points: slope defined; y-variance > 0 so r2 = 1
     assert r2["n_words"] == 2 and r2["slope"] is not None
     assert abs(r2["r2"] - 1.0) < 1e-9
+
+
+def test_banded_signatures_layout(spark):
+    from gcp_serverless_mapreduce_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "en", "s", 0),
+         (2, "alpha beta gamma delta", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    sig = dd.minhash_signatures(docs, 8)
+    banded = dd.banded_signatures(sig, bands=4, rows_per_band=2).collect()
+    assert len(banded) == 8                     # 2 docs × 4 bands
+    by_band = {}
+    for r in banded:
+        by_band.setdefault((r["band"], r["band_hash"]), set()).add(r["doc"])
+    # identical docs share every band bucket
+    assert all(v == {1, 2} for v in by_band.values())
+    capped = dd.banded_signatures(sig, 4, 2, max_bucket=1).collect()
+    assert len(capped) == 4 and {r["doc"] for r in capped} == {1}
+
+
+def test_scd2_null_state_runs(spark):
+    ev = spark.createDataFrame(
+        [(1, 1_000_000, 7, "a"), (2, 2_000_000, 7, None),
+         (3, 3_000_000, 7, None), (4, 4_000_000, 7, "a")],
+        "event_id long, us long, user_id long, event_type string"
+    ).withColumn("ts", F.timestamp_micros("us")).drop("us")
+    out = sorted(temporal.scd2_intervals(ev).collect(),
+                 key=lambda r: r["valid_from_us"])
+    # NULL state opens its own run; the two NULLs merge into one run
+    assert [(r["state"], r["n_events"]) for r in out] == \
+        [("a", 1), (None, 2), ("a", 1)]
+    assert [r["is_current"] for r in out] == [False, False, True]
