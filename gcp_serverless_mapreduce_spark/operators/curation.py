@@ -761,15 +761,20 @@ def gopher_rule_flags(text_col: str = "text") -> list[tuple[str, Column]]:
                             F.lit(0), lambda a, x: a + x)
     mwl = tok_chars.cast("double") / n_words
     n_hash = F.length(text) - F.length(F.replace(text, F.lit("#")))
-    n_ell = (F.length(text)
-             - F.length(F.replace(text, F.lit("...")))) / F.lit(3)
+    # Count BOTH ellipsis spellings (Rae et al. use "..." and U+2026
+    # '…'; web text mixes them).  length() is Unicode-char counting on
+    # both engines, so the '…' count needs no /3.
+    n_ell = ((F.length(text)
+              - F.length(F.replace(text, F.lit("...")))) / F.lit(3)
+             + (F.length(text)
+                - F.length(F.replace(text, F.lit("…")))))
     lines = F.split(text, "\n")
     n_lines = F.size(lines)
     n_bullet = F.size(F.filter(
         lines, lambda x: F.ltrim(x).like("- %") | F.ltrim(x).like("* %")
         | F.ltrim(x).like("•%")))
     n_ell_lines = F.size(F.filter(
-        lines, lambda x: F.rtrim(x).like("%...")))
+        lines, lambda x: F.rtrim(x).like("%...") | F.rtrim(x).like("%…")))
     n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
     n_stops = F.size(F.array_distinct(F.filter(
         toks, lambda x: x.isin(*GOPHER_STOPS))))

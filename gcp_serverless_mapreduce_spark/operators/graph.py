@@ -167,7 +167,19 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     sized) survivor set — the edge list shuffles on its endpoints only;
     no per-node driver work, no collect.  The bidirected frame is
     localCheckpoint-ed once so each round's three consumers don't
-    replay the upstream edge construction."""
+    replay the upstream edge construction.
+
+    Fault-tolerance / storage tradeoff (same contract as dup_clusters):
+    localCheckpoint stores blocks UNREPLICATED on executors, so losing
+    an executor mid-peel fails the query rather than recomputing — the
+    deliberate price for truncating an exponentially-replayed lineage.
+    Rounds checkpoint EAGERLY so that once round r materializes, round
+    r-1's frame has no remaining consumer: dropping the Python binding
+    releases the JVM Dataset, and the ContextCleaner reclaims the old
+    round's blocks while the peel is still running.  Peak pinned
+    storage is therefore ~2 rounds' edge frames (shrinking as peeling
+    drops nodes), not rounds x |edges| as the previous lazy-checkpoint
+    chain pinned."""
     e = edges.select("u", "v")
     bi = (e.unionByName(e.select(F.col("v").alias("u"),
                                  F.col("u").alias("v")))
@@ -178,10 +190,14 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         # checkpoint every round, like dup_clusters: round r's frame has
         # TWO consumers (next round's degree agg and its semi-joins), so
         # a lazy loop re-derives the whole prefix per consumer — the
-        # 4-round plan carried 81 exchanges before, 11 after.
+        # 4-round plan carried 81 exchanges before, 11 after.  Eager
+        # (not eager=False): a lazy chain materializes the whole
+        # cascade inside the final job and pins EVERY round's blocks
+        # until it ends; eager materialization lets round r-1's blocks
+        # be garbage-collected as soon as `bi` is rebound below.
         bi = (bi.join(keep, "u")
               .join(keep.select(F.col("u").alias("v")), "v")
               .select("u", "v")
-              .localCheckpoint(eager=False))
+              .localCheckpoint())
     return (bi.groupBy(F.col("u").alias("node"))
             .agg(F.count(F.lit(1)).cast("long").alias("deg")))

@@ -1141,8 +1141,20 @@ def matryoshka_recall(emb: DataFrame, k: int, num_queries: int,
     (broadcast query panel, corpus streams once each)."""
     exact = (brute_force_topk(emb, k, num_queries, id_col)
              .select("query_id", "neighbor_id"))
-    trunc = emb.select(F.col(id_col),
-                       F.slice(F.col(vec_col), 1, trunc_dim).alias(vec_col))
+    # Guard trunc_dim <= embedding length (mirrors lloyd_centroids'
+    # ragged-column check): F.slice past the end would silently return
+    # the full vector, making "truncated" recall a no-op lie.  The
+    # when/raise_error rides the existing scan — no extra pass.
+    trunc = emb.select(
+        F.col(id_col),
+        F.when(F.size(F.col(vec_col)) >= trunc_dim,
+               F.slice(F.col(vec_col), 1, trunc_dim))
+        .otherwise(F.raise_error(F.concat(
+            F.lit(f"matryoshka_recall: trunc_dim={trunc_dim} exceeds "
+                  "embedding length "),
+            F.size(F.col(vec_col)).cast("string"),
+            F.lit(" (ragged or too-short embedding column)"))))
+        .alias(vec_col))
     ann = (brute_force_topk(trunc, k, num_queries, id_col)
            .select("query_id", "neighbor_id", F.lit(1).alias("_hit")))
     return (

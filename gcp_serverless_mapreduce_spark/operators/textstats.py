@@ -272,8 +272,13 @@ def bpe_piece_stats(docs: DataFrame, doc_col: str = "doc_id",
         F.md5(s).alias("pieces_md5"))
 
 
-BPE_LEARN_ROUNDS = 4
-BPE_BATCH = 4      # top-M candidate pairs considered per round
+# Round-9: 4 rounds x batch 4 -> 2 rounds x batch 8 — same max learned
+# vocab (16), HALF the corpus scans.  The non-interference keep rule is
+# per-pair, so a wider batch costs only a longer candidate NOT-EXISTS
+# check (<= 8 rows) and a deeper in-round replace chain, both trivial
+# next to a corpus scan; it was the suite's slowest query (5.1 s sf0.1).
+BPE_LEARN_ROUNDS = 2
+BPE_BATCH = 8      # top-M candidate pairs considered per round
 BPE_MIN_PAIR = 2
 
 

@@ -40,84 +40,84 @@ from . import sketch_q  # noqa: F401, E402
 from . import linkage_q  # noqa: F401, E402
 from . import profiling_q  # noqa: F401, E402
 
-# Round-8 window head (the driver checks the FIRST ~50 registered).
-# Priority order:
-# 1) the twelve queries NEW this round (never driver-checked);
-# 2) the nine round-7-continuation queries the r7 window could not fit
-#    (builder-parity-green at both scales, never driver-attested);
-# 3) the two queries whose SEMANTICS changed this round
-#    (unimax epochs nullif guard; exact-span rolling-hash rewrite);
-# 4) attestation-freshness rotation, oldest first: the 3 queries last
-#    driver-checked in r3, then 24 of the 44 r4-era queries (the TPC-H
-#    q-series + window/agg block that shares the most refactored
-#    helpers; the remaining 20 lead round 9).
+# Round-9 window head (the driver checks the FIRST ~50 registered).
+# This round adds no new queries; the window retires attestation debt,
+# oldest first (VERDICT r8 items 1-2):
+# 1) ALL 20 queries last driver-attested in round 4 — after this round
+#    no query's attestation is older than round 5;
+# 2) the two queries whose SEMANTICS changed this round:
+#    gopher_rule_filter (the symbol/ellipsis battery now also counts
+#    the Unicode ellipsis U+2026 in both engines) and bpe_learn_merges
+#    (2 rounds x batch 8 instead of 4 x 4 — same max vocab, half the
+#    corpus scans; the learned table differs);
+# 3) 28 of the 48 round-5-era queries, leading with bpe_piece_stats
+#    (pins the FIXED merge-table chain untouched by the learn-side
+#    re-batch) and the streaming block (most stateful, hardest to
+#    re-derive from builder parity alone).  The remaining 20 r5
+#    queries lead round 10:
+#    srp_multiprobe_topk, source_token_kl, quality_logit_scores,
+#    sessionize_user_events, sorted_neighborhood_dups,
+#    user_error_purchase_overlap, value_histogram_quantiles,
+#    vocab_top_words, walkforward_fold_counts,
+#    weighted_sample_per_source, window_event_value_delta,
+#    word_cooccurrence_pmi, ngram_jaccard_dups, logistic_gd_train,
+#    leakage_safe_split_counts, lang_mixture_reweight,
+#    kmv_distinct_users, incremental_order_totals, hybrid_rrf_topk,
+#    image_phash_groups.
 promote([
-    # -- new this round (12) --
-    "scd2_user_event_state",
-    "zipf_slope_by_source",
-    "gopher_rule_filter",
-    "hashed_ngram_quality_scores",
-    "kcore_pmi_words",
-    "matryoshka_recall_eval",
-    "ivf_pq_topk",
-    "soft_dedup_weights",
-    "incremental_dedup_new_docs",
-    "normalization_dedup_lift",
-    "heldout_bigram_perplexity",
-    "ivf_cell_balance",
-    # -- round-7 continuation, never driver-attested (9) --
-    "hll_distinct_users",
-    "hll_merge_equivalence",
-    "hll_hourly_rollup_daily",
-    "stream_hll_distinct_users",
-    "fim_split_plan",
-    "join_key_skew_profile",
-    "source_boilerplate_prefix",
-    "bloom_semijoin_reduction",
-    "neyman_allocation_sample",
+    # -- last driver-checked in round 4 (all 20) --
+    "asof_click_before_purchase",
+    "bucket_histogram",
+    "chunk_dedup_docs",
+    "daily_orders_gapfilled",
+    "hot_key_join_aqe",
+    "image_resize_plan",
+    "locf_hourly_event_values",
+    "media_feature_summary",
+    "ngram_contamination",
+    "orders_by_month",
+    "part_string_functions",
+    "pii_redaction_stats",
+    "pivot_priority_by_status",
+    "pq_adc_topk",
+    "pq_code_stats",
+    "price_quantiles_by_flag",
+    "setops_customer_segments",
+    "top20_lineitems_by_price",
+    "udaf_geomean_by_status",
+    "video_frame_samples",
     # -- semantics changed this round (2) --
-    "unimax_language_budget",
-    "max_shared_span_pairs",
-    # -- last driver-checked in round 3 (3) --
-    "word_bigram_freq_udtf",
-    "word_commonness_by_source_salted",
-    "video_decode_roundtrip",
-    # -- last driver-checked in round 4 (24 of 44) --
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q4_order_priority_check",
-    "q6_revenue_forecast",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_item_revenue",
-    "q11_part_value_concentration",
-    "q12_priority_line_counts",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_order_customers",
-    "q19_disjunctive_revenue",
-    "q22_dormant_customers",
-    "having_orders_per_customer",
-    "rollup_lineitem_status",
-    "cube_orders_status_priority",
-    "grouping_sets_order_stats",
-    "window_top3_orders_per_customer",
-    "window_trailing_7d_spend",
-    "ntile_customer_value_quartiles",
-    # -- behind the window: the 20 remaining r4-era queries lead
-    #    round 9 (orders_by_month, part_string_functions,
-    #    top20_lineitems_by_price, bucket_histogram,
-    #    price_quantiles_by_flag, daily_orders_gapfilled,
-    #    locf_hourly_event_values, media_feature_summary,
-    #    video_frame_samples, image_resize_plan,
-    #    asof_click_before_purchase, pii_redaction_stats,
-    #    chunk_dedup_docs, ngram_contamination, pq_code_stats,
-    #    pq_adc_topk, setops_customer_segments, hot_key_join_aqe,
-    #    pivot_priority_by_status, udaf_geomean_by_status), then the
-    #    r5 block.
+    "gopher_rule_filter",
+    "bpe_learn_merges",
+    # -- round-5-era re-attestation (29 of 48) --
+    "bpe_piece_stats",
+    "stream_click_purchase_full_join",
+    "stream_click_purchase_join",
+    "stream_click_purchase_left_join",
+    "stream_hourly_topk_events",
+    "stream_session_stats",
+    "stream_user_totals_stateful",
+    "stream_windowed_event_stats",
+    "stream_windowed_event_stats_pyds",
+    "stream_windowed_event_stats_rate",
+    "pyds_click_user_stats",
+    "events_csv_roundtrip_fingerprint",
+    "events_json_roundtrip_fingerprint",
+    "events_orc_roundtrip_fingerprint",
+    "clicks_within_1h_of_error",
+    "cms_heavy_hitter_words",
+    "containment_dups",
+    "contrastive_negatives",
+    "corpus_prep_pipeline_v2",
+    "customer_record_linkage",
+    "doc_token_entropy",
+    "doc_token_ids_fingerprint",
+    "dsir_importance_weights",
+    "dup_clusters",
+    "embedding_dim_stats",
+    "epoch_shuffle_plan",
+    "event_pattern_matches",
+    "hourly_event_anomalies",
 ])
 
 # Re-export the flagship for __spark_entry__.entry

@@ -802,13 +802,15 @@ f AS (
            AS DOUBLE) AS tok_chars,
       CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE) AS n_hash,
       CAST(len(text) - len(replace(text, '...', '')) AS DOUBLE) / 3
+          + CAST(len(text) - len(replace(text, '…', '')) AS DOUBLE)
           AS n_ell,
       CAST(len(string_split(text, chr(10))) AS DOUBLE) AS n_lines,
       CAST(len(list_filter(string_split(text, chr(10)),
                l -> ltrim(l) LIKE '- %' OR ltrim(l) LIKE '* %'
                     OR ltrim(l) LIKE '•%')) AS DOUBLE) AS n_bullet,
       CAST(len(list_filter(string_split(text, chr(10)),
-               l -> rtrim(l) LIKE '%...')) AS DOUBLE) AS n_ell_lines,
+               l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'))
+           AS DOUBLE) AS n_ell_lines,
       CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
            AS DOUBLE) AS n_alpha,
       len(list_distinct(list_filter(toks, x -> x IN ({_GR_STOPS}))))

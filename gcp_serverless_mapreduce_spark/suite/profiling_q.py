@@ -447,37 +447,56 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy — broadcast vs shuffle, salting factor, AQE skew-join
     thresholds — BEFORE paying for a skewed exchange.
 
-    Scale shape: per-key counts reduce to a COUNT-OF-COUNTS histogram
-    (one hash-aggregate each, map-side partial), so the quantile pick
-    runs a window over the tiny histogram — never an N-distinct-key
-    sort.  The single-partition window is over #distinct count-values
-    (hundreds at any scale), and the three scalar stats ride a
-    broadcast crossJoin."""
-    out = None
+    Scale shape (round-9 single-pass rewrite): each base table is
+    scanned ONCE — its audited key columns are stacked in-row into
+    (key_name, val) pairs via inline(), and ALL per-key counts ride one
+    map-side-combined hash-aggregate keyed on (key_name, val).  Shuffle
+    volume equals the sum of per-key distinct counts, the same bytes
+    the old per-column loop shuffled across five separate aggregates,
+    but lineitem is read once instead of three times and the plan
+    carries 6 exchanges instead of 35.  Everything downstream of the
+    count-of-counts histogram (scalar stats, cumulative quantile pick)
+    operates on hundreds of rows per key_name, windowed/broadcast on
+    key_name — never an N-distinct-key sort."""
+    from pyspark.sql import Window
+    by_tbl: dict[str, list[tuple[str, str]]] = {}
     for label, tbl, col in SKEW_KEYS:
+        by_tbl.setdefault(tbl, []).append((label, col))
+    stacked = None
+    for tbl, cols in by_tbl.items():
         df = load_table(spark, sf_dir, tbl)
-        cnts = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-        cc = cnts.groupBy("cnt").agg(F.count(F.lit(1)).alias("k"))
-        stats = cnts.agg(
-            F.count(F.lit(1)).cast("long").alias("n_keys"),
-            F.sum("cnt").cast("long").alias("total_rows"),
-            F.max("cnt").cast("long").alias("max_cnt"))
-        from pyspark.sql import Window
-        cum = cc.withColumn("cum", F.sum("k").over(Window.orderBy("cnt")))
-        qs = (cum.crossJoin(F.broadcast(stats))
-              .agg(F.min(F.when(
-                       F.col("cum") >= F.floor((F.col("n_keys") + 1) / 2),
-                       F.col("cnt"))).cast("long").alias("p50_cnt"),
-                   F.min(F.when(
-                       F.col("cum") >= F.floor(
-                           (99 * F.col("n_keys") + 99) / 100),
-                       F.col("cnt"))).cast("long").alias("p99_cnt")))
-        row = (stats.crossJoin(F.broadcast(qs))
-               .select(F.lit(label).alias("key_name"),
-                       "n_keys", "total_rows", "max_cnt",
-                       "p50_cnt", "p99_cnt",
-                       F.floor(F.col("max_cnt") * 10000
-                               / F.col("total_rows")).cast("long")
-                       .alias("top_share_bp")))
-        out = row if out is None else out.unionByName(row)
-    return out
+        pairs = F.array(*[
+            F.struct(F.lit(label).alias("key_name"),
+                     F.col(col).cast("long").alias("val"))
+            for label, col in cols])
+        part = df.select(F.inline(pairs))
+        stacked = part if stacked is None else stacked.unionByName(part)
+    cnts = (stacked.groupBy("key_name", "val")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    # count-of-counts histogram; EVERYTHING downstream (scalar stats:
+    # n_keys = sum k, total_rows = sum cnt*k, max_cnt = max cnt; the
+    # cumulative quantile pick) derives from it via windows + one final
+    # aggregate, so the plan is one linear lineage — no self-joins, no
+    # branch that would re-execute the expensive stacked aggregate.
+    cc = cnts.groupBy("key_name", "cnt").agg(F.count(F.lit(1)).alias("k"))
+    w_all = Window.partitionBy("key_name")
+    w_cum = w_all.orderBy("cnt")
+    cum = (cc.withColumn("cum", F.sum("k").over(w_cum))
+           .withColumn("nk", F.sum("k").over(w_all)))
+    return (cum.groupBy("key_name")
+            .agg(F.sum("k").cast("long").alias("n_keys"),
+                 F.sum(F.col("cnt") * F.col("k")).cast("long")
+                 .alias("total_rows"),
+                 F.max("cnt").cast("long").alias("max_cnt"),
+                 F.min(F.when(
+                     F.col("cum") >= F.floor((F.col("nk") + 1) / 2),
+                     F.col("cnt"))).cast("long").alias("p50_cnt"),
+                 F.min(F.when(
+                     F.col("cum") >= F.floor(
+                         (99 * F.col("nk") + 99) / 100),
+                     F.col("cnt"))).cast("long").alias("p99_cnt"))
+            .select("key_name", "n_keys", "total_rows", "max_cnt",
+                    "p50_cnt", "p99_cnt",
+                    F.floor(F.col("max_cnt") * 10000
+                            / F.col("total_rows")).cast("long")
+                    .alias("top_share_bp")))
