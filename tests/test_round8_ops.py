@@ -240,6 +240,21 @@ def test_matryoshka_truncated_recall_bounded(spark):
     assert all(0 <= r["n_hits"] <= 5 for r in out)
 
 
+def test_matryoshka_raises_on_trunc_dim_past_length(spark):
+    # slicing past the embedding length would silently equal full-dim
+    # recall; the guard must fail loudly instead (round-9 review fix,
+    # mirroring the lloyd_centroids ragged-column error)
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    emb = _rand_emb(spark)
+    with pytest.raises((SparkRuntimeException, Py4JJavaError),
+                       match="trunc_dim=32 exceeds"):
+        similarity.matryoshka_recall(emb, k=5, num_queries=8,
+                                     trunc_dim=32).collect()
+
+
 def test_ivf_pq_exhaustive_equals_brute_force(spark):
     # probe EVERY cell and keep an unbounded shortlist: the IVF-PQ
     # composition then degrades to exact brute force (the PQ stage only

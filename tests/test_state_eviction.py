@@ -154,3 +154,65 @@ def test_streaming_hll_state_is_register_bounded(spark, ordered_events_sf01):
         "event_type", "u")
     assert {tuple(r) for r in got_state.collect()} == \
         {tuple(r) for r in batch.collect()}
+
+
+def test_chained_dedup_agg_state_is_watermark_bounded(spark,
+                                                      ordered_events_sf01):
+    """Round-9 gate for the CHAINED stateful pipeline behind
+    stream_dedup_windowed_stats (dropDuplicatesWithinWatermark feeding a
+    windowed aggregate in one append query): BOTH state stores must stay
+    bounded by the watermark horizon over a month-long 24-batch sf0.1
+    run.  The dedup store is the risk — it keys on event_id, so without
+    eviction it would hold every id ever seen (the full 100k), not the
+    ~one-file horizon."""
+    schema = spark.read.parquet(ordered_events_sf01).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(ordered_events_sf01))
+    agg = (stream.withWatermark("ts", "1 hour")
+           .dropDuplicatesWithinWatermark(["event_id"])
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count("*").alias("n_events")))
+    with pipeline.stream_state_partitions(spark):
+        q = (agg.writeStream.format("memory").queryName("chain_sink")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    progress = [json.loads(p.json) for p in q.recentProgress]
+    emitted = spark.table("chain_sink").localCheckpoint()
+    q.stop()
+
+    dedup_states, agg_states = [], []
+    for p in progress:
+        for op in p.get("stateOperators", []):
+            name = op.get("operatorName", "")
+            if "dedupe" in name:
+                dedup_states.append(op["numRowsTotal"])
+            else:
+                agg_states.append(op["numRowsTotal"])
+    assert len([s for s in dedup_states if s > 0]) >= 20
+    assert len([s for s in agg_states if s > 0]) >= 20
+
+    ev = spark.read.parquet(ordered_events_sf01)
+    total_events = ev.count()
+    n_types = ev.select("event_type").distinct().count()
+    # dedup horizon: ids from the in-flight ~30 h file plus the 1 h
+    # watermark lag; 3x slack still sits far below the full id set
+    per_file = total_events / N_FILES
+    dedup_peak = max(dedup_states)
+    assert dedup_peak <= 3 * (per_file + total_events / (30 * 24)), \
+        f"dedup state peaked at {dedup_peak} ids — eviction not engaging"
+    assert dedup_peak < 0.2 * total_events, \
+        f"dedup state peak {dedup_peak} ~ total ids {total_events}"
+    # agg horizon: open windows within one file span + watermark lag
+    agg_peak = max(agg_states)
+    assert agg_peak <= 3 * (30 + 1 + 1) * n_types, \
+        f"agg state peaked at {agg_peak} window-keys"
+
+    # eviction must not cost correctness: every emitted row equals the
+    # batch aggregate for its (closed) window
+    batch = (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count("*").alias("n_events")))
+    got = {tuple(r) for r in emitted.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got <= want
+    assert len(got) >= 0.9 * len(want)   # only the stream tail may miss

@@ -7,6 +7,12 @@ sorted by name, rows canonicalized to strings — floats rounded to 9
 significant digits to absorb engine-formatting differences, matching the
 spirit of the driver's value-hash).
 
+Full-suite runs (no query-name subset) also record a machine-checkable
+summary in ``PARITY_SUMMARY.json`` at the repo root — pass count, wall
+time, git SHA, UTC stamp, keyed by scale-factor directory name — so the
+staleness of the committed parity evidence is checkable without parsing
+the human-readable sweep logs.
+
 Usage: python tools/check_parity.py [sf_dir] [query_name ...]
 """
 
@@ -14,6 +20,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -91,6 +98,7 @@ def dtype_mismatches(scols: list[str], sdtypes: list[str],
 
 
 def main() -> int:
+    t0 = time.time()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
@@ -156,7 +164,44 @@ def main() -> int:
             print(f"PASS {name}: rows={len(srows)}")
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass at {sf_dir}")
+    if not only:
+        _write_summary(sf_dir, len(qs) - len(failures), len(qs),
+                       time.time() - t0)
     return 1 if failures else 0
+
+
+def _write_summary(sf_dir: str, n_pass: int, n_total: int,
+                   wall: float) -> None:
+    """Merge this full-suite run into PARITY_SUMMARY.json (keyed by the
+    sf dir's basename, so sf0.01 and sf0.1 sweeps coexist)."""
+    import datetime
+    import json
+    import subprocess
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "PARITY_SUMMARY.json")
+    try:
+        sha = subprocess.run(["git", "rev-parse", "HEAD"], cwd=root,
+                             capture_output=True, text=True,
+                             check=True).stdout.strip()
+    except Exception:
+        sha = "unknown"
+    data = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:
+            data = {}
+    data[os.path.basename(os.path.normpath(sf_dir))] = {
+        "n_pass": n_pass, "n_total": n_total,
+        "wall_sec": round(wall, 1), "git_sha": sha,
+        "utc": datetime.datetime.now(datetime.timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%SZ"),
+    }
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"summary -> {path}")
 
 
 if __name__ == "__main__":
