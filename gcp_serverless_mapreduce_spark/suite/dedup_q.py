@@ -251,15 +251,19 @@ def lsh_candidate_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sig = dedup.minhash_signatures(docs, NUM_PERM)
     # Each pair frame feeds BOTH its own count and the intersection
-    # join; localCheckpoint materializes the candidate/truth generators
-    # once instead of replaying the shingle+minhash pipelines per
-    # consumer (plan audit: 27 exchanges -> 7).
+    # join, and deliberately WITHOUT localCheckpoint: the round-6
+    # checkpoint variant cut the printed plan 27 -> 7 exchanges but an
+    # alternated one-JVM A/B at sf0.1 (round 9) measured it ~40% SLOWER
+    # (3.9-5.5 s vs 2.4-2.5 s) — the two materialization barriers
+    # serialize pipelines the scheduler otherwise overlaps, and the
+    # replayed shingle/minhash stages are cheap.  Exchange count is a
+    # proxy; wall time decides.
     cand = dedup.lsh_candidate_pairs(
         sig, BANDS, ROWS_PER_BAND,
-        max_bucket=MAX_BUCKET).select("doc_a", "doc_b").localCheckpoint()
+        max_bucket=MAX_BUCKET).select("doc_a", "doc_b")
     truth = dedup.jaccard_pairs(
         docs, JACCARD_THRESHOLD,
-        df_max=JACCARD_DF_MAX).select("doc_a", "doc_b").localCheckpoint()
+        df_max=JACCARD_DF_MAX).select("doc_a", "doc_b")
     caught = cand.join(truth, ["doc_a", "doc_b"])
     m = (cand.agg(F.count(F.lit(1)).alias("n_candidates"))
          .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_true")))
@@ -319,6 +323,13 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     id; the exact side is the df-capped inverted index — all three
     already-audited shapes."""
     docs = load_table(spark, sf_dir, "documents")
+    # sig has THREE consumers (band join + both signature join sides)
+    # and NO checkpoint — deliberately, unlike lsh_candidate_precision:
+    # A/B at sf0.1 measured the localCheckpoint variant ~45% SLOWER
+    # (3.5-4.0 s vs 2.4-2.6 s, alternated in one JVM) because the
+    # materialization barrier serializes what the planner otherwise
+    # runs as parallel stages; the 14-exchange plan's recomputes are
+    # cheaper than the barrier at this shape.
     sig = dedup.minhash_signatures(docs, NUM_PERM)
     cand = dedup.lsh_candidate_pairs(
         sig, BANDS, ROWS_PER_BAND,

@@ -120,6 +120,10 @@ def test_gopher_rules_target_each_rule(spark):
         "hashes": (" ".join(["##the##"] * 60), "symbol_ratio"),
         "bullets": ("\n".join(["- " + good] * 10), "bullet_lines"),
         "ellipses": ("\n".join([good + " ..."] * 10), "ellipsis_lines"),
+        # round-9: the Unicode ellipsis U+2026 must trip the same rules
+        "uni_ellipses": ("\n".join([good + " \u2026"] * 10),
+                         "ellipsis_lines"),
+        "uni_symbols": (" ".join(["\u2026the\u2026"] * 60), "symbol_ratio"),
         "numeric": (good + " " + " ".join(["123"] * 60), "alpha_words"),
         "no_stops": (" ".join(["lorem ipsum dolor sit amet"] * 12),
                      "stop_words"),
@@ -592,3 +596,24 @@ def test_scd2_null_state_runs(spark):
     assert [(r["state"], r["n_events"]) for r in out] == \
         [("a", 1), (None, 2), ("a", 1)]
     assert [r["is_current"] for r in out] == [False, False, True]
+
+
+def test_unicode_ellipsis_primitives_cross_engine(spark):
+    """The fixtures are ASCII, so the oracle gate never exercises the
+    U+2026 branch of the Gopher rules — pin the primitive agreements
+    (char-counting length, literal replace, LIKE with a multibyte
+    pattern char) between Spark and DuckDB directly."""
+    import duckdb
+
+    text = "a…b c… …d e... plain"
+    line = "ends with ellipsis …  "
+    got = spark.range(1).select(
+        F.length(F.lit(text)).alias("n"),
+        F.length(F.replace(F.lit(text), F.lit("…"))).alias("nr"),
+        F.rtrim(F.lit(line)).like("%…").alias("m")).first()
+    want = duckdb.sql(
+        "SELECT len(?), len(replace(?, '…', '')), "
+        "rtrim(?) LIKE '%…'", params=[text, text, line]).fetchone()
+    assert (got["n"], got["nr"], got["m"]) == want
+    # and the count identity both engines use: 3 occurrences of '…'
+    assert got["n"] - got["nr"] == 3
