@@ -74,7 +74,7 @@ def main() -> int:
 
     n_vec = emb.count()
     lines = [
-        "# TUNING — IVF-PQ operating point",
+        "## IVF-PQ operating point",
         "",
         f"Recall/latency sweep of the production ANN composition "
         f"(`operators/similarity.ivf_pq_topk`: {len(sq.CENTROIDS)}-cell "
@@ -113,10 +113,14 @@ def main() -> int:
         "structure re-run this sweep to pick their own point, which "
         "is the purpose of this harness.  Wall times at this scale "
         "are fixed-stage-overhead-dominated; treat them as relative.",
-        "",
     ]
-    with open(out_md, "w") as f:
-        f.write("\n".join(lines))
+    from md_section import replace_section
+    replace_section(
+        out_md, "ivf-pq-tuning", "\n".join(lines),
+        header="# TUNING — measured operating points\n\n"
+               "Each section is owned and regenerated by its tool; "
+               "production constants are chosen from these tables, "
+               "not defaulted.")
     print(f"wrote {out_md}")
     return 0
 
