@@ -50,6 +50,12 @@ def test_skew_profile_fuzz_matches_python_recompute(spark, tmp_path):
     shapes = [(300, 80), (250, 1), (400, 200), (120, 5), (500, 350)]
     for (label, tbl, col), (n_rows, n_keys) in zip(SKEW_KEYS, shapes):
         cols[(tbl, col)] = _zipf_keys(n_rows, n_keys)
+    # NULL keys form their own group in Spark, DuckDB and the replay
+    # alike (round-9 single-pass rewrite must preserve that): poke ~10%
+    # NULLs into one column.
+    k0 = cols[(SKEW_KEYS[3][1], SKEW_KEYS[3][2])]
+    cols[(SKEW_KEYS[3][1], SKEW_KEYS[3][2])] = [
+        None if i % 10 == 0 else v for i, v in enumerate(k0)]
 
     by_tbl: dict[str, dict[str, list[int]]] = {}
     for (tbl, col), keys in cols.items():
