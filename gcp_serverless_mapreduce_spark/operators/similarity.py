@@ -886,6 +886,65 @@ def pq_codebooks(n_sub: int, n_codes: int,
     ]
 
 
+def pq_trained_codebooks(emb: DataFrame,
+                         init_books: list[list[list[float]]],
+                         rounds: int = 2,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         train_filter: Column | None = None,
+                         ) -> list[list[list[float]]]:
+    """Per-subspace deterministic Lloyd over UNIT sub-vectors -> trained
+    PQ codebooks, bit-reproducible by a SQL engine — the k-means
+    training step the fixed md5 books (:func:`pq_codebooks`) stand in
+    for, built from the same machinery as :func:`lloyd_centroids`:
+
+    - assignment = the production encode kernel (:func:`pq_encode_udf`
+      over the CURRENT books: per-subspace argmin of |c|^2 - 2*(u_sub.c)
+      with the oracle's left-to-right fold; ties -> smallest code);
+    - update = ONE hash-aggregate per round of per-(subspace, code, dim)
+      FIXED-POINT sums (floor(u[d] * Q) as BIGINT — exact and
+      partition-order-independent), new centroid dim = s / (Q * n) in
+      one double division; (subspace, code) cells that lose all members
+      keep their previous centroid.
+
+    ALL subspaces train in the same scan: the posexploded unit
+    coordinate stream carries (m = pos // sub_dim, d = pos % sub_dim)
+    and each row joins its vector's m-th code in-row, so a round is one
+    sample scan + one <= n_sub*n_codes*sub_dim-row collect of index
+    state (1024 rows here), never data.  ``train_filter``
+    (:func:`train_sample_pred`) bounds training to a deterministic
+    hash-sample the oracle's CTEs re-apply identically."""
+    n_sub, n_codes = len(init_books), len(init_books[0])
+    sub_dim = len(init_books[0][0])
+    units = unit_vectors(emb, vec_col).filter(F.col("unit").isNotNull())
+    if train_filter is not None:
+        units = units.filter(train_filter).coalesce(4)
+    base = units.select("unit").localCheckpoint()
+    books = [[[float(x) for x in c] for c in book] for book in init_books]
+    for _ in range(rounds):
+        codes = pq_encode_udf(books)(F.col("unit"))
+        j = F.col("j")
+        m = F.floor(j / sub_dim).cast("int")
+        sums = (base.withColumn("codes", codes)
+                .select("codes", F.posexplode("unit").alias("j", "v"))
+                .select(m.alias("m"), (j % sub_dim).alias("d"),
+                        F.element_at("codes", m + 1).alias("code"), "v")
+                .groupBy("m", "code", "d")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.floor(F.col("v") * IVF_TRAIN_Q)
+                           .cast("long")).alias("s")))
+        got = {(int(r["m"]), int(r["code"]), int(r["d"])): r
+               for r in sums.collect()}
+        books = [
+            [[float(got[(mi, c, d)]["s"])
+              / (float(IVF_TRAIN_Q) * float(got[(mi, c, d)]["n"]))
+              for d in range(sub_dim)]
+             if (mi, c, 0) in got else books[mi][c]
+             for c in range(n_codes)]
+            for mi in range(n_sub)]
+    return books
+
+
 def _sq_fold(vals: list[float]) -> float:
     """|c|^2 as a left-to-right Python fold — embedded verbatim as a
     literal in BOTH engines (same convention as the IVF oracle)."""

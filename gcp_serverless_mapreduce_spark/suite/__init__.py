@@ -41,19 +41,23 @@ from . import linkage_q  # noqa: F401, E402
 from . import profiling_q  # noqa: F401, E402
 
 # Round-9 window head (the driver checks the FIRST ~50 registered).
-# This round adds no new queries; the window retires attestation debt,
-# oldest first (VERDICT r8 items 1-2):
+# The window retires attestation debt, oldest first (VERDICT r8
+# items 1-2), plus the one query new this round:
 # 1) ALL 20 queries last driver-attested in round 4 — after this round
 #    no query's attestation is older than round 5;
+# 1b) pq_trained_adc_topk, NEW this round (PQ-ADC over codebooks
+#    trained by deterministic per-subspace Lloyd rounds — closes the
+#    "a deployment would train the books" gap; the measured recall
+#    lift is in TUNING.md);
 # 2) the two queries whose SEMANTICS changed this round:
 #    gopher_rule_filter (the symbol/ellipsis battery now also counts
 #    the Unicode ellipsis U+2026 in both engines) and bpe_learn_merges
 #    (2 rounds x batch 8 instead of 4 x 4 — same max vocab, half the
 #    corpus scans; the learned table differs);
-# 3) 28 of the 48 round-5-era queries, leading with bpe_piece_stats
+# 3) 27 of the 48 round-5-era queries, leading with bpe_piece_stats
 #    (pins the FIXED merge-table chain untouched by the learn-side
 #    re-batch) and the streaming block (most stateful, hardest to
-#    re-derive from builder parity alone).  The remaining 20 r5
+#    re-derive from builder parity alone).  The remaining 21 r5
 #    queries lead round 10:
 #    srp_multiprobe_topk, source_token_kl, quality_logit_scores,
 #    sessionize_user_events, sorted_neighborhood_dups,
@@ -63,7 +67,7 @@ from . import profiling_q  # noqa: F401, E402
 #    word_cooccurrence_pmi, ngram_jaccard_dups, logistic_gd_train,
 #    leakage_safe_split_counts, lang_mixture_reweight,
 #    kmv_distinct_users, incremental_order_totals, hybrid_rrf_topk,
-#    image_phash_groups.
+#    image_phash_groups, hourly_event_anomalies.
 promote([
     # -- last driver-checked in round 4 (all 20) --
     "asof_click_before_purchase",
@@ -86,6 +90,8 @@ promote([
     "top20_lineitems_by_price",
     "udaf_geomean_by_status",
     "video_frame_samples",
+    # -- new this round (1) --
+    "pq_trained_adc_topk",
     # -- semantics changed this round (2) --
     "gopher_rule_filter",
     "bpe_learn_merges",
@@ -117,7 +123,6 @@ promote([
     "embedding_dim_stats",
     "epoch_shuffle_plan",
     "event_pattern_matches",
-    "hourly_event_anomalies",
 ])
 
 # Re-export the flagship for __spark_entry__.entry

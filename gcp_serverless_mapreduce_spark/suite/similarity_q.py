@@ -410,6 +410,107 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(emb, K, PQ_BOOKS, NUM_QUERIES)
 
 
+# ---- Trained PQ codebooks: per-subspace Lloyd rounds as oracle CTEs ----
+
+PQ_LLOYD_ROUNDS = 2
+
+
+def _pq_train_cte() -> str:
+    """Per-subspace Lloyd rounds unrolled as CTEs (the PQ analog of
+    _lloyd_cte): ptr = the 1-in-{_TRAIN_MOD} hash-sample of UNIT
+    vectors; pb0 = the fixed md5 init books; round r = per-(vector,
+    subspace) nearest-code assignment under pb{{r-1}} (score
+    |c|^2 - 2*(u_sub.c), ties -> smallest code), per-(m, code, dim)
+    fixed-point BIGINT sums, then the new book with empty (m, code)
+    cells keeping their previous centroid."""
+    rows = ",\n ".join(
+        f"({m}, {c}, CAST({_sq_fold(cent)!r} AS DOUBLE), "
+        f"{_cent_literal(cent)})"
+        for m, book in enumerate(PQ_BOOKS) for c, cent in enumerate(book))
+    tr_pred = _TRAIN_PRED.replace("vec_id", "u.vec_id")
+    parts = [f",\nptr AS (SELECT u.vec_id, u.u FROM u WHERE {tr_pred})",
+             f",\npb0(m, c, sq, cent) AS (VALUES {rows})"]
+    for r in range(1, PQ_LLOYD_ROUNDS + 1):
+        p = r - 1
+        score = "cb.sq - 2.0 * " + _fold_sum(
+            f"list_transform(generate_series(1, {SUB_DIM}), "
+            f"i -> t.u[cb.m * {SUB_DIM} + i] * cb.cent[i])")
+        newc = "COALESCE(mm.cent, cb.cent)"
+        parts.append(f""",
+pa{r} AS (
+    SELECT t.vec_id, cb.m, cb.c
+    FROM ptr t CROSS JOIN pb{p} cb
+    QUALIFY row_number() OVER (PARTITION BY t.vec_id, cb.m
+                               ORDER BY {score}, cb.c) = 1),
+ps{r} AS (
+    SELECT a.m, a.c, gi.i,
+           SUM(CAST(floor(t.u[a.m * {SUB_DIM} + gi.i] * {_TRAIN_Q})
+                    AS BIGINT)) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pa{r} a JOIN ptr t USING (vec_id),
+         (SELECT unnest(generate_series(1, {SUB_DIM})) AS i) gi
+    GROUP BY a.m, a.c, gi.i),
+pm{r} AS (
+    SELECT m, c, list(CAST(s AS DOUBLE)
+                      / (CAST({_TRAIN_Q} AS DOUBLE) * CAST(n AS DOUBLE))
+                      ORDER BY i) AS cent
+    FROM ps{r} GROUP BY m, c),
+pb{r} AS (
+    SELECT cb.m, cb.c, {newc} AS cent,
+           {_fold_sum(f"list_transform({newc}, x -> x * x)")} AS sq
+    FROM pb{p} cb LEFT JOIN pm{r} mm USING (m, c))""")
+    return "".join(parts)
+
+
+_PQT_SCORE = "cb.sq - 2.0 * " + _fold_sum(
+    f"list_transform(generate_series(1, {SUB_DIM}), "
+    f"i -> u.u[cb.m * {SUB_DIM} + i] * cb.cent[i])")
+
+
+@register("pq_trained_adc_topk", _UNIT_CTE + _pq_train_cte() + f""",
+pco AS (
+    SELECT vec_id, m, c AS code FROM (
+        SELECT u.vec_id, cb.m, cb.c,
+               row_number() OVER (PARTITION BY u.vec_id, cb.m
+                                  ORDER BY {_PQT_SCORE}, cb.c) AS rn
+        FROM u CROSS JOIN pb{PQ_LLOYD_ROUNDS} cb)
+    WHERE rn = 1),
+pqt AS (SELECT u.vec_id AS query_id, cb.m, cb.c, {_PQT_SCORE} AS val
+        FROM u CROSS JOIN pb{PQ_LLOYD_ROUNDS} cb
+        WHERE u.vec_id < {NUM_QUERIES}),
+pad AS (SELECT pqt.query_id, pco.vec_id AS neighbor_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                        list(pqt.val ORDER BY pqt.m)),
+                           (acc, x) -> acc + x) AS adist
+        FROM pco JOIN pqt ON pqt.m = pco.m AND pqt.c = pco.code
+        WHERE pco.vec_id <> pqt.query_id
+        GROUP BY pqt.query_id, pco.vec_id)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY adist, neighbor_id) AS rank,
+       round(adist, 6) AS adist
+FROM pad
+QUALIFY rank <= {K}
+""")
+def pq_trained_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN over TRAINED codebooks — closes the "a deployment
+    would train the books" gap the fixed-md5 variant documents:
+    {PQ_LLOYD_ROUNDS} deterministic per-subspace Lloyd rounds from the
+    md5 init (operators/similarity.pq_trained_codebooks — fixed-point
+    BIGINT sums on the 1-in-{_TRAIN_MOD} hash-sample, all {M_SUB}
+    subspaces in one scan per round), then the same encode->ADC->top-k
+    plan as pq_adc_topk under the trained books.  Training, encoding
+    and ranking are all hash-gated: the oracle unrolls every Lloyd
+    round per subspace as CTEs with identical quantized arithmetic.
+    The trained books' recall lift over the fixed ones is measured in
+    TUNING.md, not assumed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_trained_codebooks(
+        emb, PQ_BOOKS, rounds=PQ_LLOYD_ROUNDS,
+        train_filter=similarity.train_sample_pred("vec_id", _TRAIN_MOD))
+    return similarity.pq_adc_topk(emb, K, books, NUM_QUERIES)
+
+
 @register("ann_recall_eval", _UNIT_CTE + f""",
 s AS (SELECT vec_id, u, {_BUCKET} AS bucket FROM u),
 nb AS (SELECT vec_id, u, bucket FROM s

@@ -178,3 +178,70 @@ def test_ppm_requires_whitespace_after_maxval():
     bad = good[:idx] + b"x" + good[idx + 1:]
     with pytest.raises(ValueError):
         multimodal.decode_ppm(bad)
+
+
+# ------------------------------------------------- trained PQ codebooks
+
+def test_pq_trained_codebooks_match_numpy_replay(spark):
+    """One Lloyd round must equal the exact numpy replay: argmin
+    assignment under the init books (oracle fold order), then per-
+    (subspace, code, dim) means of floor(u*Q)/(Q*n); (m, code) cells
+    with no members keep the init centroid."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v])
+         for i, v in enumerate(vecs)])
+    got = similarity.pq_trained_codebooks(df, BOOKS, rounds=1)
+
+    Q = similarity.IVF_TRAIN_Q
+    cb = np.asarray(BOOKS)                          # m x c x d
+    n_sub, n_codes, sub_dim = cb.shape
+    want = [[list(c) for c in book] for book in BOOKS]
+    sub = vecs.reshape(len(vecs), n_sub, sub_dim)
+    d2 = ((sub[:, :, None, :] - cb[None]) ** 2).sum(axis=3)  # v x m x c
+    codes = d2.argmin(axis=2)
+    for m in range(n_sub):
+        for c in range(n_codes):
+            members = [v for v in range(len(vecs)) if codes[v, m] == c]
+            if not members:
+                continue
+            want[m][c] = [
+                sum(math.floor(sub[v, m, d] * Q) for v in members)
+                / (float(Q) * len(members))
+                for d in range(sub_dim)]
+    for m in range(n_sub):
+        for c in range(n_codes):
+            assert got[m][c] == pytest.approx(want[m][c], abs=1e-12), \
+                (m, c)
+
+
+def test_pq_training_does_not_worsen_sample_quantization(spark):
+    """k-means monotonicity on the training set: the trained books'
+    per-vector quantization error (min squared distance summed over
+    subspaces) must not exceed the init books' — measured, since the
+    empty-cell keep-previous rule is the only deviation from textbook
+    Lloyd."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(60, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v])
+         for i, v in enumerate(vecs)])
+    trained = similarity.pq_trained_codebooks(df, BOOKS, rounds=2)
+
+    def mse(books):
+        cb = np.asarray(books)
+        sub = vecs.reshape(len(vecs), cb.shape[0], cb.shape[2])
+        d2 = ((sub[:, :, None, :] - cb[None]) ** 2).sum(axis=3)
+        return d2.min(axis=2).sum()
+
+    assert mse(trained) <= mse(BOOKS) + 1e-9
+    assert mse(trained) < mse(BOOKS)    # and it actually moved
