@@ -465,9 +465,15 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     stacked = None
     for tbl, cols in by_tbl.items():
         df = load_table(spark, sf_dir, tbl)
+        # Stack as STRING, not long: the cast is lossless for every key
+        # type (bigint, string, date), so adding a non-numeric audited
+        # column later can't silently truncate its values to NULL and
+        # collapse the profile into one phantom hot key.  NULLs survive
+        # the cast and stay their own group, matching the oracle's
+        # GROUP BY on the raw column.
         pairs = F.array(*[
             F.struct(F.lit(label).alias("key_name"),
-                     F.col(col).cast("long").alias("val"))
+                     F.col(col).cast("string").alias("val"))
             for label, col in cols])
         part = df.select(F.inline(pairs))
         stacked = part if stacked is None else stacked.unionByName(part)
@@ -483,20 +489,29 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cum = w_all.orderBy("cnt")
     cum = (cc.withColumn("cum", F.sum("k").over(w_cum))
            .withColumn("nk", F.sum("k").over(w_all)))
-    return (cum.groupBy("key_name")
-            .agg(F.sum("k").cast("long").alias("n_keys"),
-                 F.sum(F.col("cnt") * F.col("k")).cast("long")
-                 .alias("total_rows"),
-                 F.max("cnt").cast("long").alias("max_cnt"),
-                 F.min(F.when(
-                     F.col("cum") >= F.floor((F.col("nk") + 1) / 2),
-                     F.col("cnt"))).cast("long").alias("p50_cnt"),
-                 F.min(F.when(
-                     F.col("cum") >= F.floor(
-                         (99 * F.col("nk") + 99) / 100),
-                     F.col("cnt"))).cast("long").alias("p99_cnt"))
-            .select("key_name", "n_keys", "total_rows", "max_cnt",
-                    "p50_cnt", "p99_cnt",
+    agg = (cum.groupBy("key_name")
+           .agg(F.sum("k").cast("long").alias("n_keys"),
+                F.sum(F.col("cnt") * F.col("k")).cast("long")
+                .alias("total_rows"),
+                F.max("cnt").cast("long").alias("max_cnt"),
+                F.min(F.when(
+                    F.col("cum") >= F.floor((F.col("nk") + 1) / 2),
+                    F.col("cnt"))).cast("long").alias("p50_cnt"),
+                F.min(F.when(
+                    F.col("cum") >= F.floor(
+                        (99 * F.col("nk") + 99) / 100),
+                    F.col("cnt"))).cast("long").alias("p99_cnt")))
+    # Every audited key ALWAYS yields a row, even when its base table is
+    # empty (groupBy over zero stacked rows emits nothing, but the
+    # oracle's UNION ALL of scalar aggregates emits one n_keys=0 row per
+    # label) — left-join the aggregate against the literal label frame.
+    labels = spark.createDataFrame(
+        [(label,) for label, _, _ in SKEW_KEYS], "key_name string")
+    return (labels.join(F.broadcast(agg), "key_name", "left")
+            .select("key_name",
+                    F.coalesce("n_keys", F.lit(0)).cast("long")
+                    .alias("n_keys"),
+                    "total_rows", "max_cnt", "p50_cnt", "p99_cnt",
                     F.floor(F.col("max_cnt") * 10000
                             / F.col("total_rows")).cast("long")
                     .alias("top_share_bp")))

@@ -246,18 +246,24 @@ def ivf_fixed_cells_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic Lloyd KMeans: rounds unrolled as oracle CTEs.
 LLOYD_ROUNDS = 2
 _TRAIN_Q = similarity.IVF_TRAIN_Q
-_TRAIN_MOD = similarity.IVF_TRAIN_MOD
+_TRAIN_TARGET = similarity.IVF_TRAIN_TARGET
 
 # Training-sample membership — the EXACT DuckDB rendering of
-# similarity.train_sample_pred (md5 8-hex prefix mod _TRAIN_MOD), so
-# the sample-trained centroids match bit-for-bit.
+# similarity.train_sample_pred under the corpus-size-scaled modulus
+# (similarity.train_sample_mod: max(1, count // target), so the sample
+# is O(cap) at any scale — round-10 contract change), so the
+# sample-trained centroids match bit-for-bit.  At the test scales
+# (<= 2*target rows) the modulus is 1 and training sees every vector.
+_TRAIN_MOD_SQL = ("greatest(1, (SELECT count(*) FROM embeddings) "
+                  f"// {_TRAIN_TARGET})")
 _TRAIN_PRED = ("CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) "
-               f"AS BIGINT) % {_TRAIN_MOD} = 0")
+               f"AS BIGINT) % {_TRAIN_MOD_SQL} = 0")
 
 
 def _lloyd_cte() -> str:
-    """Lloyd rounds as CTEs: tr = the 1-in-{_TRAIN_MOD} hash-sample the
-    Spark side trains on (search still ranks the full corpus); c0 = the
+    """Lloyd rounds as CTEs: tr = the capped hash-sample (modulus
+    scaled to corpus count / {_TRAIN_TARGET}) the Spark side trains on
+    (search still ranks the full corpus); c0 = the
     fixed md5 init centroids; round r = nearest-cell assignment of the
     SAMPLE under c{{r-1}} (score |c|^2 - 2·(v·c), ties to the smallest
     cell), per-(cell, dim) FIXED-POINT BIGINT sums (floor(v[i]·Q) —
@@ -318,9 +324,10 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-{K} over TRAINED centroids — {LLOYD_ROUNDS}
     deterministic fixed-point Lloyd rounds from the md5 init (per-dim
     centroid sums quantized to BIGINTs, the logistic_gd_train
-    technique), trained on the 1-in-{_TRAIN_MOD} md5 hash-sample
-    (round-6 verdict item 2: training no longer pays full-corpus scans
-    per execution; the oracle's tr CTE applies the identical
+    technique), trained on the CAPPED md5 hash-sample (modulus =
+    max(1, corpus_count // {_TRAIN_TARGET}) — round-10 contract change:
+    the sample is O(cap), not a fixed fraction that grows with the
+    corpus; the oracle's tr CTE applies the identical count-scaled
     predicate), then the probe-{N_PROBE} search over the FULL corpus
     shared with the fixed-centroid twin.  Cell assignments, trained
     centroids, and the final ranking are all hash-gated.  Recall vs
@@ -328,7 +335,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_lloyd_topk(emb, K, CENTROIDS,
                                      rounds=LLOYD_ROUNDS, n_probe=N_PROBE,
-                                     train_mod=_TRAIN_MOD)
+                                     train_target=_TRAIN_TARGET)
 
 
 # ---- Product quantization (PQ/ADC) — fixed md5-derived codebooks ----
@@ -417,7 +424,7 @@ PQ_LLOYD_ROUNDS = 2
 
 def _pq_train_cte() -> str:
     """Per-subspace Lloyd rounds unrolled as CTEs (the PQ analog of
-    _lloyd_cte): ptr = the 1-in-{_TRAIN_MOD} hash-sample of UNIT
+    _lloyd_cte): ptr = the capped count-scaled hash-sample of UNIT
     vectors; pb0 = the fixed md5 init books; round r = per-(vector,
     subspace) nearest-code assignment under pb{{r-1}} (score
     |c|^2 - 2*(u_sub.c), ties -> smallest code), per-(m, code, dim)
@@ -497,7 +504,7 @@ def pq_trained_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     would train the books" gap the fixed-md5 variant documents:
     {PQ_LLOYD_ROUNDS} deterministic per-subspace Lloyd rounds from the
     md5 init (operators/similarity.pq_trained_codebooks — fixed-point
-    BIGINT sums on the 1-in-{_TRAIN_MOD} hash-sample, all {M_SUB}
+    BIGINT sums on the capped count-scaled hash-sample, all {M_SUB}
     subspaces in one scan per round), then the same encode->ADC->top-k
     plan as pq_adc_topk under the trained books.  Training, encoding
     and ranking are all hash-gated: the oracle unrolls every Lloyd
@@ -505,9 +512,10 @@ def pq_trained_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The trained books' recall lift over the fixed ones is measured in
     TUNING.md, not assumed."""
     emb = load_table(spark, sf_dir, "embeddings")
+    mod = similarity.train_sample_mod(emb.count(), _TRAIN_TARGET)
     books = similarity.pq_trained_codebooks(
         emb, PQ_BOOKS, rounds=PQ_LLOYD_ROUNDS,
-        train_filter=similarity.train_sample_pred("vec_id", _TRAIN_MOD))
+        train_filter=similarity.train_sample_pred("vec_id", mod))
     return similarity.pq_adc_topk(emb, K, books, NUM_QUERIES)
 
 

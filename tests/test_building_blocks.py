@@ -170,20 +170,59 @@ def test_train_sample_pred_matches_duckdb_rendering(spark):
     import duckdb
 
     from gcp_serverless_mapreduce_spark.operators.similarity import (
-        IVF_TRAIN_MOD, train_sample_pred)
+        train_sample_pred)
 
+    mod = 4
     ids = list(range(200))
     df = spark.createDataFrame([(i,) for i in ids], ["vec_id"])
     got = sorted(r["vec_id"] for r in
-                 df.filter(train_sample_pred("vec_id")).collect())
+                 df.filter(train_sample_pred("vec_id", mod)).collect())
     want = [r[0] for r in duckdb.sql(f"""
         SELECT i FROM unnest(range(200)) t(i)
         WHERE CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8))
-                   AS BIGINT) % {IVF_TRAIN_MOD} = 0
+                   AS BIGINT) % {mod} = 0
         ORDER BY i""").fetchall()]
     assert got == want
     # pseudo-uniform: roughly 1-in-mod of the ids survive
     assert 30 <= len(got) <= 70
+
+
+def test_train_sample_is_capped_not_fractional(spark):
+    # Round-10 contract: the Lloyd/PQ training sample is O(cap).  The
+    # modulus scales with corpus rows (max(1, n // target)), so growing
+    # the corpus 8x leaves the expected sample in [target, 2*target)
+    # instead of growing it 8x — the fixed-fraction behavior that made
+    # coalesce(4) a serial bottleneck at 100x data.  Membership is a
+    # pure function of (id, n), asserted against a hashlib replay.
+    import hashlib
+
+    from gcp_serverless_mapreduce_spark.operators.similarity import (
+        train_sample_mod, train_sample_pred)
+
+    target = 64
+
+    def py_sample(n):
+        mod = max(1, n // target)
+        return [i for i in range(n)
+                if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                % mod == 0]
+
+    sizes = {}
+    for n in (1_000, 8_000):
+        mod = train_sample_mod(n, target)
+        assert mod == max(1, n // target)
+        df = spark.createDataFrame([(i,) for i in range(n)], ["vec_id"])
+        got = sorted(r["vec_id"] for r in
+                     df.filter(train_sample_pred("vec_id", mod)).collect())
+        assert got == py_sample(n)
+        sizes[n] = len(got)
+    # both corpus sizes land near the cap — NOT proportional to n
+    for n, sz in sizes.items():
+        assert target * 0.5 <= sz <= target * 3, (n, sz)
+    assert sizes[8_000] < sizes[1_000] * 2
+    # degenerate corpora: modulus floors at 1 (train on everything)
+    assert train_sample_mod(0, target) == 1
+    assert train_sample_mod(target - 1, target) == 1
 
 
 # ------------------------------------------------------------- sketches

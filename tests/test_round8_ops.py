@@ -259,6 +259,19 @@ def test_matryoshka_raises_on_trunc_dim_past_length(spark):
                                      trunc_dim=32).collect()
 
 
+def test_matryoshka_null_embedding_passes_through(spark):
+    # a NULL embedding must NOT trip the too-short guard (F.size(NULL)
+    # is NULL); it flows through and drops at normalization like on the
+    # full-dim side (round-10 review fix)
+    emb = _rand_emb(spark)
+    nulled = emb.union(spark.createDataFrame(
+        [(999, None, 0)], emb.schema))
+    out = similarity.matryoshka_recall(nulled, k=5, num_queries=8,
+                                       trunc_dim=16).collect()
+    assert len(out) == 8
+    assert all(r["recall_at_k"] == 1.0 for r in out)
+
+
 def test_ivf_pq_exhaustive_equals_brute_force(spark):
     # probe EVERY cell and keep an unbounded shortlist: the IVF-PQ
     # composition then degrades to exact brute force (the PQ stage only

@@ -183,6 +183,11 @@ def _write_summary(sf_dir: str, n_pass: int, n_total: int,
         sha = subprocess.run(["git", "rev-parse", "HEAD"], cwd=root,
                              capture_output=True, text=True,
                              check=True).stdout.strip()
+        dirty = subprocess.run(["git", "status", "--porcelain"], cwd=root,
+                               capture_output=True, text=True,
+                               check=True).stdout.strip()
+        if dirty:
+            sha += "-dirty"
     except Exception:
         sha = "unknown"
     data = {}

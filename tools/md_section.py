@@ -19,9 +19,18 @@ def replace_section(path: str, marker: str, content: str,
             text = f.read()
     else:
         text = (header.rstrip() + "\n\n") if header else ""
-    if begin in text and end in text:
-        pre = text[:text.index(begin)]
-        post = text[text.index(end) + len(end):].lstrip("\n")
+    if begin in text:
+        b = text.index(begin)
+        # The end marker must FOLLOW the begin marker; a stray end
+        # marker before it (hand-edited file) would otherwise splice
+        # the file silently, duplicating or dropping content.
+        e = text.find(end, b)
+        if e < 0:
+            raise ValueError(
+                f"{path}: end marker {end!r} not found after begin "
+                f"marker {begin!r} — file corrupted, refusing to edit")
+        pre = text[:b]
+        post = text[e + len(end):].lstrip("\n")
         text = pre + block + ("\n" + post if post else "")
     else:
         if text and not text.endswith("\n"):

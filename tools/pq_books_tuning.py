@@ -43,7 +43,8 @@ def main() -> int:
     for r in similarity.brute_force_topk(emb, k, nq).collect():
         exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
 
-    pred = similarity.train_sample_pred("vec_id", sq._TRAIN_MOD)
+    pred = similarity.train_sample_pred(
+        "vec_id", similarity.train_sample_mod(emb.count(), sq._TRAIN_TARGET))
     rows = []
     for rounds in ROUNDS:
         t0 = time.time()
