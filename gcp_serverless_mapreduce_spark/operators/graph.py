@@ -179,11 +179,28 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     round's blocks while the peel is still running.  Peak pinned
     storage is therefore ~2 rounds' edge frames (shrinking as peeling
     drops nodes), not rounds x |edges| as the previous lazy-checkpoint
-    chain pinned."""
+    chain pinned — pinned by tests/test_state_eviction.py's storage-
+    block probe over :func:`_kcore_rounds`."""
+    bi = None
+    for bi in _kcore_rounds(edges, k, rounds):
+        pass
+    return (bi.groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("deg")))
+
+
+def _kcore_rounds(edges: DataFrame, k: int, rounds: int):
+    """The peel loop of :func:`kcore_peel`, exposed as a generator that
+    yields the eagerly-checkpointed bidirected survivor frame after the
+    initial copy and after each round.  Each yielded frame is the ONLY
+    live reference to its round (the loop rebinds ``bi``), so once the
+    consumer advances two rounds, round r-2's checkpoint blocks are
+    ContextCleaner-reclaimable — the storage contract the eviction test
+    asserts against the JVM's RDDStorageInfo."""
     e = edges.select("u", "v")
     bi = (e.unionByName(e.select(F.col("v").alias("u"),
                                  F.col("u").alias("v")))
           .localCheckpoint())
+    yield bi
     for _ in range(rounds):
         deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("u")
@@ -199,5 +216,4 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
               .join(keep.select(F.col("u").alias("v")), "v")
               .select("u", "v")
               .localCheckpoint())
-    return (bi.groupBy(F.col("u").alias("node"))
-            .agg(F.count(F.lit(1)).cast("long").alias("deg")))
+        yield bi

@@ -40,89 +40,93 @@ from . import sketch_q  # noqa: F401, E402
 from . import linkage_q  # noqa: F401, E402
 from . import profiling_q  # noqa: F401, E402
 
-# Round-9 window head (the driver checks the FIRST ~50 registered).
-# The window retires attestation debt, oldest first (VERDICT r8
-# items 1-2), plus the one query new this round:
-# 1) ALL 20 queries last driver-attested in round 4 — after this round
-#    no query's attestation is older than round 5;
-# 1b) pq_trained_adc_topk, NEW this round (PQ-ADC over codebooks
-#    trained by deterministic per-subspace Lloyd rounds — closes the
-#    "a deployment would train the books" gap; the measured recall
-#    lift is in TUNING.md);
-# 2) the two queries whose SEMANTICS changed this round:
-#    gopher_rule_filter (the symbol/ellipsis battery now also counts
-#    the Unicode ellipsis U+2026 in both engines) and bpe_learn_merges
-#    (2 rounds x batch 8 instead of 4 x 4 — same max vocab, half the
-#    corpus scans; the learned table differs);
-# 3) 27 of the 48 round-5-era queries, leading with bpe_piece_stats
-#    (pins the FIXED merge-table chain untouched by the learn-side
-#    re-batch) and the streaming block (most stateful, hardest to
-#    re-derive from builder parity alone).  The remaining 21 r5
-#    queries lead round 10:
-#    srp_multiprobe_topk, source_token_kl, quality_logit_scores,
-#    sessionize_user_events, sorted_neighborhood_dups,
-#    user_error_purchase_overlap, value_histogram_quantiles,
-#    vocab_top_words, walkforward_fold_counts,
-#    weighted_sample_per_source, window_event_value_delta,
-#    word_cooccurrence_pmi, ngram_jaccard_dups, logistic_gd_train,
-#    leakage_safe_split_counts, lang_mixture_reweight,
-#    kmv_distinct_users, incremental_order_totals, hybrid_rrf_topk,
-#    image_phash_groups, hourly_event_anomalies.
+# Round-10 window head (the driver checks the FIRST ~50 registered).
+# The window finishes the attestation ledger (VERDICT r9 items 1/8):
+# 1) ALL 21 queries last driver-attested in round 5 — after this round
+#    every one of the 213 queries has an attestation <=3 rounds old,
+#    uniformly fresh for the first time;
+# 2) the four queries whose SEMANTICS changed this round:
+#    ivf_ann_topk + pq_trained_adc_topk (the Lloyd/PQ training sample
+#    is now CAPPED — modulus = max(1, corpus_count // 4096) instead of
+#    a fixed 1-in-4 fraction, mirrored in the oracle as a
+#    greatest(1, count(*) // target) scalar subquery),
+#    join_key_skew_profile (keys stack as lossless strings and every
+#    audited label emits a row even over an empty base table), and
+#    matryoshka_recall_eval (NULL embeddings pass through the
+#    trunc_dim guard to the zero-norm drop instead of erroring);
+# 2b) ivf_capped_train_topk, NEW this round: the trained-IVF plan
+#    under train_target=128, making the count-scaled sampling modulus
+#    exceed 1 at test scale (mod 3 at sf0.01) so the capped-training
+#    contract is driver-attested on real data, not just unit-replayed;
+# 3) 24 of the 46 round-6-era queries, leading with the stateful /
+#    iterative / sketch operators (hardest to re-derive from builder
+#    parity alone).  The remaining 22 r6 queries lead round 11:
+#    zorder_layout_keys,
+#    bigram_coherence_score, bm25_doc_scores, dataset_split_counts,
+#    dedup_resolution_by_source, doc_overlapping_chunks,
+#    domain_capped_corpus, funnel_signup_click_purchase,
+#    label_centroid_distances, latest_event_per_user,
+#    length_bucketed_batches, pc1_projection_buckets,
+#    quality_percentile_filter, regression_price_vs_quantity,
+#    sequence_packing_plan, shingle_novelty_scores,
+#    symspell_handle_match, temperature_mixed_sample,
+#    time_weighted_avg_value, touch_attribution_revenue,
+#    user_retention_cohorts, weighted_sample_bychars.
 promote([
-    # -- last driver-checked in round 4 (all 20) --
-    "asof_click_before_purchase",
-    "bucket_histogram",
-    "chunk_dedup_docs",
-    "daily_orders_gapfilled",
-    "hot_key_join_aqe",
-    "image_resize_plan",
-    "locf_hourly_event_values",
-    "media_feature_summary",
-    "ngram_contamination",
-    "orders_by_month",
-    "part_string_functions",
-    "pii_redaction_stats",
-    "pivot_priority_by_status",
-    "pq_adc_topk",
-    "pq_code_stats",
-    "price_quantiles_by_flag",
-    "setops_customer_segments",
-    "top20_lineitems_by_price",
-    "udaf_geomean_by_status",
-    "video_frame_samples",
-    # -- new this round (1) --
+    # -- last driver-checked in round 5 (all 21) --
+    "hourly_event_anomalies",
+    "hybrid_rrf_topk",
+    "image_phash_groups",
+    "incremental_order_totals",
+    "kmv_distinct_users",
+    "lang_mixture_reweight",
+    "leakage_safe_split_counts",
+    "logistic_gd_train",
+    "ngram_jaccard_dups",
+    "quality_logit_scores",
+    "sessionize_user_events",
+    "sorted_neighborhood_dups",
+    "source_token_kl",
+    "srp_multiprobe_topk",
+    "user_error_purchase_overlap",
+    "value_histogram_quantiles",
+    "vocab_top_words",
+    "walkforward_fold_counts",
+    "weighted_sample_per_source",
+    "window_event_value_delta",
+    "word_cooccurrence_pmi",
+    # -- semantics changed this round (4) --
+    "ivf_ann_topk",
     "pq_trained_adc_topk",
-    # -- semantics changed this round (2) --
-    "gopher_rule_filter",
-    "bpe_learn_merges",
-    # -- round-5-era re-attestation (29 of 48) --
-    "bpe_piece_stats",
-    "stream_click_purchase_full_join",
-    "stream_click_purchase_join",
-    "stream_click_purchase_left_join",
-    "stream_hourly_topk_events",
-    "stream_session_stats",
-    "stream_user_totals_stateful",
-    "stream_windowed_event_stats",
-    "stream_windowed_event_stats_pyds",
-    "stream_windowed_event_stats_rate",
-    "pyds_click_user_stats",
-    "events_csv_roundtrip_fingerprint",
-    "events_json_roundtrip_fingerprint",
-    "events_orc_roundtrip_fingerprint",
-    "clicks_within_1h_of_error",
-    "cms_heavy_hitter_words",
-    "containment_dups",
-    "contrastive_negatives",
-    "corpus_prep_pipeline_v2",
-    "customer_record_linkage",
-    "doc_token_entropy",
-    "doc_token_ids_fingerprint",
-    "dsir_importance_weights",
-    "dup_clusters",
-    "embedding_dim_stats",
-    "epoch_shuffle_plan",
-    "event_pattern_matches",
+    "join_key_skew_profile",
+    "matryoshka_recall_eval",
+    # -- new this round (1) --
+    "ivf_capped_train_topk",
+    # -- round-6-era re-attestation (24 of 46) --
+    "stream_dedup_replayed_events",
+    "stream_dedup_windowed_stats",
+    "stream_static_enrich",
+    "pagerank_customer_supplier",
+    "lsh_candidate_precision",
+    "kmv_merge_equivalence",
+    "minhash_estimate_error",
+    "bloom_decontamination",
+    "power_iteration_pc1",
+    "pmi_graph_triangles",
+    "anagram_groups",
+    "anagram_pairs",
+    "ann_recall_eval",
+    "exact_dedup_groups",
+    "jaccard_prefix_dups",
+    "semdedup_discards",
+    "sorted_neighborhood_multipass",
+    "source_overlap_jaccard",
+    "scd2_customer_order_versions",
+    "snapshot_diff_customers",
+    "event_transition_matrix",
+    "events_json_corrupt_routing",
+    "m4_downsample_hourly",
+    "approx_stats_parts",
 ])
 
 # Re-export the flagship for __spark_entry__.entry

@@ -254,15 +254,21 @@ _TRAIN_TARGET = similarity.IVF_TRAIN_TARGET
 # is O(cap) at any scale — round-10 contract change), so the
 # sample-trained centroids match bit-for-bit.  At the test scales
 # (<= 2*target rows) the modulus is 1 and training sees every vector.
-_TRAIN_MOD_SQL = ("greatest(1, (SELECT count(*) FROM embeddings) "
-                  f"// {_TRAIN_TARGET})")
-_TRAIN_PRED = ("CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) "
-               f"AS BIGINT) % {_TRAIN_MOD_SQL} = 0")
+def _train_mod_sql(target: int) -> str:
+    return f"greatest(1, (SELECT count(*) FROM embeddings) // {target})"
 
 
-def _lloyd_cte() -> str:
+def _train_pred_sql(target: int) -> str:
+    return ("CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) "
+            f"AS BIGINT) % {_train_mod_sql(target)} = 0")
+
+
+_TRAIN_PRED = _train_pred_sql(_TRAIN_TARGET)
+
+
+def _lloyd_cte(target: int = _TRAIN_TARGET) -> str:
     """Lloyd rounds as CTEs: tr = the capped hash-sample (modulus
-    scaled to corpus count / {_TRAIN_TARGET}) the Spark side trains on
+    scaled to corpus count / ``target``) the Spark side trains on
     (search still ranks the full corpus); c0 = the
     fixed md5 init centroids; round r = nearest-cell assignment of the
     SAMPLE under c{{r-1}} (score |c|^2 - 2·(v·c), ties to the smallest
@@ -273,7 +279,8 @@ def _lloyd_cte() -> str:
     c0_rows = ",\n ".join(
         f"({i}, {_cent_literal(c)}, CAST({_sq_fold(c)!r} AS DOUBLE))"
         for i, c in enumerate(CENTROIDS))
-    parts = [f",\ntr AS (SELECT vec_id, v FROM u WHERE {_TRAIN_PRED})",
+    parts = [",\ntr AS (SELECT vec_id, v FROM u "
+             f"WHERE {_train_pred_sql(target)})",
              f",\nc0(cell, cent, sq) AS (VALUES {c0_rows})"]
     for r in range(1, LLOYD_ROUNDS + 1):
         p = r - 1
@@ -336,6 +343,48 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_lloyd_topk(emb, K, CENTROIDS,
                                      rounds=LLOYD_ROUNDS, n_probe=N_PROBE,
                                      train_target=_TRAIN_TARGET)
+
+
+# A train target SMALL enough that the sampling modulus exceeds 1 on the
+# test tables (500 embeddings -> mod 3; 2000 -> mod 15), so the capped-
+# sample code path — predicate evaluation, sample-only Lloyd scans, the
+# oracle's count-scaled CTE — is driver-attested on real data, not just
+# unit-replayed.  The flagship _TRAIN_TARGET (4096) never samples below
+# ~8k rows, so without this query mod>1 would be test-only until 100 TB.
+_SMALL_TRAIN_TARGET = 128
+
+
+@register("ivf_capped_train_topk",
+          _UNIT_CTE + _lloyd_cte(_SMALL_TRAIN_TARGET) + f""",
+sc AS (SELECT u0.vec_id, u0.u, c.cell,
+              c.sq - 2.0 * {_dot("u0.v", "c.cent")} AS score
+       FROM u u0 CROSS JOIN c{LLOYD_ROUNDS} c),
+pr AS (SELECT vec_id, u, cell,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY score, cell) AS pr
+       FROM sc QUALIFY pr <= {N_PROBE}),
+home AS (SELECT vec_id, u, cell FROM pr WHERE pr = 1)
+SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       row_number() OVER (PARTITION BY a.vec_id
+                          ORDER BY {_PAIR_DOT} DESC, b.vec_id) AS rank,
+       round({_PAIR_DOT}, 4) AS sim
+FROM pr a JOIN home b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+QUALIFY rank <= {K}
+""")
+def ivf_capped_train_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_ann_topk with train_target={_SMALL_TRAIN_TARGET} (NEW round
+    10): the SAME trained-IVF plan, but the small target makes the
+    count-scaled sampling modulus exceed 1 at every test scale
+    (mod 3 at 500 embeddings, 15 at 2000), so the capped-training
+    contract — hash-sample membership, sample-only Lloyd scans, and
+    the oracle's greatest(1, count // target) replay — is exercised
+    and hash-gated by the driver exactly as it would run at 100 TB,
+    where the flagship target of {_TRAIN_TARGET} produces the same
+    mod>1 regime.  Search still ranks the full corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_lloyd_topk(emb, K, CENTROIDS,
+                                     rounds=LLOYD_ROUNDS, n_probe=N_PROBE,
+                                     train_target=_SMALL_TRAIN_TARGET)
 
 
 # ---- Product quantization (PQ/ADC) — fixed md5-derived codebooks ----

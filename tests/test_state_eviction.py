@@ -216,3 +216,61 @@ def test_chained_dedup_agg_state_is_watermark_bounded(spark,
     want = {tuple(r) for r in batch.collect()}
     assert got <= want
     assert len(got) >= 0.9 * len(want)   # only the stream tail may miss
+
+
+def test_kcore_eager_checkpoint_releases_old_round_blocks(spark):
+    """The iterative-operator analog of the streaming state bounds
+    (round-10 verdict item 4): kcore_peel's docstring claims eager
+    per-round localCheckpoint keeps peak pinned storage at ~2 rounds'
+    frames because round r-1's blocks lose their last consumer when
+    ``bi`` is rebound.  Assert it against the JVM's RDDStorageInfo:
+    while iterating _kcore_rounds, the number of NEW cached RDDs (over
+    the pre-test baseline) must settle back to <=2 after every round —
+    a lazy-chain regression pins one frame per round and fails the
+    settle poll."""
+    import gc
+    import random
+    import time
+
+    from gcp_serverless_mapreduce_spark.operators import graph
+
+    sc = spark.sparkContext
+
+    def cached_ids():
+        return {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+
+    def settle(baseline, limit, timeout=30.0):
+        # ContextCleaner reclaim is async: Python gc drops the py4j
+        # binding, JVM gc queues the weak ref, the cleaner unpersists.
+        deadline = time.time() + timeout
+        while True:
+            gc.collect()
+            sc._jvm.System.gc()
+            new = cached_ids() - baseline
+            if len(new) <= limit or time.time() > deadline:
+                return new
+            time.sleep(0.3)
+
+    rng = random.Random(0xC0DE)
+    names = [f"n{i}" for i in range(60)]
+    edges = {(min(u, v), max(u, v))
+             for u, v in (rng.sample(names, 2) for _ in range(240))}
+    df = spark.createDataFrame(sorted(edges), "u string, v string")
+
+    baseline = cached_ids()
+    peaks = []
+    rounds_seen = 0
+    for bi in graph._kcore_rounds(df, k=3, rounds=5):
+        rounds_seen += 1
+        # current frame (+ at most one not-yet-reclaimed predecessor)
+        live = settle(baseline, limit=2)
+        peaks.append(len(live))
+    assert rounds_seen == 6  # initial frame + 5 rounds
+    assert max(peaks) <= 2, \
+        f"per-round live checkpoint frames {peaks} — old rounds pinned"
+    # the result stays correct through the release cycle
+    del bi
+    got = {r["node"]: r["deg"]
+           for r in graph.kcore_peel(df, k=3, rounds=5).collect()}
+    assert got  # non-degenerate fixture: a 3-core survives
+    assert all(d >= 3 for d in got.values())

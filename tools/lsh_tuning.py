@@ -116,7 +116,139 @@ def main() -> int:
     from md_section import replace_section
     replace_section(out_md, "lsh-tuning", "\n".join(lines))
     print(f"wrote {out_md}")
+
+    zipf_sweep(spark, sha, out_md)
     return 0
+
+
+def _zipf_corpus(spark, n_docs: int = 5000):
+    """Deterministic Zipf-skewed corpus at sf0.1 document count, scaled
+    up from the tests/test_dedup_similarity.py skew fixture: identical
+    boilerplate blocks big enough to overflow EVERY production bucket
+    cap in every band, planted honest near-dup pairs (one trailing
+    token differs -> J ~ 0.93), and Zipf background noise.  Returns
+    (docs_df, planted_pairs)."""
+    import random
+
+    rng = random.Random(0x21BF)
+    vocab = [f"w{i}" for i in range(400)]
+    weights = [1.0 / (i + 1) for i in range(len(vocab))]
+
+    def zipf_doc(n: int) -> str:
+        return " ".join(rng.choices(vocab, weights=weights, k=n))
+
+    rows, did, planted = [], 0, []
+    # two degenerate boilerplate blocks: 300 + 120 identical docs, so
+    # every cap in CAPS (16/64/256) is genuinely exceeded by at least
+    # one bucket — the regime the cap exists for.
+    for boiler, n in [("the same license header text repeated verbatim "
+                       "every single time", 300),
+                      ("all rights reserved redistribution permitted "
+                       "with attribution notice", 120)]:
+        for _ in range(n):
+            rows.append((did, boiler))
+            did += 1
+    # planted honest near-dups scattered through the id space
+    n_pairs = 300
+    for p in range(n_pairs):
+        base = zipf_doc(30).split()
+        b_toks = list(base)
+        b_toks[-1] = f"uniq{p}"
+        rows.append((did, " ".join(base)))
+        rows.append((did + 1, " ".join(b_toks)))
+        planted.append((did, did + 1))
+        did += 2
+    while did < n_docs:
+        rows.append((did, zipf_doc(25)))
+        did += 1
+    return spark.createDataFrame(rows, ["doc_id", "text"]), planted
+
+
+def zipf_sweep(spark, sha: str, out_md: str) -> None:
+    """The same banding/cap sweep on the SKEWED corpus (round-10
+    verdict item 6): the uniform sf-dir corpus never overflows a
+    bucket, so its table cannot show what the cap trades away.  Here
+    the boilerplate buckets overflow every cap, and the planted-pair
+    recall column measures what the production (4,2)+cap layout
+    actually costs under the skew it exists for."""
+    from gcp_serverless_mapreduce_spark.operators import dedup
+    from gcp_serverless_mapreduce_spark.suite import dedup_q as dq
+
+    docs, planted = _zipf_corpus(spark)
+    n_docs = docs.count()
+    sig = dedup.minhash_signatures(docs, dq.NUM_PERM).localCheckpoint()
+    planted_set = set(planted)
+
+    # df-capped exact truth (the production truth set): boilerplate
+    # shingles exceed JACCARD_DF_MAX and drop out, so "truth" here is
+    # the honest near-dup pairs — exactly what the planted set models.
+    truth = {(r["doc_a"], r["doc_b"]) for r in
+             dedup.jaccard_pairs(docs, dq.JACCARD_THRESHOLD,
+                                 df_max=dq.JACCARD_DF_MAX)
+             .select("doc_a", "doc_b").collect()}
+
+    rows = []
+    for bands, rpb in LAYOUTS:
+        for cap in CAPS:
+            t0 = time.time()
+            cand = {(r["doc_a"], r["doc_b"]) for r in
+                    dedup.lsh_candidate_pairs(sig, bands, rpb,
+                                              max_bucket=cap)
+                    .select("doc_a", "doc_b").collect()}
+            wall = time.time() - t0
+            caught = len(cand & truth)
+            prec = caught / len(cand) if cand else None
+            rec = caught / len(truth) if truth else None
+            prec_planted = (sum(1 for p in planted_set if p in cand)
+                            / len(planted_set))
+            rows.append((bands, rpb, cap, len(cand), prec, rec,
+                         prec_planted, wall))
+            print(f"zipf bands={bands} rows={rpb} cap={cap} "
+                  f"cand={len(cand)} precision={prec} recall={rec} "
+                  f"planted_recall={prec_planted:.3f} wall={wall:.2f}s")
+
+    def fmt(x):
+        return "—" if x is None else f"{x:.3f}"
+
+    lines = [
+        "## MinHash-LSH banding under Zipf skew (cap-binding regime)",
+        "",
+        f"The same sweep on a deterministic SKEWED corpus ({n_docs} "
+        f"docs — sf0.1 document count): 300+120 identical boilerplate "
+        f"docs overflow every band bucket at every cap, "
+        f"{len(planted_set)} planted near-dup pairs (J ~ 0.93) are the "
+        f"honest signal, Zipf noise fills the rest (the scaled-up "
+        f"tests/test_dedup_similarity.py skew fixture).  `recall` is "
+        f"vs the df-capped exact-Jaccard truth; `planted recall` is "
+        f"the planted pairs alone.  "
+        f"Regenerate: `python tools/lsh_tuning.py`.  @{sha}.",
+        "",
+        "| bands | rows/band | bucket cap | candidates | precision "
+        "| recall | planted recall | wall (s) |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for bands, rpb, cap, n, prec, rec, prec_p, wall in rows:
+        mark = (" **<- production**"
+                if (bands, rpb, cap) == (dq.BANDS, dq.ROWS_PER_BAND,
+                                         dq.MAX_BUCKET)
+                else "")
+        lines.append(f"| {bands} | {rpb} | {cap} | {n} | {fmt(prec)} "
+                     f"| {fmt(rec)} | {fmt(prec_p)} "
+                     f"| {wall:.2f}{mark} |")
+    lines += [
+        "",
+        "Reading: with buckets genuinely overflowing, the cap is what "
+        "separates a bounded candidate set from the boilerplate "
+        "blowup — candidates scale with cap^2 inside degenerate "
+        "buckets while planted recall holds, because honest pairs "
+        "collide in SOME band bucket that is far below the cap.  The "
+        "production layout's planted recall under overflow is the "
+        "number the test suite pins at >= 0.9; this table records the "
+        "measured value and what the alternatives would trade.",
+    ]
+    from md_section import replace_section
+    replace_section(out_md, "lsh-tuning-zipf", "\n".join(lines))
+    print(f"wrote {out_md} (zipf section)")
 
 
 if __name__ == "__main__":
