@@ -240,11 +240,19 @@ def zipf_sweep(spark, sha: str, out_md: str) -> None:
         "Reading: with buckets genuinely overflowing, the cap is what "
         "separates a bounded candidate set from the boilerplate "
         "blowup — candidates scale with cap^2 inside degenerate "
-        "buckets while planted recall holds, because honest pairs "
-        "collide in SOME band bucket that is far below the cap.  The "
-        "production layout's planted recall under overflow is the "
-        "number the test suite pins at >= 0.9; this table records the "
-        "measured value and what the alternatives would trade.",
+        "buckets while PLANTED recall holds (1.0 at the production "
+        "(4,2) layout at every cap), because honest pairs collide in "
+        "SOME band bucket far below the cap.  The raw `recall` column "
+        "is dominated by the 120-doc identical-boilerplate clique "
+        "(C(120,2)=7140 of the ~7440 truth pairs): the cap truncates "
+        "WITHIN-CLIQUE pair enumeration, which a dedup pipeline does "
+        "not need — identical docs fall to exact md5 dedup first, and "
+        "the connected-components clustering only needs the clique "
+        "CONNECTED, not complete.  What the cap protects is the "
+        "downstream verify join: at (8,1)/cap-256 the clique alone "
+        "contributes ~87k candidate rows; the production point pays "
+        "4.4k.  The production layout's planted recall under overflow "
+        "is the number the test suite pins at >= 0.9.",
     ]
     from md_section import replace_section
     replace_section(out_md, "lsh-tuning-zipf", "\n".join(lines))
