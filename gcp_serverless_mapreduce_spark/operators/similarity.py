@@ -75,6 +75,29 @@ def srp_signature(vec_col: Column, planes: list[list[int]]) -> Column:
     return F.concat(*bits)
 
 
+def _pair_dot_udf():
+    """Arrow-batched exact pair dot product over two unit-vector columns.
+
+    Dimension-by-dimension accumulation = the oracle's left-to-right
+    ``list_reduce`` fold, vectorized over the Arrow batch (the
+    interpreted ``F.aggregate`` fold measured ~40% slower over |Q|·N
+    pair rows at sf0.1) — so raw (unrounded) similarities agree
+    bit-for-bit across engines and even rankings on them are stable."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def pair_dot(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        if not len(qv):
+            return pd.Series(dtype="float64")
+        Q, C = np.vstack(qv.to_numpy()), np.vstack(cv.to_numpy())
+        acc = np.zeros(len(Q))
+        for i in range(Q.shape[1]):
+            acc += Q[:, i] * C[:, i]
+        return pd.Series(acc)
+
+    return pair_dot
+
+
 def topk_per_query(pairs: DataFrame, k: int,
                    query_col: str = "query_id",
                    sim_col: str = "sim",
@@ -99,21 +122,7 @@ def brute_force_topk(emb: DataFrame, k: int, num_queries: int,
     nested-loop join and every corpus vector is re-normalized once PER
     QUERY (measured 30× slower at |Q|=20).  One extra corpus shuffle,
     amortized over all queries, beats |Q| norm folds per vector."""
-    import numpy as np
-
-    @pandas_udf("double")
-    def pair_dot(qv: pd.Series, cv: pd.Series) -> pd.Series:
-        # dimension-by-dimension accumulation = the oracle's
-        # left-to-right list_reduce fold, vectorized over the Arrow
-        # batch (the interpreted F.aggregate fold measured ~40% slower
-        # over |Q|·N pair rows at sf0.1)
-        if not len(qv):
-            return pd.Series(dtype="float64")
-        Q, C = np.vstack(qv.to_numpy()), np.vstack(cv.to_numpy())
-        acc = np.zeros(len(Q))
-        for i in range(Q.shape[1]):
-            acc += Q[:, i] * C[:, i]
-        return pd.Series(acc)
+    pair_dot = _pair_dot_udf()
 
     units = (unit_vectors(emb).select(F.col(id_col), F.col("unit"))
              .filter(F.col("unit").isNotNull())
@@ -1247,6 +1256,120 @@ def matryoshka_recall(emb: DataFrame, k: int, num_queries: int,
     )
 
 
+def mmr_diverse_topk(emb: DataFrame, k: int, num_queries: int,
+                     shortlist: int, lam: float, lam_comp: float,
+                     id_col: str = "vec_id") -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): per query, greedily select ``k`` results maximizing
+    ``lam * rel(c) - lam_comp * max_{s in selected} sim(c, s)`` — the
+    diversity-aware retrieval step that keeps a RAG context window (or
+    a dedup-at-retrieval training-data sampler) from filling with
+    near-identical passages.  Step 1 is the pure-relevance argmax
+    (empty selected set -> redundancy term 0).
+
+    -> (query_id, step, sel_id, mmr_score): the selection ORDER is the
+    output — a swapped redundancy sign or a wrong running-max shows up
+    at step 2, not as a mysteriously-shuffled final set.
+
+    Plan shape: the candidate shortlist is the exact cosine top-
+    ``shortlist`` per query (broadcast query panel x streamed corpus —
+    the audited brute-force plan), checkpointed once so the corpus is
+    scanned exactly once; candidate-candidate similarities join the
+    checkpointed shortlist to itself (|Q| x shortlist^2 rows, bounded
+    by constants, never by the corpus).  The greedy selection itself is
+    inherently SEQUENTIAL (each step's scores depend on the previous
+    step's pick), so it runs as ONE cogrouped ``applyInPandas`` per
+    query over those two constant-size frames — the semdedup_discards
+    pattern — instead of k chained DataFrame rounds, whose branched
+    lineage re-executed every prior round per step (measured 321
+    exchanges vs 8 for this shape at identical results).  At 100 TB
+    only the shortlist build touches data.
+
+    Determinism: similarities come from the shared Arrow fold kernel
+    (``_pair_dot_udf`` — the oracle's left-to-right ``list_reduce``
+    order); the greedy combines them with plain IEEE-double
+    ``lam * rel - lam_comp * maxsim`` (both weights SEPARATE literals —
+    never computing ``1 - lam``, whose rounding could differ from a
+    literal), ties break on the candidate id, and the 4dp presentation
+    rounding happens in the ENGINE (F.round), not in Python, so both
+    engines round the identical raw double the same way."""
+    pair_dot = _pair_dot_udf()
+    units = (unit_vectors(emb).select(F.col(id_col), F.col("unit"))
+             .filter(F.col("unit").isNotNull())
+             .repartition(F.col(id_col)))  # materialization barrier
+    q = (units.filter(F.col(id_col) < num_queries)
+         .select(F.col(id_col).alias("query_id"),
+                 F.col("unit").alias("qv")))
+    c = units.select(F.col(id_col).alias("cand_id"),
+                     F.col("unit").alias("cv"))
+    rel_pairs = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", "cv",
+                pair_dot(F.col("qv"), F.col("cv")).alias("rel")))
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("cand_id").asc())
+    # |Q| x shortlist rows; checkpointed so the corpus scan behind it
+    # runs once, not once per consumer (pair join + cogroup).
+    s = (rel_pairs.withColumn("rn", F.row_number().over(w_rel))
+         .filter(F.col("rn") <= shortlist).drop("rn")
+         .localCheckpoint())
+    a = s.select("query_id", F.col("cand_id").alias("ca"),
+                 F.col("cv").alias("ua"))
+    b = s.select("query_id", F.col("cand_id").alias("cb"),
+                 F.col("cv").alias("ub"))
+    # |Q| x shortlist^2 rows; checkpointed both to sever the lineage it
+    # shares with the cogroup's other (s-derived) side — Spark's
+    # ambiguous-self-join check rejects cogrouping two branches of one
+    # plan — and so the pair kernel runs once.
+    p = (a.join(b, ["query_id"])
+         .filter(F.col("ca") != F.col("cb"))
+         .select("query_id", "ca", "cb",
+                 pair_dot(F.col("ua"), F.col("ub")).alias("psim"))
+         .localCheckpoint())
+
+    def greedy(sdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        if sdf.empty:
+            return pd.DataFrame(
+                columns=["query_id", "step", "sel_id", "score"])
+        qid = int(sdf["query_id"].iloc[0])
+        rel = dict(zip(sdf["cand_id"], sdf["rel"]))
+        psim: dict[tuple[int, int], float] = {}
+        for ca, cb, sim in zip(pdf["ca"], pdf["cb"], pdf["psim"]):
+            psim[(int(ca), int(cb))] = float(sim)
+        selected: list[int] = []
+        out = []
+        for step in range(1, k + 1):
+            best = None
+            for cand in rel:
+                if cand in selected:
+                    continue
+                if selected:
+                    score = (lam * rel[cand] - lam_comp
+                             * max(psim[(cand, s_)] for s_ in selected))
+                else:
+                    score = lam * rel[cand]
+                key = (-score, cand)
+                if best is None or key < best[0]:
+                    best = (key, cand, score)
+            if best is None:           # fewer candidates than k
+                break
+            _, sel, score = best
+            selected.append(sel)
+            out.append((qid, step, sel, score))
+        return pd.DataFrame(
+            out, columns=["query_id", "step", "sel_id", "score"])
+
+    picked = (s.select("query_id", "cand_id", "rel")
+              .groupBy("query_id")
+              .cogroup(p.groupBy("query_id"))
+              .applyInPandas(
+                  greedy,
+                  "query_id long, step long, sel_id long, score double"))
+    return picked.select("query_id", "step", "sel_id",
+                         F.round("score", 4).alias("mmr_score"))
+
+
 def ivf_pq_topk(emb: DataFrame, k: int, centers: list[list[float]],
                 codebooks: list[list[list[float]]], n_probe: int,
                 num_queries: int, m_rerank: int,
@@ -1269,8 +1392,6 @@ def ivf_pq_topk(emb: DataFrame, k: int, centers: list[list[float]],
     vectors" I/O pattern of a disk-resident index).  Every stage
     reuses the audited fold kernels, so the whole composition is
     hash-gated against the oracle's CTE unroll."""
-    import numpy as np
-
     n_sub, n_codes = len(codebooks), len(codebooks[0])
     units = (unit_vectors(emb, vec_col)
              .filter(F.col("unit").isNotNull())
@@ -1305,15 +1426,7 @@ def ivf_pq_topk(emb: DataFrame, k: int, centers: list[list[float]],
              .filter(F.col("arank") <= m_rerank)
              .select("query_id", "neighbor_id"))
 
-    @pandas_udf("double")
-    def pair_dot(qv: pd.Series, cv: pd.Series) -> pd.Series:
-        if not len(qv):
-            return pd.Series(dtype="float64")
-        Q, C = np.vstack(qv.to_numpy()), np.vstack(cv.to_numpy())
-        acc = np.zeros(len(Q))
-        for i in range(Q.shape[1]):    # fold order = the oracle's
-            acc += Q[:, i] * C[:, i]
-        return pd.Series(acc)
+    pair_dot = _pair_dot_udf()
 
     qu = units.select(F.col(id_col).alias("query_id"),
                       F.col("unit").alias("qu"))

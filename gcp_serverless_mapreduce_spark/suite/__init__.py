@@ -58,10 +58,13 @@ from . import profiling_q  # noqa: F401, E402
 #    under train_target=128, making the count-scaled sampling modulus
 #    exceed 1 at test scale (mod 3 at sf0.01) so the capped-training
 #    contract is driver-attested on real data, not just unit-replayed;
-# 3) 24 of the 46 round-6-era queries, leading with the stateful /
+# 2c) mmr_diverse_topk + source_drift_psi, NEW late in round 10
+#    (MMR diversified retrieval; PSI snapshot drift) — first
+#    attestation;
+# 3) 22 of the 46 round-6-era queries, leading with the stateful /
 #    iterative / sketch operators (hardest to re-derive from builder
-#    parity alone).  The remaining 22 r6 queries lead round 11:
-#    zorder_layout_keys,
+#    parity alone).  The remaining 24 r6 queries lead round 11:
+#    m4_downsample_hourly, approx_stats_parts, zorder_layout_keys,
 #    bigram_coherence_score, bm25_doc_scores, dataset_split_counts,
 #    dedup_resolution_by_source, doc_overlapping_chunks,
 #    domain_capped_corpus, funnel_signup_click_purchase,
@@ -125,8 +128,9 @@ promote([
     "snapshot_diff_customers",
     "event_transition_matrix",
     "events_json_corrupt_routing",
-    "m4_downsample_hourly",
-    "approx_stats_parts",
+    # -- new this round (2): MMR diversified retrieval + PSI drift --
+    "mmr_diverse_topk",
+    "source_drift_psi",
 ])
 
 # Re-export the flagship for __spark_entry__.entry

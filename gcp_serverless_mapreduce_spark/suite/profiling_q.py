@@ -515,3 +515,110 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor(F.col("max_cnt") * 10000
                             / F.col("total_rows")).cast("long")
                     .alias("top_share_bp")))
+
+
+# ---- corpus snapshot drift (PSI) ------------------------------------------
+
+PSI_BUCKETS = 12       # fixed log2-length grid: bucket = len(bin(n_chars))
+PSI_QUANTUM = 1e9      # per-bucket terms quantized to BIGINT nano-units
+
+
+@register("source_drift_psi", f"""
+WITH d AS (
+    SELECT source,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+                THEN 0 ELSE 1 END AS cur,
+           least(length(bin(n_chars)), {PSI_BUCKETS}) AS bucket
+    FROM documents),
+c AS (SELECT source, bucket,
+             CAST(SUM(1 - cur) AS BIGINT) AS nref,
+             CAST(SUM(cur) AS BIGINT) AS ncur
+      FROM d GROUP BY source, bucket),
+t AS (SELECT source,
+             CAST(SUM(nref) AS BIGINT) AS tref,
+             CAST(SUM(ncur) AS BIGINT) AS tcur
+      FROM c GROUP BY source),
+g AS (SELECT t.source, t.tref, t.tcur, b.bucket,
+             coalesce(c.nref, 0) AS nref, coalesce(c.ncur, 0) AS ncur
+      FROM t
+      CROSS JOIN (SELECT unnest(generate_series(1, {PSI_BUCKETS}))
+                  AS bucket) b
+      LEFT JOIN c ON c.source = t.source AND c.bucket = b.bucket),
+q AS (SELECT source, tref, tcur,
+             CAST(round(((ncur + 1.0) / (tcur + {PSI_BUCKETS})
+                         - (nref + 1.0) / (tref + {PSI_BUCKETS}))
+                        * ln(((ncur + 1.0) / (tcur + {PSI_BUCKETS}))
+                             / ((nref + 1.0) / (tref + {PSI_BUCKETS})))
+                        * {PSI_QUANTUM:.1f}) AS BIGINT) AS qt
+      FROM g)
+SELECT source, tref AS n_ref, tcur AS n_cur,
+       round(CAST(SUM(qt) AS DOUBLE) / {PSI_QUANTUM:.1f}, 6) AS psi_len
+FROM q GROUP BY source, tref, tcur
+""")
+def source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus snapshots, per
+    source — the data-drift monitor a continuously-ingesting 100 TB
+    pipeline runs before retraining: PSI >= 0.2 on a feature
+    distribution means the incoming crawl no longer looks like the
+    corpus the filters were tuned on.
+
+    Snapshots are the md5(doc_id) halves (a pure function of doc_id —
+    the dataset_split_counts idiom — so membership is repartition- and
+    append-stable); the audited feature is the doc-length distribution
+    over a FIXED {PSI_BUCKETS}-bucket log2 grid (bucket =
+    len(bin(n_chars)), an integer/string computation both engines get
+    exactly — no data-dependent bin edges, so buckets mean the same
+    thing across snapshots and scales).  Add-one smoothing over the
+    full grid keeps every term finite; PSI =
+    sum_b (p_cur - p_ref) * ln(p_cur / p_ref).
+
+    -> (source, n_ref, n_cur, psi_len).
+
+    Plan shape: ONE corpus scan into a map-side-combined
+    (source, bucket) count with the snapshot halves pivoted as
+    conditional sums (never a half-keyed shuffle); everything after is
+    catalog-sized — the fixed grid materializes IN-ROW per source
+    (sequence + map lookup, no spine join, no second scan).
+    Determinism: each bucket's PSI term quantizes to BIGINT nano-units
+    before the cross-bucket sum (the bigram_coherence_score rule), so
+    no double accumulates across rows; the single ln() per bucket
+    rides inside the rounded quantum.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cur = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8",
+        F.lit(0)).otherwise(F.lit(1))
+    bucket = F.least(F.length(F.bin(F.col("n_chars"))),
+                     F.lit(PSI_BUCKETS))
+    c = (docs.select("source", cur.alias("cur"), bucket.alias("bucket"))
+         .groupBy("source", "bucket")
+         .agg(F.sum(1 - F.col("cur")).cast("long").alias("nref"),
+              F.sum("cur").cast("long").alias("ncur")))
+    per_src = (c.groupBy("source")
+               .agg(F.map_from_entries(
+                        F.collect_list(F.struct(
+                            "bucket",
+                            F.struct("nref", "ncur")))).alias("m"),
+                    F.sum("nref").cast("long").alias("tref"),
+                    F.sum("ncur").cast("long").alias("tcur")))
+    g = (per_src
+         .select("source", "tref", "tcur", "m",
+                 F.explode(F.sequence(F.lit(1), F.lit(PSI_BUCKETS)))
+                 .alias("bucket"))
+         .select("source", "tref", "tcur", "bucket",
+                 F.coalesce(F.col("m")[F.col("bucket")]["nref"],
+                            F.lit(0).cast("long")).alias("nref"),
+                 F.coalesce(F.col("m")[F.col("bucket")]["ncur"],
+                            F.lit(0).cast("long")).alias("ncur")))
+    p_cur = (F.col("ncur") + F.lit(1.0)) \
+        / (F.col("tcur") + F.lit(PSI_BUCKETS))
+    p_ref = (F.col("nref") + F.lit(1.0)) \
+        / (F.col("tref") + F.lit(PSI_BUCKETS))
+    qt = F.round((p_cur - p_ref) * F.log(p_cur / p_ref)
+                 * F.lit(PSI_QUANTUM)).cast("long")
+    return (g.select("source", "tref", "tcur", qt.alias("qt"))
+            .groupBy("source", "tref", "tcur")
+            .agg(F.round(F.sum("qt").cast("double") / PSI_QUANTUM, 6)
+                 .alias("psi_len"))
+            .select("source", F.col("tref").alias("n_ref"),
+                    F.col("tcur").alias("n_cur"), "psi_len"))

@@ -1002,3 +1002,76 @@ def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        F.lit(0.0)), 6)
                     .alias("load_factor"),
                     (F.col("n_vecs") == 0).alias("is_empty")))
+
+
+# ---- MMR diversified retrieval --------------------------------------------
+
+MMR_K = 5            # selections per query
+MMR_SHORTLIST = 10   # exact-cosine candidate shortlist per query
+MMR_NQ = 4           # probe queries (vec_id < MMR_NQ)
+MMR_LAM = 0.7        # relevance weight
+MMR_LAM_COMP = 0.3   # redundancy weight — a SEPARATE literal, never 1-lam
+_MMR_LAM_SQL = "0.7"
+_MMR_COMP_SQL = "0.3"
+
+
+def _mmr_sql() -> str:
+    """Unrolled greedy-MMR oracle: shortlist + pair CTEs, then one
+    (maxsim -> score -> argmax -> selected-union) CTE block per step —
+    the Lloyd-training unroll pattern applied to a greedy selection."""
+    head = _UNIT_CTE + f""",
+qy AS (SELECT vec_id AS query_id, u AS qu FROM u WHERE vec_id < {MMR_NQ}),
+rel AS (SELECT query_id, b.vec_id AS cand_id, b.u AS cu,
+               {_dot('qy.qu', 'b.u')} AS rel
+        FROM qy JOIN u b ON b.vec_id <> qy.query_id),
+s AS (SELECT query_id, cand_id, cu, rel FROM rel
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, cand_id)
+              <= {MMR_SHORTLIST}),
+p AS (SELECT x.query_id, x.cand_id AS ca, y.cand_id AS cb,
+             {_dot('x.cu', 'y.cu')} AS psim
+      FROM s x JOIN s y ON x.query_id = y.query_id
+                       AND x.cand_id <> y.cand_id),
+sel1 AS (SELECT query_id, cand_id AS sel_id, {_MMR_LAM_SQL} * rel AS score
+         FROM s
+         QUALIFY row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rel DESC, cand_id) = 1),
+all1 AS (SELECT query_id, sel_id FROM sel1)"""
+    blocks = []
+    for t in range(2, MMR_K + 1):
+        blocks.append(f""",
+ms{t} AS (SELECT p.query_id, p.ca AS cand_id, max(p.psim) AS maxsim
+          FROM p JOIN all{t - 1} sl
+               ON p.query_id = sl.query_id AND p.cb = sl.sel_id
+          WHERE NOT EXISTS (SELECT 1 FROM all{t - 1} x
+                            WHERE x.query_id = p.query_id
+                              AND x.sel_id = p.ca)
+          GROUP BY p.query_id, p.ca),
+sel{t} AS (SELECT s.query_id, s.cand_id AS sel_id,
+                  {_MMR_LAM_SQL} * s.rel
+                  - {_MMR_COMP_SQL} * m.maxsim AS score
+           FROM s JOIN ms{t} m
+                ON s.query_id = m.query_id AND s.cand_id = m.cand_id
+           QUALIFY row_number() OVER (PARTITION BY s.query_id
+                                      ORDER BY score DESC, s.cand_id)
+                   = 1),
+all{t} AS (SELECT query_id, sel_id FROM all{t - 1}
+           UNION ALL SELECT query_id, sel_id FROM sel{t})""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT query_id, CAST({t} AS BIGINT) AS step, sel_id, "
+        f"round(score, 4) AS mmr_score FROM sel{t}"
+        for t in range(1, MMR_K + 1))
+    return head + "".join(blocks) + "\n" + finals
+
+
+@register("mmr_diverse_topk", _mmr_sql())
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-{MMR_K} for the first
+    {MMR_NQ} query vectors over an exact cosine top-{MMR_SHORTLIST}
+    shortlist (lambda {MMR_LAM}/{MMR_LAM_COMP}) — the dedup-at-retrieval
+    re-rank of a RAG stack or a diversity-aware training-data sampler.
+    The greedy selection ORDER itself is hash-gated step by step; see
+    operators/similarity.py:mmr_diverse_topk for the plan shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mmr_diverse_topk(
+        emb, MMR_K, MMR_NQ, MMR_SHORTLIST, MMR_LAM, MMR_LAM_COMP)

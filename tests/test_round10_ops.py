@@ -1,0 +1,194 @@
+"""Round-10 operators: MMR diversified retrieval + PSI snapshot drift.
+
+Both queries are oracle-gated end-to-end by the driver; these tests pin
+the SEMANTICS the hash can't explain by itself — that MMR actually
+trades relevance for diversity (a pure-relevance top-k would fail the
+synthetic), and that PSI separates a drifted snapshot pair from a
+stable one — via exact pure-Python recomputations on synthetic frames,
+plus structural invariants on the fixture.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from gcp_serverless_mapreduce_spark.operators import similarity
+from gcp_serverless_mapreduce_spark.suite import profiling_q, similarity_q
+from gcp_serverless_mapreduce_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+RNG = random.Random(0xD1E5)
+
+
+# ---- pure-Python MMR reference (same fold order as the Arrow kernel) ------
+
+def _unit(v):
+    nrm = math.sqrt(_dot(v, v))
+    return [x / nrm for x in v] if nrm else None
+
+
+def _dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _py_mmr(vecs, k, num_queries, shortlist, lam, lam_comp):
+    units = {i: u for i, v in vecs.items() if (u := _unit(v)) is not None}
+    out = []
+    for q in range(num_queries):
+        if q not in units:
+            continue
+        rel = {c: _dot(units[q], units[c]) for c in units if c != q}
+        short = sorted(rel, key=lambda c: (-rel[c], c))[:shortlist]
+        selected = []
+        for step in range(1, k + 1):
+            best = None
+            for c in short:
+                if c in selected:
+                    continue
+                if selected:
+                    redund = max(_dot(units[c], units[s])
+                                 for s in selected)
+                    score = lam * rel[c] - lam_comp * redund
+                else:
+                    score = lam * rel[c]
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, score)
+            _, sel, score = best
+            selected.append(sel)
+            out.append((q, step, sel, round(score, 4)))
+    return sorted(out)
+
+
+def test_mmr_matches_python_reference_on_random_vectors(spark):
+    dim, n = 8, 30
+    vecs = {i: [RNG.uniform(-1, 1) for _ in range(dim)] for i in range(n)}
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>")
+    got = sorted(
+        (r["query_id"], r["step"], r["sel_id"], r["mmr_score"])
+        for r in similarity.mmr_diverse_topk(
+            emb, k=4, num_queries=2, shortlist=6,
+            lam=0.7, lam_comp=0.3).collect())
+    assert got == _py_mmr(vecs, 4, 2, 6, 0.7, 0.3)
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """The semantic point of MMR: with two near-duplicate top-relevance
+    candidates and a slightly-less-relevant orthogonal one, plain top-2
+    takes both duplicates; MMR's step 2 must take the diverse one."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]),          # the query
+         (10, [0.99, 0.141, 0.0]),      # top relevance
+         (11, [0.985, 0.172, 0.0]),     # near-duplicate of 10
+         (12, [0.97, 0.0, 0.243])],     # lower rel, orthogonal 3rd dim
+        "vec_id long, embedding array<double>")
+    rows = similarity.mmr_diverse_topk(
+        emb, k=2, num_queries=1, shortlist=3,
+        lam=0.7, lam_comp=0.3).collect()
+    by_step = {r["step"]: r["sel_id"] for r in rows}
+    assert by_step[1] == 10            # pure-relevance argmax
+    assert by_step[2] == 12            # diversity beats the near-dup
+    # sanity: plain relevance order WOULD have picked 11 second
+    top2 = [r["neighbor_id"] for r in similarity.brute_force_topk(
+        emb, k=2, num_queries=1).collect()]
+    assert top2 == [10, 11]
+
+
+def test_mmr_fixture_invariants(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = similarity.mmr_diverse_topk(
+        emb, similarity_q.MMR_K, similarity_q.MMR_NQ,
+        similarity_q.MMR_SHORTLIST, similarity_q.MMR_LAM,
+        similarity_q.MMR_LAM_COMP).collect()
+    assert len(rows) == similarity_q.MMR_K * similarity_q.MMR_NQ
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        assert sorted(r["step"] for r in rs) == list(
+            range(1, similarity_q.MMR_K + 1))
+        sels = [r["sel_id"] for r in rs]
+        assert len(set(sels)) == len(sels)      # no repeats
+        assert q not in sels                    # never selects the query
+    # step 1 is the global exact top-1 (shortlist contains it)
+    top1 = {r["query_id"]: r["neighbor_id"]
+            for r in similarity.brute_force_topk(
+                emb, 1, similarity_q.MMR_NQ).collect()}
+    got1 = {r["query_id"]: r["sel_id"] for r in rows if r["step"] == 1}
+    assert got1 == top1
+
+
+# ---- PSI snapshot drift ----------------------------------------------------
+
+def _py_psi(doc_rows, buckets=profiling_q.PSI_BUCKETS,
+            quantum=profiling_q.PSI_QUANTUM):
+    per_src: dict[str, dict] = {}
+    for doc_id, source, n_chars in doc_rows:
+        half = 1 if hashlib.md5(
+            str(doc_id).encode()).hexdigest()[0] >= "8" else 0
+        b = min(len(format(n_chars, "b")), buckets)
+        d = per_src.setdefault(source, {"nref": {}, "ncur": {}})
+        key = "ncur" if half else "nref"
+        d[key][b] = d[key].get(b, 0) + 1
+    out = {}
+    for source, d in per_src.items():
+        tref, tcur = sum(d["nref"].values()), sum(d["ncur"].values())
+        qsum = 0
+        for b in range(1, buckets + 1):
+            pc = (d["ncur"].get(b, 0) + 1.0) / (tcur + buckets)
+            pr = (d["nref"].get(b, 0) + 1.0) / (tref + buckets)
+            term = (pc - pr) * math.log(pc / pr) * quantum
+            # round-half-away-from-zero (Spark/DuckDB round())
+            qsum += int(math.copysign(math.floor(abs(term) + 0.5), term))
+        out[source] = (tref, tcur, round(qsum / quantum, 6))
+    return out
+
+
+def test_psi_fuzz_matches_python_recompute(spark, tmp_path):
+    rows = []
+    did = 0
+    # "stable": length independent of the snapshot hash
+    for _ in range(400):
+        rows.append((did, "stable", RNG.randint(50, 2000)))
+        did += 1
+    # "drift": the cur half is ~4x longer than the ref half
+    for _ in range(400):
+        half = hashlib.md5(str(did).encode()).hexdigest()[0] >= "8"
+        lo, hi = (800, 4000) if half else (50, 900)
+        rows.append((did, "drift", RNG.randint(lo, hi)))
+        did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["source"]: (r["n_ref"], r["n_cur"], r["psi_len"])
+           for r in profiling_q.source_drift_psi(
+               spark, str(tmp_path)).collect()}
+    want = _py_psi(rows)
+    assert got == want
+    # PSI separates the two regimes decisively
+    assert got["drift"][2] > 0.5
+    assert got["stable"][2] < 0.05
+    # every term (p - q) ln(p/q) is >= 0, so PSI is too
+    assert all(v[2] >= -1e-9 for v in got.values())
+
+
+def test_psi_fixture_invariants(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    n_per_src = {r["source"]: r["n"] for r in
+                 docs.groupBy("source")
+                 .agg(F.count("*").alias("n")).collect()}
+    rows = profiling_q.source_drift_psi(spark, SF_DIR).collect()
+    assert {r["source"] for r in rows} == set(n_per_src)
+    for r in rows:
+        assert r["n_ref"] + r["n_cur"] == n_per_src[r["source"]]
+        assert r["psi_len"] >= -1e-9
