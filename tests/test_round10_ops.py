@@ -192,3 +192,36 @@ def test_psi_fixture_invariants(spark):
     for r in rows:
         assert r["n_ref"] + r["n_cur"] == n_per_src[r["source"]]
         assert r["psi_len"] >= -1e-9
+
+
+def test_mmr_reduces_redundancy_vs_plain_topk(spark):
+    """The measurable point of the operator: over the fixture corpus,
+    the MMR selection's mean pairwise cosine (its redundancy) must be
+    strictly below the plain relevance top-k's for the same k — i.e.
+    the diversity term does real work, not just reordering."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    k, nq = similarity_q.MMR_K, similarity_q.MMR_NQ
+    mmr_sel: dict[int, list[int]] = {}
+    for r in similarity.mmr_diverse_topk(
+            emb, k, nq, similarity_q.MMR_SHORTLIST,
+            similarity_q.MMR_LAM, similarity_q.MMR_LAM_COMP).collect():
+        mmr_sel.setdefault(r["query_id"], []).append(r["sel_id"])
+    plain_sel: dict[int, list[int]] = {}
+    for r in similarity.brute_force_topk(emb, k, nq).collect():
+        plain_sel.setdefault(r["query_id"], []).append(r["neighbor_id"])
+
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in
+            emb.filter(F.col("vec_id").isin(
+                sorted({v for s in (*mmr_sel.values(),
+                                    *plain_sel.values()) for v in s})))
+            .collect()}
+
+    def mean_pairwise(ids):
+        us = [_unit(vecs[i]) for i in ids]
+        sims = [_dot(a, b) for i, a in enumerate(us)
+                for b in us[i + 1:]]
+        return sum(sims) / len(sims)
+
+    mmr_red = sum(mean_pairwise(v) for v in mmr_sel.values()) / nq
+    plain_red = sum(mean_pairwise(v) for v in plain_sel.values()) / nq
+    assert mmr_red < plain_red, (mmr_red, plain_red)
