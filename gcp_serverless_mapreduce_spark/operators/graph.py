@@ -222,3 +222,45 @@ def _kcore_rounds(edges: DataFrame, k: int, rounds: int):
               .select("u", "v")
               .localCheckpoint())
         yield bi
+
+
+def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
+    """-> (node, community): synchronous Label Propagation (Raghavan et
+    al. 2007) for ``rounds`` rounds over undirected edges (u < v) —
+    the near-linear community detector a corpus-graph audit runs when
+    k-core density screening isn't enough structure.
+
+    Every node starts labeled with itself; each round every node
+    adopts the most frequent label among its NEIGHBORS' previous-round
+    labels (synchronous update — all nodes read round t-1), ties broken
+    (count desc, label asc).  A fixed round count and the deterministic
+    tie-break make the whole trajectory engine-independent, so the
+    oracle unrolls the rounds as CTEs and the final (node, community)
+    assignment is hash-gated — the dup_clusters / kcore_peel
+    determinism contract applied to the mode-update fixpoint.
+
+    Scale shape: the bidirected edge list is checkpointed ONCE and
+    scanned by every round; each round is one join shuffled on the
+    node id + one (node, label) count + one per-node window argmax —
+    all keyed on the node id, never all-pairs, label frames are
+    O(|nodes|).  Rounds chain lazily (labels(t) depends only on
+    labels(t-1) and the checkpointed edges — linear lineage, the
+    pagerank pattern, not the branching that forces kcore_peel's
+    per-round checkpoints)."""
+    bi = (edges.select("u", "v")
+          .unionByName(edges.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+          .localCheckpoint())
+    labels = (bi.select(F.col("u").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(rounds):
+        nb = (bi.join(labels, bi["v"] == labels["node"])
+              .select(bi["u"].alias("node"), "label"))
+        cnt = (nb.groupBy("node", "label")
+               .agg(F.count(F.lit(1)).alias("c")))
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("label").asc())
+        labels = (cnt.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select("node", "label"))
+    return labels.select("node", F.col("label").alias("community"))

@@ -63,7 +63,9 @@ from . import profiling_q  # noqa: F401, E402
 #    attestation;
 # 3) 22 of the 46 round-6-era queries, leading with the stateful /
 #    iterative / sketch operators (hardest to re-derive from builder
-#    parity alone).  The remaining 24 r6 queries lead round 11:
+#    parity alone).  The remaining 24 r6 queries lead round 11,
+#    together with the two post-window round-10 additions
+#    lpa_word_communities and k_anonymity_audit:
 #    m4_downsample_hourly, approx_stats_parts, zorder_layout_keys,
 #    bigram_coherence_score, bm25_doc_scores, dataset_split_counts,
 #    dedup_resolution_by_source, doc_overlapping_chunks,

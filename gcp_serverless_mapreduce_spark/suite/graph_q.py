@@ -186,3 +186,45 @@ def kcore_pmi_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     pmi = textstats.cooccurrence_pmi(docs, PMI_MAX_GAP, PMI_MIN_COUNT)
     edges = graph.undirect(pmi.where(F.col("pmi") >= TRI_PMI_MIN))
     return graph.kcore_peel(edges, KCORE_K, KCORE_ROUNDS)
+
+
+# ---- label-propagation communities over the PMI word graph ----------------
+
+LPA_ROUNDS = 4
+
+_LPA_ROUND = """,
+n{i} AS (SELECT e0.u AS node, l.label, COUNT(*) AS c
+         FROM e0 JOIN l{prev} l ON l.node = e0.v
+         GROUP BY e0.u, l.label),
+l{i} AS (SELECT node, label FROM n{i}
+         QUALIFY row_number() OVER (PARTITION BY node
+                                    ORDER BY c DESC, label) = 1)"""
+
+_LPA_SQL = (_PMI_EDGES_CTE + """,
+e0 AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM e0)"""
+            + "".join(_LPA_ROUND.format(i=i, prev=i - 1)
+                      for i in range(1, LPA_ROUNDS + 1))
+            + f"""
+SELECT node, label AS community FROM l{LPA_ROUNDS}
+""")
+
+
+@register("lpa_word_communities", _LPA_SQL)
+def lpa_word_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{LPA_ROUNDS}-round synchronous Label Propagation (Raghavan et al.
+    2007) over the same PMI word-association graph as the triangle and
+    k-core queries — the near-linear community detector that finds the
+    graph's topical clusters where k-core only screens density.  Every
+    node's final community label is hash-gated: the oracle unrolls the
+    synchronous mode-update rounds as CTEs with the identical
+    (count desc, label asc) tie-break, so a swapped tie order or an
+    asynchronous-update bug surfaces as a value mismatch, not noise.
+    Spark side (operators/graph.py:label_propagation): one checkpointed
+    bidirected edge list scanned per round, each round a node-keyed
+    join + (node, label) count + per-node window argmax — label frames
+    are O(|nodes|), rounds chain lazily (linear lineage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pmi = textstats.cooccurrence_pmi(docs, PMI_MAX_GAP, PMI_MIN_COUNT)
+    edges = graph.undirect(pmi.where(F.col("pmi") >= TRI_PMI_MIN))
+    return graph.label_propagation(edges, LPA_ROUNDS)

@@ -622,3 +622,60 @@ def source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("psi_len"))
             .select("source", F.col("tref").alias("n_ref"),
                     F.col("tcur").alias("n_cur"), "psi_len"))
+
+
+# ---- privacy release audit (k-anonymity / l-diversity) ---------------------
+
+KANON_K = 5        # minimum group size per quasi-identifier combination
+LDIV_L = 3         # minimum distinct sensitive values per QI group
+SENS_BUCKET = 1000 # sensitive attribute: floor(c_acctbal / 1000)
+
+
+@register("k_anonymity_audit", f"""
+WITH g AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT CAST(floor(c_acctbal / {SENS_BUCKET})
+                                    AS BIGINT)) AS BIGINT) AS l_distinct
+    FROM customer GROUP BY c_nationkey, c_mktsegment)
+SELECT c_nationkey, c_mktsegment, n_rows, l_distinct,
+       CAST(floor(10000.0 / n_rows) AS BIGINT) AS reident_risk_bp,
+       (n_rows < {KANON_K}) AS violates_k,
+       (l_distinct < {LDIV_L}) AS violates_l
+FROM g
+""")
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy release audit over the customer dimension — the gate a
+    training-data release runs before shipping rows containing
+    quasi-identifiers (Sweeney 2002 k-anonymity; Machanavajjhala et al.
+    2007 l-diversity): every (nation, market segment) QI combination
+    must contain >= {KANON_K} rows (else its members are
+    re-identifiable by linking) AND >= {LDIV_L} distinct sensitive
+    values (else the group leaks the sensitive attribute even when
+    anonymous — here the account-balance bucket, floor(acctbal /
+    {SENS_BUCKET})).
+
+    -> (c_nationkey, c_mktsegment, n_rows, l_distinct, reident_risk_bp,
+    violates_k, violates_l): one row per QI combination with its
+    re-identification risk in basis points (floor(10000 / n)) and both
+    violation flags — the rows a suppression pass would drop or
+    generalize.
+
+    Plan shape: ONE scan into a single (QI-keyed) hash aggregate —
+    count + count-distinct-sensitive ride the same exchange (Spark
+    plans the distinct as a two-level expand-aggregate on the SAME
+    keys, still one shuffle family); output cardinality is the QI
+    domain (catalog-bounded), never the row count.  At 100 TB the QI
+    key space is what it is — the aggregate is map-side combined and
+    the result stays tiny."""
+    cust = load_table(spark, sf_dir, "customer")
+    sens = F.floor(F.col("c_acctbal") / SENS_BUCKET).cast("long")
+    g = (cust.groupBy("c_nationkey", "c_mktsegment")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+              F.countDistinct(sens).cast("long").alias("l_distinct")))
+    return g.select(
+        "c_nationkey", "c_mktsegment", "n_rows", "l_distinct",
+        F.floor(10000.0 / F.col("n_rows")).cast("long")
+        .alias("reident_risk_bp"),
+        (F.col("n_rows") < KANON_K).alias("violates_k"),
+        (F.col("l_distinct") < LDIV_L).alias("violates_l"))

@@ -225,3 +225,85 @@ def test_mmr_reduces_redundancy_vs_plain_topk(spark):
     mmr_red = sum(mean_pairwise(v) for v in mmr_sel.values()) / nq
     plain_red = sum(mean_pairwise(v) for v in plain_sel.values()) / nq
     assert mmr_red < plain_red, (mmr_red, plain_red)
+
+
+# ---- label propagation ------------------------------------------------------
+
+def _py_lpa(edges, rounds):
+    bi = {}
+    for u, v in edges:
+        bi.setdefault(u, []).append(v)
+        bi.setdefault(v, []).append(u)
+    labels = {n: n for n in bi}
+    for _ in range(rounds):
+        nxt = {}
+        for n, nbrs in bi.items():
+            cnt: dict[str, int] = {}
+            for m in nbrs:
+                cnt[labels[m]] = cnt.get(labels[m], 0) + 1
+            nxt[n] = min(cnt, key=lambda lb: (-cnt[lb], lb))
+        labels = nxt
+    return labels
+
+
+def test_lpa_matches_python_reference(spark):
+    from gcp_serverless_mapreduce_spark.operators import graph
+    nodes = [f"n{i:02d}" for i in range(14)]
+    edges = set()
+    # two dense clusters + one bridge + a pendant chain
+    for grp in (nodes[:6], nodes[6:12]):
+        for i, a in enumerate(grp):
+            for b in grp[i + 1:]:
+                if RNG.random() < 0.7:
+                    edges.add((min(a, b), max(a, b)))
+    edges.add((nodes[5], nodes[6]))            # bridge
+    edges.add((nodes[11], nodes[12]))          # pendant
+    edges.add((nodes[12], nodes[13]))
+    e = spark.createDataFrame(sorted(edges), "u string, v string")
+    got = {r["node"]: r["community"]
+           for r in graph.label_propagation(e, 3).collect()}
+    assert got == _py_lpa(sorted(edges), 3)
+
+
+def test_lpa_separates_two_cliques(spark):
+    from gcp_serverless_mapreduce_spark.operators import graph
+    ca, cb = [f"a{i}" for i in range(4)], [f"b{i}" for i in range(4)]
+    edges = [(x, y) for grp in (ca, cb)
+             for i, x in enumerate(grp) for y in grp[i + 1:]]
+    edges.append(("a3", "b0"))                 # single bridge
+    e = spark.createDataFrame(edges, "u string, v string")
+    got = {r["node"]: r["community"]
+           for r in graph.label_propagation(e, 4).collect()}
+    # each clique converges to ONE community, and the two differ
+    assert len({got[n] for n in ca}) == 1
+    assert len({got[n] for n in cb[1:]}) == 1  # b0 touches the bridge
+    assert got["a0"] != got["b1"]
+
+
+# ---- k-anonymity / l-diversity audit ---------------------------------------
+
+def test_k_anonymity_audit_fuzz(spark, tmp_path):
+    from gcp_serverless_mapreduce_spark.suite.profiling_q import (
+        KANON_K, LDIV_L, SENS_BUCKET, k_anonymity_audit)
+    rows, want = [], {}
+    cid = 0
+    specs = [  # (nation, segment, group size, distinct sens buckets)
+        (1, "AUTO", 12, 6), (1, "HOME", 3, 2), (2, "AUTO", 5, 1),
+        (3, "CARS", 40, 9), (4, "HOME", 1, 1),
+    ]
+    for nat, seg, size, nsens in specs:
+        for i in range(size):
+            bal = (i % nsens) * SENS_BUCKET + 17.5
+            rows.append((cid, f"c{cid}", nat, bal, seg))
+            cid += 1
+        want[(nat, seg)] = (size, nsens, 10000 // size,
+                            size < KANON_K, nsens < LDIV_L)
+    spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey long, "
+              "c_acctbal double, c_mktsegment string"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    got = {(r["c_nationkey"], r["c_mktsegment"]):
+           (r["n_rows"], r["l_distinct"], r["reident_risk_bp"],
+            r["violates_k"], r["violates_l"])
+           for r in k_anonymity_audit(spark, str(tmp_path)).collect()}
+    assert got == want
