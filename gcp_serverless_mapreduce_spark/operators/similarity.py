@@ -1455,3 +1455,68 @@ def ivf_home_cells(emb: DataFrame, centers: list[list[float]],
     return units.select(
         id_col,
         F.element_at(_probe_cells_udf(centers, 1)("arr"), 1).alias("cell"))
+
+
+def kcenter_coreset(emb: DataFrame, k: int, pool: int,
+                    id_col: str = "vec_id") -> DataFrame:
+    """-> (step, sel_id, nearest_sim): greedy k-center coreset selection
+    (farthest-point traversal — the Sener & Savarese 2018 active-
+    learning / data-selection coreset): from a deterministic
+    ``pool``-vector sample, repeatedly pick the vector FARTHEST (lowest
+    max cosine) from everything already selected — the k points that
+    best COVER the embedding space, where MMR's lambda trades coverage
+    against a query relevance this operator doesn't have.
+
+    The pool is the ``pool`` vectors with the smallest md5(vec_id) (the
+    contrastive_negatives sampling idiom — a pure function of the id,
+    so any partitioning and the oracle agree); the seed is the pool's
+    (md5, id)-first member.  ``nearest_sim`` is the selected vector's
+    similarity to its nearest prior selection (NULL for the seed) —
+    emitting it gates the traversal's DYNAMICS, and read top-down it is
+    the coverage-radius curve a labeling-budget decision reads.
+
+    Scale shape: one corpus-wide TakeOrdered picks the pool (no global
+    sort), the pool self-join computes pool^2 pairwise sims with the
+    audited Arrow fold kernel, and the greedy itself runs driver-side
+    over the COLLECTED pool^2 frame — a sketch-sized collect (bounded
+    by pool^2, never by corpus rows; the pc1_trajectory budget).  The
+    sequential traversal is inherently tiny: k and pool are selection
+    constants, the corpus only feeds the sample."""
+    pair_dot = _pair_dot_udf()
+    units = (unit_vectors(emb).select(F.col(id_col), F.col("unit"))
+             .filter(F.col("unit").isNotNull()))
+    pool_df = (units
+               .withColumn("ph", F.md5(F.col(id_col).cast("string")))
+               .orderBy("ph", id_col).limit(pool)
+               .select(F.col(id_col).alias("pid"), "ph", "unit")
+               .localCheckpoint())  # one corpus scan; reused twice
+    a = pool_df.select(F.col("pid").alias("ca"),
+                       F.col("unit").alias("ua"))
+    b = pool_df.select(F.col("pid").alias("cb"),
+                       F.col("unit").alias("ub"))
+    prows = (a.join(b, F.col("ca") != F.col("cb"))
+             .select("ca", "cb",
+                     pair_dot(F.col("ua"), F.col("ub")).alias("psim"))
+             .collect())
+    order = [(r["ph"], r["pid"]) for r in
+             pool_df.select("ph", "pid").collect()]
+    psim = {(r["ca"], r["cb"]): r["psim"] for r in prows}
+    members = [pid for _, pid in sorted(order)]
+    selected = [members[0]]
+    out = [(1, members[0], None)]
+    for step in range(2, min(k, len(members)) + 1):
+        best = None
+        for c in members:
+            if c in selected:
+                continue
+            near = max(psim[(c, s)] for s in selected)
+            key = (near, c)            # farthest first, ties on id
+            if best is None or key < best[0]:
+                best = (key, c, near)
+        _, sel, near = best
+        selected.append(sel)
+        out.append((step, sel, near))
+    res = emb.sparkSession.createDataFrame(
+        out, "step long, sel_id long, nearest_sim double")
+    return res.select("step", "sel_id",
+                      F.round("nearest_sim", 4).alias("nearest_sim"))

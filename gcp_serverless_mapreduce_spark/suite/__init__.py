@@ -43,8 +43,7 @@ from . import profiling_q  # noqa: F401, E402
 # Round-10 window head (the driver checks the FIRST ~50 registered).
 # The window finishes the attestation ledger (VERDICT r9 items 1/8):
 # 1) ALL 21 queries last driver-attested in round 5 — after this round
-#    every one of the 213 queries has an attestation <=3 rounds old,
-#    uniformly fresh for the first time;
+#    every round-5-era query has an attestation <=3 rounds old;
 # 2) the four queries whose SEMANTICS changed this round:
 #    ivf_ann_topk + pq_trained_adc_topk (the Lloyd/PQ training sample
 #    is now CAPPED — modulus = max(1, corpus_count // 4096) instead of
@@ -64,8 +63,9 @@ from . import profiling_q  # noqa: F401, E402
 # 3) 22 of the 46 round-6-era queries, leading with the stateful /
 #    iterative / sketch operators (hardest to re-derive from builder
 #    parity alone).  The remaining 24 r6 queries lead round 11,
-#    together with the two post-window round-10 additions
-#    lpa_word_communities and k_anonymity_audit:
+#    together with the four post-window round-10 additions
+#    lpa_word_communities, k_anonymity_audit, kcenter_coreset_sample
+#    and badwords_filter_rates:
 #    m4_downsample_hourly, approx_stats_parts, zorder_layout_keys,
 #    bigram_coherence_score, bm25_doc_scores, dataset_split_counts,
 #    dedup_resolution_by_source, doc_overlapping_chunks,
@@ -107,7 +107,7 @@ promote([
     "matryoshka_recall_eval",
     # -- new this round (1) --
     "ivf_capped_train_topk",
-    # -- round-6-era re-attestation (24 of 46) --
+    # -- round-6-era re-attestation (22 of 46) --
     "stream_dedup_replayed_events",
     "stream_dedup_windowed_stats",
     "stream_static_enrich",

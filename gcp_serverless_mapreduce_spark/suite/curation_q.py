@@ -963,3 +963,87 @@ def normalization_dedup_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.sum((F.col("nc") > 1).cast("long"))
                   - F.sum((F.col("rc") > 1).cast("long"))).cast("long")
                  .alias("norm_lift")))
+
+
+# ---- blocklist (bad-words) filter rates ------------------------------------
+
+# C4-style blocklist (Raffel et al. 2020 filter docs containing any entry
+# of a public bad-words list).  The fixture corpus is synthetic word
+# soup, so the list is a stand-in chosen for coverage of the matcher's
+# cases: a rare single token, a present two-token phrase, and an absent
+# phrase (the zero row proves absence-of-match is computed, not skipped).
+BADWORDS = ("dup", "big table", "drop table")
+
+
+def _occ_sql(term: str) -> str:
+    ws = term.split(" ")
+    if len(ws) == 1:
+        return f"len(list_filter(toks, t -> t = '{ws[0]}'))"
+    conds = " AND ".join(
+        f"toks[i + {j}] = '{w}'" for j, w in enumerate(ws))
+    return (f"len(list_filter(generate_series(1, len(toks) - {len(ws) - 1}), "
+            f"i -> {conds}))")
+
+
+def _occ_col(term: str):
+    ws = term.split(" ")
+    if len(ws) == 1:
+        return F.expr(f"size(filter(toks, t -> t = '{ws[0]}'))")
+    conds = " AND ".join(
+        f"toks[i + {j}] = '{w}'" for j, w in enumerate(ws))
+    return F.expr(
+        f"size(filter(sequence(0, size(toks) - {len(ws)}), i -> {conds}))")
+
+
+_BW_COLS = {f"hits_{t.replace(' ', '_')}": t for t in BADWORDS}
+
+_BW_SQL = f"""
+WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+o AS (SELECT source,
+             {', '.join(f"{_occ_sql(t)} AS {c}"
+                        for c, t in _BW_COLS.items())}
+      FROM t)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN {' + '.join(_BW_COLS)} > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+       CAST(floor(SUM(CASE WHEN {' + '.join(_BW_COLS)} > 0
+                           THEN 1 ELSE 0 END) * 10000.0 / COUNT(*))
+            AS BIGINT) AS flag_rate_bp,
+       {', '.join(f"CAST(SUM({c}) AS BIGINT) AS {c}"
+                  for c in _BW_COLS)}
+FROM o GROUP BY source
+"""
+
+
+@register("badwords_filter_rates", _BW_SQL)
+def badwords_filter_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filter accounting (Raffel et al. 2020 drop any
+    document containing a blocklisted term): per source, how many
+    documents the {len(BADWORDS)}-entry blocklist would flag, the flag
+    rate in basis points, and per-term occurrence totals — the
+    pre-flight a curation run reads before enabling a kill-list, since
+    an over-broad list silently deletes a domain.
+
+    Matching is TOKEN-boundary exact (single terms equality-match a
+    token; multi-word terms match consecutive tokens via an in-row
+    positional filter — never substring contains, which would flag
+    'dupes' for 'dup'), entirely in-row array expressions riding the
+    scan: the only exchange is the per-source rollup.  At 100 TB this
+    is a map-only pass over the corpus with a catalog-sized result;
+    real deployments swap the literal list for a broadcast lookup
+    (or an Aho-Corasick UDF once lists reach 10^5 terms) without
+    changing the plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("source",
+                        F.split(F.col("text"), " ").alias("toks"))
+    occ = toked.select("source",
+                       *[_occ_col(t).alias(c)
+                         for c, t in _BW_COLS.items()])
+    total = sum(F.col(c) for c in _BW_COLS)
+    flagged = F.sum(F.when(total > 0, 1).otherwise(0))
+    return (occ.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 flagged.cast("long").alias("n_flagged"),
+                 F.floor(flagged * 10000.0 / F.count(F.lit(1)))
+                 .cast("long").alias("flag_rate_bp"),
+                 *[F.sum(c).cast("long").alias(c) for c in _BW_COLS]))

@@ -1075,3 +1075,57 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.mmr_diverse_topk(
         emb, MMR_K, MMR_NQ, MMR_SHORTLIST, MMR_LAM, MMR_LAM_COMP)
+
+
+# ---- greedy k-center coreset -----------------------------------------------
+
+KC_K = 6       # coreset size
+KC_POOL = 24   # deterministic md5-sampled candidate pool
+
+
+def _kcenter_sql() -> str:
+    """Unrolled farthest-point traversal: md5-sampled pool + pairwise
+    sims, then one (max-sim-to-selected -> argmin -> union) block per
+    step — the MMR unroll with coverage in place of relevance."""
+    head = _UNIT_CTE + f""",
+pool AS (SELECT vec_id AS pid, md5(CAST(vec_id AS VARCHAR)) AS ph, u
+         FROM u
+         QUALIFY row_number() OVER (ORDER BY ph, vec_id) <= {KC_POOL}),
+p AS (SELECT x.pid AS ca, y.pid AS cb, {_dot('x.u', 'y.u')} AS psim
+      FROM pool x JOIN pool y ON x.pid <> y.pid),
+sel1 AS (SELECT pid AS sel_id, CAST(NULL AS DOUBLE) AS nearest_sim
+         FROM pool
+         QUALIFY row_number() OVER (ORDER BY ph, pid) = 1),
+all1 AS (SELECT sel_id FROM sel1)"""
+    blocks = []
+    for t in range(2, KC_K + 1):
+        blocks.append(f""",
+ms{t} AS (SELECT p.ca AS pid, max(p.psim) AS near
+          FROM p JOIN all{t - 1} sl ON p.cb = sl.sel_id
+          WHERE NOT EXISTS (SELECT 1 FROM all{t - 1} x
+                            WHERE x.sel_id = p.ca)
+          GROUP BY p.ca),
+sel{t} AS (SELECT pid AS sel_id, near AS nearest_sim FROM ms{t}
+           QUALIFY row_number() OVER (ORDER BY near ASC, pid) = 1),
+all{t} AS (SELECT sel_id FROM all{t - 1}
+           UNION ALL SELECT sel_id FROM sel{t})""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS step, sel_id, "
+        f"round(nearest_sim, 4) AS nearest_sim FROM sel{t}"
+        for t in range(1, KC_K + 1))
+    return head + "".join(blocks) + "\n" + finals
+
+
+@register("kcenter_coreset_sample", _kcenter_sql())
+def kcenter_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (farthest-point traversal, Sener &
+    Savarese 2018) of size {KC_K} over a deterministic {KC_POOL}-vector
+    md5 sample — the diversity data-selection step of a labeling or
+    training-budget pipeline.  The traversal ORDER and each step's
+    coverage radius (similarity to the nearest prior pick) are
+    hash-gated against the step-unrolled oracle; see
+    operators/similarity.py:kcenter_coreset for the plan shape (one
+    TakeOrdered sample scan, pool^2 pairwise sims, sketch-sized
+    driver-side greedy)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kcenter_coreset(emb, KC_K, KC_POOL)

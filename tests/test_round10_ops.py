@@ -307,3 +307,84 @@ def test_k_anonymity_audit_fuzz(spark, tmp_path):
             r["violates_k"], r["violates_l"])
            for r in k_anonymity_audit(spark, str(tmp_path)).collect()}
     assert got == want
+
+
+# ---- k-center coreset -------------------------------------------------------
+
+def test_kcenter_matches_python_reference(spark):
+    from gcp_serverless_mapreduce_spark.suite.similarity_q import (
+        KC_K, KC_POOL)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = [(r["step"], r["sel_id"], r["nearest_sim"]) for r in
+           similarity.kcenter_coreset(emb, KC_K, KC_POOL)
+           .orderBy("step").collect()]
+    # pure-Python recompute: same md5 pool, same greedy
+    rows = emb.collect()
+    units = {r["vec_id"]: _unit(list(r["embedding"])) for r in rows}
+    units = {i: u for i, u in units.items() if u is not None}
+    pool = sorted(units, key=lambda i: (hashlib.md5(
+        str(i).encode()).hexdigest(), i))[:KC_POOL]
+    sel = [pool[0]]
+    want = [(1, pool[0], None)]
+    for step in range(2, KC_K + 1):
+        best = None
+        for c in pool:
+            if c in sel:
+                continue
+            near = max(_dot(units[c], units[s]) for s in sel)
+            if best is None or (near, c) < best[0]:
+                best = ((near, c), c, near)
+        _, s_, near = best
+        sel.append(s_)
+        want.append((step, s_, round(near, 4)))
+    assert got == want
+    # coverage radius is non-decreasing after the seed: each pick is
+    # the farthest remaining point, so its nearest-selected similarity
+    # can only grow (space fills up)
+    sims = [s for _, _, s in got[1:]]
+    assert all(a <= b + 1e-12 for a, b in zip(sims, sims[1:]))
+
+
+def test_kcenter_covers_clusters_before_duplicates(spark):
+    """Three tight clusters + k=3 must pick one member of EACH cluster,
+    never two of one — the semantic k-center exists for."""
+    base = {0: [1.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0], 2: [0.0, 0.0, 1.0]}
+    rows, vid = [], 0
+    cluster_of = {}
+    for cid, b in base.items():
+        for j in range(4):
+            v = [x + 0.01 * ((vid * 7 + j) % 3) for x in b]
+            rows.append((vid, v))
+            cluster_of[vid] = cid
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.kcenter_coreset(emb, 3, 12).collect()
+    picked_clusters = [cluster_of[r["sel_id"]] for r in got]
+    assert sorted(picked_clusters) == [0, 1, 2], picked_clusters
+
+
+# ---- blocklist filter -------------------------------------------------------
+
+def test_badwords_token_boundaries(spark, tmp_path):
+    from gcp_serverless_mapreduce_spark.suite.curation_q import (
+        badwords_filter_rates)
+    docs = [
+        (0, "dup dup value dup", "en", "s1", 0),      # 3 hits, flagged
+        (1, "dupes and dupdup stay clean", "en", "s1", 0),  # substrings: 0
+        (2, "a big table scan", "en", "s1", 0),       # phrase hit
+        (3, "big value table", "en", "s1", 0),        # split phrase: 0
+        (4, "drop table now", "en", "s2", 0),         # absent-in-fixture term
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long").write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["source"]: r.asDict() for r in
+           badwords_filter_rates(spark, str(tmp_path)).collect()}
+    s1 = got["s1"]
+    assert (s1["n_docs"], s1["n_flagged"]) == (4, 2)
+    assert s1["hits_dup"] == 3
+    assert s1["hits_big_table"] == 1
+    assert s1["hits_drop_table"] == 0
+    assert s1["flag_rate_bp"] == 5000
+    s2 = got["s2"]
+    assert s2["hits_drop_table"] == 1 and s2["n_flagged"] == 1
