@@ -186,7 +186,13 @@ def _write_summary(sf_dir: str, n_pass: int, n_total: int,
         dirty = subprocess.run(["git", "status", "--porcelain"], cwd=root,
                                capture_output=True, text=True,
                                check=True).stdout.strip()
-        if dirty:
+        # The summary file itself is rewritten by every sweep, so a
+        # multi-scale chain would self-dirty from the second scale on —
+        # the flag exists to catch UNCOMMITTED CODE attesting a SHA,
+        # not the artifact being written; ignore only that one path.
+        lines = [ln for ln in dirty.splitlines()
+                 if not ln.endswith("PARITY_SUMMARY.json")]
+        if lines:
             sha += "-dirty"
     except Exception:
         sha = "unknown"
