@@ -1502,6 +1502,9 @@ def kcenter_coreset(emb: DataFrame, k: int, pool: int,
              pool_df.select("ph", "pid").collect()]
     psim = {(r["ca"], r["cb"]): r["psim"] for r in prows}
     members = [pid for _, pid in sorted(order)]
+    if not members:      # empty / all-zero-vector corpus: no coreset
+        return emb.sparkSession.createDataFrame(
+            [], "step long, sel_id long, nearest_sim double")
     selected = [members[0]]
     out = [(1, members[0], None)]
     for step in range(2, min(k, len(members)) + 1):

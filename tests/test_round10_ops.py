@@ -388,3 +388,12 @@ def test_badwords_token_boundaries(spark, tmp_path):
     assert s1["flag_rate_bp"] == 5000
     s2 = got["s2"]
     assert s2["hits_drop_table"] == 1 and s2["n_flagged"] == 1
+
+
+def test_kcenter_empty_corpus(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert similarity.kcenter_coreset(emb, 3, 8).collect() == []
+    zeros = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    assert similarity.kcenter_coreset(zeros, 3, 8).collect() == []
