@@ -62,3 +62,80 @@ def zorder_key_sql(x: str, y: str, bits: int = ZBITS) -> str:
         f"(((({x} & {mask}) >> i) & 1) << (2 * i)) "
         f"+ (((({y} & {mask}) >> i) & 1) << (2 * i + 1))))"
     )
+
+
+def hilbert_key(x: Column, y: Column, bits: int = ZBITS) -> Column:
+    """Hilbert-curve index of two non-negative integer columns — the
+    strictly-better-locality sibling of :func:`zorder_key`: consecutive
+    Hilbert indices are always ADJACENT cells (the Z-curve jumps at
+    quadrant seams), so hilbert-sorted files have tighter per-file
+    min/max boxes and prune more (the layout behind Delta's
+    ``OPTIMIZE ... HILBERT`` ordering).
+
+    Classic per-level fold (rx/ry quadrant bits, reflect+swap rotation,
+    Wikipedia xy2d with n-1 reflection): the level constants are plan
+    literals and the (d, x, y) state threads through ``F.aggregate``
+    over the ``bits`` levels as a struct — a LINEAR-size codegen'd
+    integer expression (naive unrolling would double the tree per level
+    through the rotation's conditionals).  Inputs mask to ``bits`` bits
+    like the z-key.
+
+    The DuckDB twin (:func:`hilbert_ctes_sql`) unrolls the SAME fold as
+    one CTE per level instead: DuckDB 1.0.0's ``list_reduce`` returns
+    wrong intermediates for multi-field struct accumulators from the
+    second iteration on (verified: the identical lambda applied to the
+    identical logical state gives different results chained vs
+    standalone), so the lambda form cannot be the oracle."""
+    mask = (1 << bits) - 1
+    xm = x.cast("long").bitwiseAND(F.lit(mask))
+    ym = y.cast("long").bitwiseAND(F.lit(mask))
+    levels = F.array(*[F.lit(1 << i).cast("long")
+                       for i in range(bits - 1, -1, -1)])
+    init = F.struct(F.lit(0).cast("long").alias("d"),
+                    xm.alias("x"), ym.alias("y"))
+
+    def step(acc: Column, s: Column) -> Column:
+        ax, ay, ad = acc["x"], acc["y"], acc["d"]
+        rx_pos = ax.bitwiseAND(s) > 0
+        ry_pos = ay.bitwiseAND(s) > 0
+        one = F.lit(1).cast("long")
+        zero = F.lit(0).cast("long")
+        rx = F.when(rx_pos, one).otherwise(zero)
+        ry = F.when(ry_pos, one).otherwise(zero)
+        d2 = ad + (s * s) * ((F.lit(3).cast("long") * rx).bitwiseXOR(ry))
+        nx = F.when(ry_pos, ax).otherwise(
+            F.when(rx_pos, F.lit(mask) - ay).otherwise(ay))
+        ny = F.when(ry_pos, ay).otherwise(
+            F.when(rx_pos, F.lit(mask) - ax).otherwise(ax))
+        return F.struct(d2.alias("d"), nx.alias("x"), ny.alias("y"))
+
+    return F.aggregate(levels, init, step).getField("d").cast("long")
+
+
+def hilbert_ctes_sql(xcol: str, ycol: str, base: str,
+                     bits: int = ZBITS) -> tuple[str, str]:
+    """DuckDB twin of :func:`hilbert_key` as (cte_block, final_cte_name):
+    one CTE per level carrying (d, hx, hy) next to the base columns —
+    same fold, same n-1 reflection, BIGINT throughout (``s*s`` at the
+    top level overflows INT32).  Kept beside the Spark expression so the
+    two cannot drift apart (the zorder_key_sql convention)."""
+    mask = (1 << bits) - 1
+    steps = [f"h0 AS (SELECT *, CAST(0 AS BIGINT) AS d, "
+             f"CAST({xcol} & {mask} AS BIGINT) AS hx, "
+             f"CAST({ycol} & {mask} AS BIGINT) AS hy FROM {base})"]
+    for idx, i in enumerate(range(bits - 1, -1, -1), start=1):
+        s = 1 << i
+        steps.append(
+            f"h{idx} AS (SELECT * EXCLUDE (d, hx, hy),\n"
+            f"  d + CAST({s * s} AS BIGINT)\n"
+            f"      * xor(3 * (CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END),\n"
+            f"            CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+            f" AS d,\n"
+            f"  CASE WHEN (hy & {s}) > 0 THEN hx\n"
+            f"       WHEN (hx & {s}) > 0 THEN {mask} - hy ELSE hy END"
+            f" AS hx,\n"
+            f"  CASE WHEN (hy & {s}) > 0 THEN hy\n"
+            f"       WHEN (hx & {s}) > 0 THEN {mask} - hx ELSE hx END"
+            f" AS hy\n"
+            f"  FROM h{idx - 1})")
+    return ",\n".join(steps), f"h{bits}"

@@ -221,3 +221,52 @@ def fim_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.col("s2")).cast("long").alias("suffix_len"),
         F.md5(F.concat_ws("|", prefix, suffix, middle))
         .alias("psm_fingerprint"))
+
+
+# ---- Hilbert-curve clustering keys -----------------------------------------
+
+_H_CTES, _H_LAST = layout.hilbert_ctes_sql("o_custkey", "day_no", "base")
+
+
+@register("hilbert_layout_keys", f"""
+WITH base AS (
+    SELECT o_custkey,
+           CAST(date_diff('day', DATE '{DATE_EPOCH}',
+                          CAST(o_orderdate AS DATE)) AS BIGINT) AS day_no
+    FROM orders),
+{_H_CTES}
+SELECT CAST(d >> {BUCKET_SHIFT} AS BIGINT) AS hbucket,
+       COUNT(*) AS n_orders,
+       MIN(o_custkey) AS min_custkey, MAX(o_custkey) AS max_custkey,
+       CAST(MIN(day_no) AS BIGINT) AS min_day,
+       CAST(MAX(day_no) AS BIGINT) AS max_day
+FROM {_H_LAST} GROUP BY 1
+""")
+def hilbert_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering keys over orders on (custkey, order
+    day) — the same writer-layout query as `zorder_layout_keys` under
+    the strictly-better-locality curve (consecutive Hilbert indices are
+    always adjacent cells; the Z-curve jumps at quadrant seams), so the
+    per-bucket min/max pruning boxes this query emits are tighter for
+    the same bucket width.  tests/test_round10_ops.py measures exactly
+    that: the mean per-bucket bounding-box area under Hilbert vs
+    Z-order on the fixture.
+
+    The key is one codegen'd integer fold (F.aggregate over the level
+    constants — see operators/layout.py:hilbert_key); the only exchange
+    is the small bucket aggregate.  The oracle unrolls the fold as one
+    CTE per level (a DuckDB 1.0.0 list_reduce bug makes the lambda form
+    unusable as an oracle — documented at the operator)."""
+    orders = load_table(spark, sf_dir, "orders")
+    day_no = F.datediff(F.col("o_orderdate").cast("date"),
+                        F.lit(DATE_EPOCH).cast("date"))
+    h = orders.select(
+        "o_custkey", day_no.alias("day_no"),
+        layout.hilbert_key(F.col("o_custkey"), day_no).alias("hkey"))
+    return (h.groupBy(F.shiftright("hkey", BUCKET_SHIFT).cast("long")
+                      .alias("hbucket"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.min("o_custkey").alias("min_custkey"),
+                 F.max("o_custkey").alias("max_custkey"),
+                 F.min("day_no").cast("long").alias("min_day"),
+                 F.max("day_no").cast("long").alias("max_day")))

@@ -397,3 +397,89 @@ def test_kcenter_empty_corpus(spark):
         [(0, [0.0, 0.0]), (1, [0.0, 0.0])],
         "vec_id long, embedding array<double>")
     assert similarity.kcenter_coreset(zeros, 3, 8).collect() == []
+
+
+# ---- Hilbert layout key -----------------------------------------------------
+
+def _py_hilbert(x, y, bits=16):
+    n = 1 << bits
+    mask = n - 1
+    x &= mask
+    y &= mask
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = mask - x, mask - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_python_reference(spark):
+    from gcp_serverless_mapreduce_spark.operators import layout
+    pts = ([(a, b) for a in range(0, 70000, 7321) for b in
+            (0, 1, 255, 4096, 65535)]
+           + [(RNG.randrange(1 << 16), RNG.randrange(1 << 16))
+              for _ in range(60)])
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r["x"], r["y"]): r["h"] for r in
+           df.select("x", "y", layout.hilbert_key(
+               F.col("x"), F.col("y")).alias("h")).collect()}
+    assert got == {(x, y): _py_hilbert(x, y) for x, y in pts}
+
+
+def test_hilbert_consecutive_cells_adjacent(spark):
+    """The curve property the locality claim rests on: consecutive
+    indices are adjacent cells (Manhattan distance 1) — checked
+    exhaustively at 4 bits via the pure-Python twin the Spark fold is
+    pinned to above."""
+    n = 16
+    inv = {}
+    for x in range(n):
+        for y in range(n):
+            inv[_py_hilbert(x, y, bits=4)] = (x, y)
+    assert sorted(inv) == list(range(n * n))
+    assert all(abs(inv[d][0] - inv[d + 1][0])
+               + abs(inv[d][1] - inv[d + 1][1]) == 1
+               for d in range(n * n - 1))
+
+
+def test_hilbert_row_groups_prune_tighter_than_zorder(spark):
+    """The measured point of the operator: sort the fixture orders by
+    each key and chunk into fixed-size row groups (what a clustered
+    writer actually produces — row-group boundaries do NOT align to
+    quadrant boundaries); the mean row-group bounding-box AREA (the
+    min/max pruning granule) must be materially smaller under Hilbert.
+    Note: on quadrant-ALIGNED key-range buckets the two curves tile
+    space into the SAME squares (both visit each 2^k x 2^k quadrant
+    contiguously), so the suite queries' aligned-bucket summaries are
+    equal by construction — the advantage only exists (and a real
+    writer only cares) at unaligned boundaries.  Measured here:
+    ~22k vs ~40k at sf0.01, chunk=64."""
+    from gcp_serverless_mapreduce_spark.operators import layout
+    from gcp_serverless_mapreduce_spark.suite.layout_q import DATE_EPOCH
+    orders = load_table(spark, SF_DIR, "orders")
+    day_no = F.datediff(F.col("o_orderdate").cast("date"),
+                        F.lit(DATE_EPOCH).cast("date"))
+    rows = orders.select(
+        "o_custkey", day_no.alias("day_no"),
+        layout.hilbert_key(F.col("o_custkey"), day_no).alias("hkey"),
+        layout.zorder_key(F.col("o_custkey"), day_no).alias("zkey")
+    ).collect()
+
+    def mean_area(key, chunk=64):
+        srt = sorted(rows, key=lambda r: r[key])
+        areas = []
+        for i in range(0, len(srt) - 1, chunk):
+            ch = srt[i:i + chunk]
+            xs = [r["o_custkey"] for r in ch]
+            ys = [r["day_no"] for r in ch]
+            areas.append((max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1))
+        return sum(areas) / len(areas)
+
+    h, z = mean_area("hkey"), mean_area("zkey")
+    assert h < 0.8 * z, (h, z)
