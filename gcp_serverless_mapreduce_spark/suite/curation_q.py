@@ -975,12 +975,22 @@ def normalization_dedup_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 BADWORDS = ("dup", "big table", "drop table")
 
 
+def _bw_tok(word: str) -> str:
+    """SQL-string-literal a blocklist token (shared by both engines).
+
+    Terms are interpolated into Spark lambda expressions and DuckDB SQL;
+    an unescaped quote in a real-world blocklist entry would be a parse
+    error (or worse) in both.  Doubling the quote is the one escape
+    both dialects agree on."""
+    return word.replace("'", "''")
+
+
 def _occ_sql(term: str) -> str:
     ws = term.split(" ")
     if len(ws) == 1:
-        return f"len(list_filter(toks, t -> t = '{ws[0]}'))"
+        return f"len(list_filter(toks, t -> t = '{_bw_tok(ws[0])}'))"
     conds = " AND ".join(
-        f"toks[i + {j}] = '{w}'" for j, w in enumerate(ws))
+        f"toks[i + {j}] = '{_bw_tok(w)}'" for j, w in enumerate(ws))
     return (f"len(list_filter(generate_series(1, len(toks) - {len(ws) - 1}), "
             f"i -> {conds}))")
 
@@ -988,11 +998,18 @@ def _occ_sql(term: str) -> str:
 def _occ_col(term: str):
     ws = term.split(" ")
     if len(ws) == 1:
-        return F.expr(f"size(filter(toks, t -> t = '{ws[0]}'))")
+        return F.expr(f"size(filter(toks, t -> t = '{_bw_tok(ws[0])}'))")
     conds = " AND ".join(
-        f"toks[i + {j}] = '{w}'" for j, w in enumerate(ws))
+        f"toks[i + {j}] = '{_bw_tok(w)}'" for j, w in enumerate(ws))
+    # Guard the start-index range: for a document with fewer tokens than
+    # the phrase, sequence(0, size-N) would DESCEND (e.g. [0, -1]) and
+    # the toks[i+j] probe would throw under ANSI mode.  DuckDB's
+    # generate_series(1, n) is empty for n < 1, so the guard also keeps
+    # the two engines aligned on short documents.
     return F.expr(
-        f"size(filter(sequence(0, size(toks) - {len(ws)}), i -> {conds}))")
+        f"CASE WHEN size(toks) >= {len(ws)} THEN "
+        f"size(filter(sequence(0, size(toks) - {len(ws)}), i -> {conds})) "
+        f"ELSE 0 END")
 
 
 _BW_COLS = {f"hits_{t.replace(' ', '_')}": t for t in BADWORDS}

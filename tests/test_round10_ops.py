@@ -390,6 +390,52 @@ def test_badwords_token_boundaries(spark, tmp_path):
     assert s2["hits_drop_table"] == 1 and s2["n_flagged"] == 1
 
 
+def test_badwords_short_and_empty_docs(spark, tmp_path):
+    # Docs with fewer tokens than the longest phrase used to make
+    # sequence(0, size(toks)-N) DESCEND and throw INVALID_ARRAY_INDEX
+    # under ANSI mode (round-10 ADVICE).  They must count as 0 hits.
+    from gcp_serverless_mapreduce_spark.suite.curation_q import (
+        badwords_filter_rates)
+    docs = [
+        (0, "dup", "en", "s1", 0),          # 1 token < 2-token phrases
+        (1, "", "en", "s1", 0),             # empty text
+        (2, "big", "en", "s1", 0),          # phrase prefix only
+        (3, "big table", "en", "s1", 0),    # exactly phrase-length
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long").write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["source"]: r.asDict() for r in
+           badwords_filter_rates(spark, str(tmp_path)).collect()}
+    s1 = got["s1"]
+    assert s1["n_docs"] == 4
+    assert s1["hits_dup"] == 1          # doc 0 (token-boundary match)
+    assert s1["hits_big_table"] == 1    # doc 3 only
+    assert s1["hits_drop_table"] == 0
+    assert s1["n_flagged"] == 2
+
+
+def test_badwords_quote_escaping(spark):
+    # A real blocklist will contain quoted terms; both the Spark
+    # expression and the DuckDB SQL must survive them (round-10 ADVICE).
+    import duckdb
+
+    from gcp_serverless_mapreduce_spark.suite.curation_q import (
+        _occ_col, _occ_sql)
+    toked = spark.createDataFrame(
+        [(["don't", "panic"],), (["don’t",],), ([],)],
+        "toks array<string>")
+    got = [r[0] for r in
+           toked.select(_occ_col("don't panic").alias("n")).collect()]
+    assert got == [1, 0, 0]
+    con = duckdb.connect()
+    sql = _occ_sql("don't panic")
+    rows = con.execute(
+        f"SELECT {sql} FROM (SELECT ['don''t','panic'] AS toks "
+        f"UNION ALL SELECT CAST([] AS VARCHAR[]))").fetchall()
+    assert sorted(v for (v,) in rows) == [0, 1]
+
+
 def test_kcenter_empty_corpus(spark):
     emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert similarity.kcenter_coreset(emb, 3, 8).collect() == []
