@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators import similarity
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, table_row_count
 
 DIM = 64
 NUM_PLANES = 8
@@ -340,9 +340,10 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, and the final ranking are all hash-gated.  Recall vs
     brute force stays asserted in tests/test_ivf.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_lloyd_topk(emb, K, CENTROIDS,
-                                     rounds=LLOYD_ROUNDS, n_probe=N_PROBE,
-                                     train_target=_TRAIN_TARGET)
+    return similarity.ivf_lloyd_topk(
+        emb, K, CENTROIDS, rounds=LLOYD_ROUNDS, n_probe=N_PROBE,
+        train_target=_TRAIN_TARGET,
+        n_rows=table_row_count(sf_dir, "embeddings"))
 
 
 # A train target SMALL enough that the sampling modulus exceeds 1 on the
@@ -382,9 +383,10 @@ def ivf_capped_train_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the flagship target of {_TRAIN_TARGET} produces the same
     mod>1 regime.  Search still ranks the full corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_lloyd_topk(emb, K, CENTROIDS,
-                                     rounds=LLOYD_ROUNDS, n_probe=N_PROBE,
-                                     train_target=_SMALL_TRAIN_TARGET)
+    return similarity.ivf_lloyd_topk(
+        emb, K, CENTROIDS, rounds=LLOYD_ROUNDS, n_probe=N_PROBE,
+        train_target=_SMALL_TRAIN_TARGET,
+        n_rows=table_row_count(sf_dir, "embeddings"))
 
 
 # ---- Product quantization (PQ/ADC) — fixed md5-derived codebooks ----
@@ -561,7 +563,8 @@ def pq_trained_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The trained books' recall lift over the fixed ones is measured in
     TUNING.md, not assumed."""
     emb = load_table(spark, sf_dir, "embeddings")
-    mod = similarity.train_sample_mod(emb.count(), _TRAIN_TARGET)
+    mod = similarity.train_sample_mod(
+        table_row_count(sf_dir, "embeddings"), _TRAIN_TARGET)
     books = similarity.pq_trained_codebooks(
         emb, PQ_BOOKS, rounds=PQ_LLOYD_ROUNDS,
         train_filter=similarity.train_sample_pred("vec_id", mod))

@@ -125,3 +125,14 @@ def test_ivf_search_invariant_to_salt_width(spark, monkeypatch):
     monkeypatch.setattr(similarity, "IVF_SALT", 8)
     salted = run()
     assert salted == unsalted and len(salted) > 0
+
+
+def test_table_row_count_matches_spark_count(spark):
+    # The training-modulus path now sizes its hash-sample from parquet
+    # footer metadata (tables.table_row_count) instead of an extra
+    # df.count() scan job; the two must agree exactly or the oracle's
+    # greatest(1, count(*) // target) CTE diverges from the Spark plan.
+    from gcp_serverless_mapreduce_spark.tables import table_row_count
+    for name in ("embeddings", "documents"):
+        meta = table_row_count(SF_DIR, name)
+        assert meta == load_table(spark, SF_DIR, name).count()
