@@ -250,7 +250,11 @@ def hilbert_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket min/max pruning boxes this query emits are tighter for
     the same bucket width.  tests/test_round10_ops.py measures exactly
     that: the mean per-bucket bounding-box area under Hilbert vs
-    Z-order on the fixture.
+    Z-order on the fixture.  TUNING.md ("layout-pruning",
+    tools/layout_pruning.py) measures the end effect on real written
+    files: on 64 footer-stat files and 2%-wide range predicates,
+    Hilbert reads 3.2% of files vs Z-order's 5.5% on the conjunctive
+    predicate (and wins both single-column families too).
 
     The key is one codegen'd integer fold (F.aggregate over the level
     constants — see operators/layout.py:hilbert_key); the only exchange
