@@ -599,3 +599,102 @@ def image_phash(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return images.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+# ---- audio perceptual fingerprint (chromaprint-style) -----------------------
+
+FP_FRAMES = 8       # time frames per clip
+FP_BANDS = 4        # energy bands per frame
+# fingerprint width: F*(B-1) adjacent-band sign bits + (F-1) frame-
+# energy sign bits = 31 bits -> fits BIGINT on both engines
+AUDIO_FP_BASES = 50  # distinct base signals in the fp fixture corpus
+
+AUDIO_FP_SCHEMA = "media_id long, n_samples long, afp long"
+
+
+def synth_audio_fp_samples(media_id: int):
+    """Deterministic fp-fixture signal with PLANTED near-dups: clips
+    sharing ``media_id % AUDIO_FP_BASES`` are the SAME base waveform at
+    an integer amplitude scale 1-3 — the loudness-shifted re-encode an
+    audio dedup pass exists to catch.  Base samples live in
+    [-8192, 8191] so scale 3 stays inside int16."""
+    import numpy as np
+    bid = media_id % AUDIO_FP_BASES
+    scale = (media_id // AUDIO_FP_BASES) % 3 + 1
+    n = (bid % 4 + 1) * 256
+    i = np.arange(n, dtype=np.int64)
+    # quadratic chirp with a bid-keyed linear term: every base gets a
+    # distinct energy envelope (the plain sawtooth collapsed half the
+    # corpus onto one all-bits fingerprint), measured 50/50 distinct
+    # fingerprints across the bases at this formula
+    base = ((i * i * 11 + i * (97 + bid * 13) + bid * 37) % 16384) - 8192
+    return (scale * base).astype(np.int16)
+
+
+def audio_fp_corpus(docs: DataFrame) -> DataFrame:
+    """(media_id, payload): one real WAV per document from the planted
+    near-dup signal family; bytes are born on executors (mapInPandas)
+    and never shuffle — same discipline as :func:`audio_corpus`."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                bid = mid % AUDIO_FP_BASES
+                rate = 8000 + (bid % 3) * 4000
+                payloads.append(
+                    encode_wav(synth_audio_fp_samples(mid), rate))
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "payload": payloads})
+
+    return (docs.select(F.col("doc_id").alias("media_id"))
+            .mapInPandas(batches, schema="media_id long, payload binary"))
+
+
+def audio_fingerprint(audio: DataFrame) -> DataFrame:
+    """Chromaprint-style perceptual fingerprint of REAL WAV bytes
+    (Ke et al. 2005 / the AcoustID filter family: bits are SIGNS of
+    energy differences across adjacent time-frequency cells, which
+    survive volume changes and re-encoding).  Decode the RIFF chunks,
+    split the clip into {FP_FRAMES} frames x {FP_BANDS} bands, compute
+    each cell's EXACT int64 energy (sum of squared samples), then:
+
+    - bit f*(B-1)+b      = E(f,b)  > E(f,b+1)   (adjacent-band signs)
+    - bit F*(B-1)+f      = TE(f)   > TE(f+1)    (frame-energy signs)
+
+    Amplitude scaling multiplies every energy by the same factor, so
+    all {FP_FRAMES * (FP_BANDS - 1) + FP_FRAMES - 1} comparison bits —
+    and therefore the fingerprint — are loudness-invariant by
+    construction.  Bands here are time-domain energy cells so a SQL
+    oracle replays every bit from the closed-form signal; a production
+    deployment swaps the per-clip kernel for FFT chroma bands without
+    touching the plan (map-only mapInPandas, payloads never shuffle —
+    only the 8-byte fingerprint reaches the dedup exchange)."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        nb = FP_FRAMES * FP_BANDS
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "n_samples", "afp")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _rate, s = decode_wav(payload)
+                s64 = s.astype(np.int64)
+                n = s64.size
+                w = n // nb
+                e = [int((s64[c * w:(c + 1) * w] ** 2).sum())
+                     for c in range(nb)]
+                te = [sum(e[f * FP_BANDS:(f + 1) * FP_BANDS])
+                      for f in range(FP_FRAMES)]
+                afp = 0
+                for f in range(FP_FRAMES):
+                    for b in range(FP_BANDS - 1):
+                        if e[f * FP_BANDS + b] > e[f * FP_BANDS + b + 1]:
+                            afp |= 1 << (f * (FP_BANDS - 1) + b)
+                for f in range(FP_FRAMES - 1):
+                    if te[f] > te[f + 1]:
+                        afp |= 1 << (FP_FRAMES * (FP_BANDS - 1) + f)
+                out["media_id"].append(mid)
+                out["n_samples"].append(n)
+                out["afp"].append(afp)
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(batches, schema=AUDIO_FP_SCHEMA)

@@ -337,3 +337,75 @@ def image_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ph.groupBy("phash")
             .agg(F.count(F.lit(1)).cast("long").alias("n_images"),
                  ids_str.alias("media_ids")))
+
+
+# ---- audio perceptual-fingerprint dedup -------------------------------------
+
+_FPF, _FPB = multimodal.FP_FRAMES, multimodal.FP_BANDS
+_FP_BASES = multimodal.AUDIO_FP_BASES
+_FP_SAMPLE = ("CAST({s} * (((i * i * 11 + i * (97 + bid * 13) + bid * 37) "
+              "% 16384) - 8192) AS BIGINT)")
+
+
+@register("audio_fingerprint_groups", f"""
+WITH a AS (
+    SELECT doc_id AS media_id,
+           doc_id % {_FP_BASES} AS bid,
+           (doc_id // {_FP_BASES}) % 3 + 1 AS s
+    FROM documents),
+d AS (SELECT media_id, bid, s,
+             (bid % 4 + 1) * 256 // {_FPF * _FPB} AS w
+      FROM a),
+e AS (
+    SELECT media_id, ff.f, bb.b,
+           list_sum(list_transform(
+               generate_series((ff.f * {_FPB} + bb.b) * w,
+                               (ff.f * {_FPB} + bb.b + 1) * w - 1),
+               i -> {_FP_SAMPLE.format(s='s')}
+                    * {_FP_SAMPLE.format(s='s')})) AS en
+    FROM d,
+         (SELECT unnest(generate_series(0, {_FPF - 1})) AS f) ff,
+         (SELECT unnest(generate_series(0, {_FPB - 1})) AS b) bb),
+bp AS (
+    SELECT e1.media_id, e1.f * {_FPB - 1} + e1.b AS j,
+           CASE WHEN e1.en > e2.en THEN 1 ELSE 0 END AS bit
+    FROM e e1 JOIN e e2 ON e1.media_id = e2.media_id
+         AND e1.f = e2.f AND e2.b = e1.b + 1),
+te AS (SELECT media_id, f, SUM(en) AS ten FROM e GROUP BY media_id, f),
+fb AS (
+    SELECT t1.media_id, {_FPF * (_FPB - 1)} + t1.f AS j,
+           CASE WHEN t1.ten > t2.ten THEN 1 ELSE 0 END AS bit
+    FROM te t1 JOIN te t2 ON t1.media_id = t2.media_id
+         AND t2.f = t1.f + 1),
+fpt AS (
+    SELECT media_id, CAST(SUM(CAST(bit AS BIGINT) << j) AS BIGINT) AS afp
+    FROM (SELECT * FROM bp UNION ALL SELECT * FROM fb)
+    GROUP BY media_id)
+SELECT afp, CAST(COUNT(*) AS BIGINT) AS n_clips,
+       string_agg(CAST(media_id AS VARCHAR), ' ' ORDER BY media_id)
+           AS media_ids
+FROM fpt GROUP BY afp
+""")
+def audio_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup dedup by PERCEPTUAL fingerprint — the audio
+    sibling of image_phash_groups: every document's real WAV bytes are
+    decoded and chromaprint-style fingerprinted ({_FPF} frames x
+    {_FPB} energy bands, bits = signs of adjacent-cell energy
+    differences — loudness-invariant by construction), then clips are
+    grouped by identical fingerprint.  The fixture corpus plants real
+    near-dups (same base waveform at amplitude scales 1-3, varied
+    sample rates), so genuine dedup groups emerge, and the oracle
+    recomputes every energy comparison analytically from the
+    closed-form signal.  Map-only decode; only the 8-byte fingerprint
+    reaches the exchange — at 100 TB this is one pass over the audio
+    corpus with a fingerprint-keyed rollup, the exact plan of the
+    image twin.  See operators/multimodal.py:audio_fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = multimodal.audio_fingerprint(
+        multimodal.audio_fp_corpus(docs))
+    ids_str = F.concat_ws(
+        " ", F.transform(F.array_sort(F.collect_list("media_id")),
+                         lambda m: m.cast("string")))
+    return (fp.groupBy("afp")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_clips"),
+                 ids_str.alias("media_ids")))
