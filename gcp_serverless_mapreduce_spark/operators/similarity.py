@@ -569,9 +569,18 @@ IVF_SALT = 8
 
 def _ivf_search(emb: DataFrame, k: int, centers: list[list[float]],
                 n_probe: int, id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding",
+                query_filter=None) -> DataFrame:
     """Shared IVF search given centroids: assign each vector to its
     ``n_probe`` nearest cells, re-rank exactly within cells, global top-k.
+
+    ``query_filter`` (a callable ``Column -> Column`` applied to the id
+    column) restricts the QUERY role to matching rows — the corpus side
+    always indexes every vector: an incremental-ingest search ranks only
+    the new batch's vectors without paying the |corpus| × n_probe query
+    fan-out.  The query entry in the in-row role explode below is simply
+    gated on the predicate, so the normalize + probe pipeline still runs
+    exactly once per vector.
 
     Cross-engine determinism: the oracle twin scores cells as
     ``|c|^2 - 2·(v·c)`` (the ``|v|^2`` term is constant per row, so the
@@ -631,10 +640,17 @@ def _ivf_search(emb: DataFrame, k: int, centers: list[list[float]],
     c_entries = [F.struct(F.lit(i).cast("int").alias("salt"),
                           F.lit(True).alias("is_corpus"))
                  for i in range(IVF_SALT)]
+    no_entries = F.array().cast("array<struct<salt:int,is_corpus:boolean>>")
+    q_arr = F.array(q_entry)
+    if query_filter is not None:
+        # `member` renamed id_col -> vid, so apply the caller's
+        # predicate to the surviving column.
+        q_arr = (F.when(query_filter(F.col("vid")), q_arr)
+                 .otherwise(no_entries))
     roles = F.concat(
-        F.array(q_entry),
+        q_arr,
         F.when(F.col("is_home"), F.array(*c_entries))
-        .otherwise(F.array().cast("array<struct<salt:int,is_corpus:boolean>>")))
+        .otherwise(no_entries))
     both = (member.select("vid", "unit", "cell",
                           F.explode(roles).alias("r"))
             .select("vid", "unit", "cell", "r.salt", "r.is_corpus"))
@@ -902,6 +918,63 @@ def ivf_lloyd_topk(emb: DataFrame, k: int, init_centers: list[list[float]],
     centers = lloyd_centroids(emb, init_centers, rounds, vec_col,
                               train_filter=pred)
     return _ivf_search(emb, k, centers, n_probe, id_col, vec_col)
+
+
+def ivf_incremental_topk(emb: DataFrame, inc_mod: int, k: int,
+                         init_centers: list[list[float]],
+                         rounds: int = 2, n_probe: int = 2,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         train_target: int = IVF_TRAIN_TARGET,
+                         n_old_rows: int | None = None) -> DataFrame:
+    """Incremental IVF ingestion — the ANN sibling of
+    ``dedup.incremental_dedup``: a NEW batch (``id % inc_mod = 0``,
+    the daily-crawl convention shared with the dedup twin) is routed
+    into EXISTING trained cells with NO retraining, then searched
+    immediately against the full (old + new) corpus.
+
+    Steady-state contract, in three properties the tests pin:
+
+    1. **Centroids are a pure function of the OLD corpus** — training
+       filters to ``id % inc_mod != 0`` intersected with the capped
+       hash-sample (modulus scaled by ``n_old_rows``), so ingesting a
+       batch never moves the index geometry: new-vector routing is a
+       map-only nearest-centroid assignment (the same
+       ``_probe_cells_udf`` scan every search pays anyway), not a
+       rounds × scan Lloyd re-fit.  At 100 TB a re-fit per ingest
+       batch would dominate the pipeline; routing is one pass over
+       the batch.
+    2. **New rows are immediately searchable** — the search side
+       indexes every vector (old and new home cells alike); only the
+       QUERY role is restricted to the new batch via
+       ``query_filter``, so the plan pays |new| × n_probe query
+       fan-out, never |corpus| × n_probe.
+    3. **Old rows never re-rank against each other** — the per-cell
+       kernel sees old vectors only as corpus entries for new-batch
+       queries, the old×old work an ingest must not pay.
+
+    ``n_old_rows`` sizes the training-sample modulus without a count
+    scan when the old corpus's row count is already known.  In a real
+    deployment old batches land in their own partitions/files, so
+    this is parquet footer metadata (tables.table_row_count); the
+    ``% inc_mod`` fixture split simulates that partition boundary,
+    and callers without the count pay one filtered count() job.
+
+    -> (query_id, neighbor_id, rank, sim) for new-batch queries only,
+    ranked over the full corpus — same shape/determinism contract as
+    :func:`ivf_lloyd_topk` (fixed-point Lloyd, fold-order-exact
+    scoring), so the DuckDB oracle unrolls identically with the tr
+    CTE additionally filtered to the old batch.
+    """
+    old_pred = F.col(id_col) % inc_mod != 0
+    if n_old_rows is None:
+        n_old_rows = emb.filter(old_pred).count()
+    sample = train_sample_pred(
+        id_col, train_sample_mod(n_old_rows, train_target))
+    centers = lloyd_centroids(emb, init_centers, rounds, vec_col,
+                              train_filter=sample & old_pred)
+    return _ivf_search(emb, k, centers, n_probe, id_col, vec_col,
+                       query_filter=lambda vid: vid % inc_mod == 0)
 
 
 def pq_codebooks(n_sub: int, n_codes: int,

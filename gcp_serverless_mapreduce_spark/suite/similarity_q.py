@@ -254,19 +254,20 @@ _TRAIN_TARGET = similarity.IVF_TRAIN_TARGET
 # is O(cap) at any scale — round-10 contract change), so the
 # sample-trained centroids match bit-for-bit.  At the test scales
 # (<= 2*target rows) the modulus is 1 and training sees every vector.
-def _train_mod_sql(target: int) -> str:
-    return f"greatest(1, (SELECT count(*) FROM embeddings) // {target})"
+def _train_mod_sql(target: int, corpus_where: str = "") -> str:
+    return (f"greatest(1, (SELECT count(*) FROM embeddings{corpus_where})"
+            f" // {target})")
 
 
-def _train_pred_sql(target: int) -> str:
+def _train_pred_sql(target: int, corpus_where: str = "") -> str:
     return ("CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) "
-            f"AS BIGINT) % {_train_mod_sql(target)} = 0")
+            f"AS BIGINT) % {_train_mod_sql(target, corpus_where)} = 0")
 
 
 _TRAIN_PRED = _train_pred_sql(_TRAIN_TARGET)
 
 
-def _lloyd_cte(target: int = _TRAIN_TARGET) -> str:
+def _lloyd_cte(target: int = _TRAIN_TARGET, train_where: str = "") -> str:
     """Lloyd rounds as CTEs: tr = the capped hash-sample (modulus
     scaled to corpus count / ``target``) the Spark side trains on
     (search still ranks the full corpus); c0 = the
@@ -279,8 +280,10 @@ def _lloyd_cte(target: int = _TRAIN_TARGET) -> str:
     c0_rows = ",\n ".join(
         f"({i}, {_cent_literal(c)}, CAST({_sq_fold(c)!r} AS DOUBLE))"
         for i, c in enumerate(CENTROIDS))
+    cw = f" WHERE {train_where}" if train_where else ""
+    aw = f" AND {train_where}" if train_where else ""
     parts = [",\ntr AS (SELECT vec_id, v FROM u "
-             f"WHERE {_train_pred_sql(target)})",
+             f"WHERE {_train_pred_sql(target, cw)}{aw})",
              f",\nc0(cell, cent, sq) AS (VALUES {c0_rows})"]
     for r in range(1, LLOYD_ROUNDS + 1):
         p = r - 1
@@ -387,6 +390,57 @@ def ivf_capped_train_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, K, CENTROIDS, rounds=LLOYD_ROUNDS, n_probe=N_PROBE,
         train_target=_SMALL_TRAIN_TARGET,
         n_rows=table_row_count(sf_dir, "embeddings"))
+
+
+# Incremental-ingest split: the NEW batch is vec_id % _INC_MOD = 0 — the
+# same daily-crawl convention as dedup_q.incremental_dedup_new_docs, so
+# the two incremental paths (dedup screen + ANN ingest) describe the
+# same arriving batch.
+_INC_MOD = 3
+_INC_WHERE = f"vec_id % {_INC_MOD} <> 0"
+
+
+@register("ivf_incremental_ingest_topk",
+          _UNIT_CTE
+          + _lloyd_cte(_SMALL_TRAIN_TARGET, train_where=_INC_WHERE) + f""",
+sc AS (SELECT u0.vec_id, u0.u, c.cell,
+              c.sq - 2.0 * {_dot("u0.v", "c.cent")} AS score
+       FROM u u0 CROSS JOIN c{LLOYD_ROUNDS} c),
+pr AS (SELECT vec_id, u, cell,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY score, cell) AS pr
+       FROM sc QUALIFY pr <= {N_PROBE}),
+home AS (SELECT vec_id, u, cell FROM pr WHERE pr = 1)
+SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       row_number() OVER (PARTITION BY a.vec_id
+                          ORDER BY {_PAIR_DOT} DESC, b.vec_id) AS rank,
+       round({_PAIR_DOT}, 4) AS sim
+FROM pr a JOIN home b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+WHERE a.vec_id % {_INC_MOD} = 0
+QUALIFY rank <= {K}
+""")
+def ivf_incremental_ingest_topk(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Incremental IVF ingestion (NEW round 11 — the ANN sibling of
+    incremental_dedup_new_docs): centroids train on the OLD corpus
+    only (vec_id % {_INC_MOD} != 0, capped hash-sample with the
+    modulus scaled by the OLD row count), the new batch is routed
+    into those existing cells map-only — NO re-fit per ingest, the
+    steady-state contract at 100 TB — and searched immediately
+    against the full old+new corpus.  Only new-batch vectors take
+    the query role (the |new| × n_probe fan-out, never
+    |corpus| × n_probe; old×old never re-ranks), while every vector
+    is indexed, so fresh rows are retrievable the moment they land.
+    Trained centroids, routing, and the final ranking are all
+    hash-gated; the oracle's tr CTE adds the old-batch predicate to
+    both the sample and its count-scaled modulus.  Uses
+    train_target={_SMALL_TRAIN_TARGET} so the capped-sample regime
+    (mod > 1) is exercised at every test scale, composed with the
+    incremental split."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_incremental_topk(
+        emb, _INC_MOD, K, CENTROIDS, rounds=LLOYD_ROUNDS,
+        n_probe=N_PROBE, train_target=_SMALL_TRAIN_TARGET)
 
 
 # ---- Product quantization (PQ/ADC) — fixed md5-derived codebooks ----

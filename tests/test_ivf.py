@@ -127,6 +127,48 @@ def test_ivf_search_invariant_to_salt_width(spark, monkeypatch):
     assert salted == unsalted and len(salted) > 0
 
 
+def test_ivf_incremental_no_retrain_and_query_scope(spark):
+    """The incremental-ingest contract (round-11 frontier op), pinned:
+
+    1. centroids are a pure function of the OLD corpus — training over
+       the full frame with the old-batch filter must equal training
+       over a frame from which the new batch was physically removed
+       (i.e. ingesting a batch does not move the index geometry);
+    2. only new-batch vectors take the query role;
+    3. new-batch vectors are retrievable as neighbors immediately.
+    """
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    init = similarity.fixed_centroids(16, 64)
+    inc_mod, target = 3, 128
+    old = emb.filter(F.col("vec_id") % inc_mod != 0)
+    n_old = old.count()
+    sample = similarity.train_sample_pred(
+        "vec_id", similarity.train_sample_mod(n_old, target))
+
+    # (1) old-filtered training on the full frame == training on a frame
+    # that never contained the new batch: bit-exact, not approximate.
+    c_full = similarity.lloyd_centroids(
+        emb, init, rounds=2,
+        train_filter=sample & (F.col("vec_id") % inc_mod != 0))
+    c_old_only = similarity.lloyd_centroids(
+        old, init, rounds=2, train_filter=sample)
+    assert c_full == c_old_only
+    assert c_full != init  # training actually moved the centroids
+
+    rows = similarity.ivf_incremental_topk(
+        emb, inc_mod, 5, init, rounds=2, n_probe=2,
+        train_target=target, n_old_rows=n_old).collect()
+    assert rows
+    # (2) queries are exactly the new batch
+    assert all(r["query_id"] % inc_mod == 0 for r in rows)
+    # (3) both old and new vectors appear as neighbors (the new batch is
+    # indexed the moment it lands, alongside the existing corpus)
+    mods = {r["neighbor_id"] % inc_mod for r in rows}
+    assert 0 in mods and (mods - {0})
+
+
 def test_table_row_count_matches_spark_count(spark):
     # The training-modulus path now sizes its hash-sample from parquet
     # footer metadata (tables.table_row_count) instead of an extra
