@@ -488,6 +488,107 @@ def decode_video_stats(video: DataFrame) -> DataFrame:
     return video.mapInPandas(batches, schema=DECODED_VIDEO_SCHEMA)
 
 
+# ---- video scene-change keyframe selection ----------------------------
+
+# Scene cut iff the frame's abs-diff energy vs its predecessor exceeds
+# KF_THRESHOLD * n_pixel_values (i.e. mean per-value abs diff > 30).
+# The cut fixture's margins (synth_video_shot_frames) are proven in the
+# docstring there: within-shot frames score <= ~13 per value, cut
+# frames >= 60 — the rule sits in the dead center of a 4x gap.
+KF_THRESHOLD = 30
+KF_SHOT_JUMP = 59  # per-shot base jump in the cut-fixture signal
+
+KEYFRAME_SCHEMA = ("media_id long, frame_idx long, n_vals long, "
+                   "diff_sum long, is_keyframe boolean")
+
+
+def synth_video_shot_frames(media_id: int, w: int, h: int,
+                            n_frames: int, shot_len: int):
+    """Deterministic planar frames with PLANTED scene cuts: value at
+    frame f, flat index i = (mid*13 + (f // shot_len)*KF_SHOT_JUMP
+    + f + i*7) % 256 with KF_SHOT_JUMP = 59.  Within a shot,
+    consecutive frames step +1 (mod 256) at every index: since
+    gcd(7, 256) = 1 and a frame holds n = 3*w*h <= 90 < 256 values,
+    at most ONE index wraps 255 -> 0, so the within-shot diff energy
+    is <= (n - 1) + 255 < 345 — mean per value <= ~13 at the minimum
+    n = 27.  Across a cut the base jumps by 59+1 = 60 (mod 256):
+    every per-value abs diff is 60 or 196, so the cut frame's mean
+    is >= 60.  The
+    KF_THRESHOLD = 30 rule therefore separates the two populations
+    with a >= 2x margin on BOTH sides — exact integers end to end,
+    replayed analytically by the oracle."""
+    import numpy as np
+    i = np.arange(3 * h * w, dtype=np.int64)
+    return [((media_id * 13 + (f // shot_len) * KF_SHOT_JUMP + f + i * 7)
+             % 256).astype(np.uint8).reshape(3, h, w)
+            for f in range(n_frames)]
+
+
+def video_cut_corpus(docs: DataFrame) -> DataFrame:
+    """(media_id, payload): one real YUV4MPEG2 clip per document from
+    the planted-cut signal family — 4-7 frames in shots of 2-4, so
+    every clip has 1-3 scene changes.  Bytes are born on executors
+    (mapInPandas) and never shuffle — same discipline as
+    :func:`video_corpus`."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = mid % 4 + 3, mid % 3 + 3
+                nf, sl = mid % 4 + 4, mid % 3 + 2
+                payloads.append(encode_y4m(
+                    synth_video_shot_frames(mid, w, h, nf, sl)))
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "payload": payloads})
+
+    return (docs.select(F.col("doc_id").alias("media_id"))
+            .mapInPandas(batches, schema="media_id long, payload binary"))
+
+
+def video_keyframes(video: DataFrame,
+                    threshold: int = KF_THRESHOLD) -> DataFrame:
+    """Scene-change keyframe selection over REAL y4m bytes — the frame
+    sampler a video training pipeline actually wants (uniform stride
+    oversamples static shots and misses cuts; see :func:`sample_frames`
+    for the stride variant).  Decode the container, compute each
+    frame's EXACT int64 abs-diff energy against its predecessor over
+    the planar values, and mark a keyframe at frame 0 and wherever
+    ``diff_sum > threshold * n_vals`` — a pixel-domain shot-boundary
+    detector (the classic pairwise-difference family; a production
+    deployment swaps in histogram or edge-change ratios inside the same
+    kernel without touching the plan).
+
+    Map-only mapInPandas: payloads never shuffle; only (frame, energy,
+    flag) rows reach downstream aggregation — at 100 TB the exchange
+    carries ~40 bytes per frame, not the video.  The detector sees
+    BYTES only (no knowledge of the fixture's closed form), so the
+    oracle replaying the signal analytically is a true decode gate."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "frame_idx", "n_vals",
+                                   "diff_sum", "is_keyframe")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _w, _h, frames = decode_y4m(payload)
+                prev = None
+                for f_idx, fr in enumerate(frames):
+                    flat = fr.reshape(-1).astype(np.int64)
+                    n = flat.size
+                    diff = (0 if prev is None
+                            else int(np.abs(flat - prev).sum()))
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f_idx)
+                    out["n_vals"].append(n)
+                    out["diff_sum"].append(diff)
+                    out["is_keyframe"].append(
+                        f_idx == 0 or diff > threshold * n)
+                    prev = flat
+            yield pd.DataFrame(out)
+
+    return video.mapInPandas(batches, schema=KEYFRAME_SCHEMA)
+
+
 def decode_media(media: DataFrame) -> DataFrame:
     """Arrow-batched decode/feature-extract: mapInPandas over the payload
     column.  Map-only — no shuffle; output drops the payload so anything

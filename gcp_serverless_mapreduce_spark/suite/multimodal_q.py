@@ -160,6 +160,68 @@ def video_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_video_stats(clips)
 
 
+@register("video_keyframe_selection", f"""
+WITH clip AS (
+    SELECT doc_id AS media_id,
+           doc_id % 4 + 3 AS w, doc_id % 3 + 3 AS h,
+           doc_id % 4 + 4 AS nf, doc_id % 3 + 2 AS sl
+    FROM documents),
+fr AS (
+    SELECT media_id, w, h, nf, sl,
+           unnest(generate_series(0, nf - 1)) AS f
+    FROM clip),
+d AS (
+    SELECT media_id, f, nf, 3 * w * h AS n,
+           -- the planted-cut signal in closed form: frame f, flat index
+           -- i = (mid*13 + (f // sl)*{multimodal.KF_SHOT_JUMP} + f + i*7)
+           -- % 256 — what a correct demux+decode must recover; frame 0
+           -- has no predecessor, so its energy is 0
+           CASE WHEN f = 0 THEN 0 ELSE list_sum(list_transform(
+               generate_series(0, 3 * w * h - 1),
+               i -> abs(((media_id * 13
+                          + (f // sl) * {multimodal.KF_SHOT_JUMP}
+                          + f + i * 7) % 256)
+                      - ((media_id * 13
+                          + ((f - 1) // sl) * {multimodal.KF_SHOT_JUMP}
+                          + (f - 1) + i * 7) % 256))))
+           END AS diff_sum
+    FROM fr),
+k AS (
+    SELECT media_id, f,
+           (f = 0 OR diff_sum > {multimodal.KF_THRESHOLD} * n) AS is_key
+    FROM d)
+SELECT media_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(count(*) FILTER (WHERE is_key) AS BIGINT) AS n_keyframes,
+       string_agg(CAST(f AS VARCHAR), ',' ORDER BY f)
+           FILTER (WHERE is_key) AS keyframes
+FROM k GROUP BY media_id
+""")
+def video_keyframe_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change keyframe selection (NEW round 11): one real y4m
+    clip per document with PLANTED shot cuts (4-7 frames in shots of
+    2-4), decoded from bytes; a frame is a keyframe iff it opens the
+    clip or its abs-diff energy vs its predecessor exceeds
+    {multimodal.KF_THRESHOLD} x values — the pairwise-difference
+    shot-boundary detector every video curation pipeline runs before
+    feature extraction (uniform stride oversamples static shots and
+    misses cuts).  Per-clip output: frame count, keyframe count, and
+    the ordered keyframe index list; energies are exact int64, so cut
+    positions are hash-gated against the analytic replay.  Decode +
+    detection are map-only mapInPandas — payloads never shuffle; the
+    per-clip aggregate moves ~40 bytes per frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    kf = multimodal.video_keyframes(multimodal.video_cut_corpus(docs))
+    key_idx = F.when(F.col("is_keyframe"), F.col("frame_idx"))
+    return (kf.groupBy("media_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_frames"),
+                 F.sum(F.col("is_keyframe").cast("long")).cast("long")
+                 .alias("n_keyframes"),
+                 F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list(key_idx)),
+                     lambda x: x.cast("string"))).alias("keyframes")))
+
+
 @register("multimodal_feature_table", f"""
 WITH img AS (
     SELECT doc_id AS media_id,

@@ -129,6 +129,49 @@ def test_wav_roundtrip_exact_and_strict():
             multimodal.decode_wav(bad)
 
 
+def test_audio_fp_fixture_plants_loudness_neardups(spark):
+    import numpy as np
+    from gcp_serverless_mapreduce_spark.operators import multimodal as mm
+    # The fp fixture's planted-near-dup contract: media ids sharing
+    # id % AUDIO_FP_BASES are the same base waveform at integer
+    # amplitude scales 1-3 (int16-safe), and the fingerprint is
+    # loudness-invariant, so the pair lands in the same dedup group.
+    b = mm.AUDIO_FP_BASES
+    s1, s2 = mm.synth_audio_fp_samples(7), mm.synth_audio_fp_samples(7 + b)
+    assert np.array_equal(s2, 2 * s1)          # scale 2 of the same base
+    assert int(np.abs(s2).max()) <= 3 * 8192   # never overflows int16
+    clips = spark.createDataFrame(
+        [(7, mm.encode_wav(s1, 8000)), (7 + b, mm.encode_wav(s2, 8000)),
+         (8, mm.encode_wav(mm.synth_audio_fp_samples(8), 8000))],
+        "media_id long, payload binary")
+    fp = {r.media_id: r.afp for r in mm.audio_fingerprint(clips).collect()}
+    assert fp[7] == fp[7 + b] != fp[8]
+
+
+def test_video_keyframes_detect_planted_cuts(spark):
+    from gcp_serverless_mapreduce_spark.operators import multimodal as mm
+    # media_id=10: w=5, h=4, nf=6, sl=2 -> cuts at frames 2 and 4; the
+    # detector sees only the encoded bytes, so this pins decode + the
+    # threshold rule end-to-end on a clip with known shot boundaries.
+    mid, w, h, nf, sl = 10, 5, 4, 6, 2
+    clip = mm.encode_y4m(mm.synth_video_shot_frames(mid, w, h, nf, sl))
+    video = spark.createDataFrame([(mid, clip)],
+                                  "media_id long, payload binary")
+    rows = {r.frame_idx: r for r in mm.video_keyframes(video).collect()}
+    assert sorted(rows) == list(range(nf))
+    keys = sorted(f for f, r in rows.items() if r.is_keyframe)
+    assert keys == [0, 2, 4]
+    n = 3 * w * h
+    for f, r in rows.items():
+        assert r.n_vals == n
+        if f == 0:
+            assert r.diff_sum == 0
+        elif f % sl == 0:         # cut frame: mean >= 60 per value
+            assert r.diff_sum >= 60 * n
+        else:                     # within-shot: far below threshold
+            assert r.diff_sum <= (n - 1) + 255
+
+
 def test_image_phash_brightness_invariant(spark):
     import numpy as np
     from gcp_serverless_mapreduce_spark.operators import multimodal as mm
