@@ -40,99 +40,100 @@ from . import sketch_q  # noqa: F401, E402
 from . import linkage_q  # noqa: F401, E402
 from . import profiling_q  # noqa: F401, E402
 
-# Round-10 window head (the driver checks the FIRST ~50 registered).
-# The window finishes the attestation ledger (VERDICT r9 items 1/8):
-# 1) ALL 21 queries last driver-attested in round 5 — after this round
-#    every round-5-era query has an attestation <=3 rounds old;
-# 2) the four queries whose SEMANTICS changed this round:
-#    ivf_ann_topk + pq_trained_adc_topk (the Lloyd/PQ training sample
-#    is now CAPPED — modulus = max(1, corpus_count // 4096) instead of
-#    a fixed 1-in-4 fraction, mirrored in the oracle as a
-#    greatest(1, count(*) // target) scalar subquery),
-#    join_key_skew_profile (keys stack as lossless strings and every
-#    audited label emits a row even over an empty base table), and
-#    matryoshka_recall_eval (NULL embeddings pass through the
-#    trunc_dim guard to the zero-norm drop instead of erroring);
-# 2b) ivf_capped_train_topk, NEW this round: the trained-IVF plan
-#    under train_target=128, making the count-scaled sampling modulus
-#    exceed 1 at test scale (mod 3 at sf0.01) so the capped-training
-#    contract is driver-attested on real data, not just unit-replayed;
-# 2c) mmr_diverse_topk + source_drift_psi, NEW late in round 10
-#    (MMR diversified retrieval; PSI snapshot drift) — first
-#    attestation;
-# 3) 22 of the 46 round-6-era queries, leading with the stateful /
-#    iterative / sketch operators (hardest to re-derive from builder
-#    parity alone).  The remaining 24 r6 queries lead round 11,
-#    together with the four post-window round-10 additions
-#    lpa_word_communities, k_anonymity_audit, kcenter_coreset_sample
-#    and badwords_filter_rates:
-#    m4_downsample_hourly, approx_stats_parts, zorder_layout_keys,
-#    bigram_coherence_score, bm25_doc_scores, dataset_split_counts,
-#    dedup_resolution_by_source, doc_overlapping_chunks,
-#    domain_capped_corpus, funnel_signup_click_purchase,
-#    label_centroid_distances, latest_event_per_user,
-#    length_bucketed_batches, pc1_projection_buckets,
-#    quality_percentile_filter, regression_price_vs_quantity,
-#    sequence_packing_plan, shingle_novelty_scores,
-#    symspell_handle_match, temperature_mixed_sample,
-#    time_weighted_avg_value, touch_attribution_revenue,
-#    user_retention_cohorts, weighted_sample_bychars.
+# Round-11 window head (the driver checks the FIRST ~50 registered).
+# Composition, per VERDICT r10 items 1-2 + the rotation invariant
+# (every query driver-attested within the last 4 rounds):
+# 1) the 6 queries that have NEVER been driver-attested — the five
+#    post-window round-10 additions (badwords_filter_rates,
+#    hilbert_layout_keys, k_anonymity_audit, kcenter_coreset_sample,
+#    lpa_word_communities) plus audio_fingerprint_groups, new this
+#    round (chromaprint-style band-energy-sign fingerprints over the
+#    WAV decoder — the audio sibling of image_phash_groups);
+# 2) the 4 queries whose SEMANTICS/PLAN changed this round:
+#    join_key_skew_profile (dual-typed stacking lanes — integral keys
+#    stay LONG through the hash aggregate, string lane only for
+#    string keys; losslessness kept, the r10 1.54x cast tax retired),
+#    and ivf_ann_topk / ivf_capped_train_topk / pq_trained_adc_topk
+#    (training-sample modulus now derived from parquet footer
+#    num_rows metadata instead of a dedicated count() scan);
+#    badwords_filter_rates also changed (short-document guard +
+#    quote escaping, ADVICE r10) but is already in block 1;
+# 3) ALL 24 queries last driver-attested in round 6 — after this
+#    round no attestation predates round 7;
+# 4) 14 of the 46 round-7-era queries, leading with the ANN / sketch
+#    / stateful operators (hardest to re-derive from builder parity
+#    alone).  The remaining 32 r7-era queries lead round 12:
+#    audio_decode_roundtrip, bpe_fertility_by_lang, clean_text_stats,
+#    corpus_prep_pipeline, customers_with_big_orders,
+#    customers_without_orders, distinct_status_priority,
+#    doc_fingerprints, doc_quality_scores, dup_cluster_representatives,
+#    events_json_stats, events_parquet_schema_evolution,
+#    image_decode_roundtrip, language_confusion, language_id,
+#    language_id_chargram, media_decode_features,
+#    multimodal_feature_table, multires_event_rollup, order_fill_stats,
+#    orders_per_nation, q16_parts_supplier_relationship,
+#    q20_excess_shipments_suppliers, q21_suppliers_kept_orders_waiting,
+#    q3_top_unshipped_orders, q5_supplier_volume_by_nation,
+#    repetition_quality_filter, srp_bucket_stats,
+#    stratified_sample_by_lang, tfidf_top_terms, window_running_spend.
 promote([
-    # -- last driver-checked in round 5 (all 21) --
-    "hourly_event_anomalies",
-    "hybrid_rrf_topk",
-    "image_phash_groups",
-    "incremental_order_totals",
-    "kmv_distinct_users",
-    "lang_mixture_reweight",
-    "leakage_safe_split_counts",
-    "logistic_gd_train",
-    "ngram_jaccard_dups",
-    "quality_logit_scores",
-    "sessionize_user_events",
-    "sorted_neighborhood_dups",
-    "source_token_kl",
-    "srp_multiprobe_topk",
-    "user_error_purchase_overlap",
-    "value_histogram_quantiles",
-    "vocab_top_words",
-    "walkforward_fold_counts",
-    "weighted_sample_per_source",
-    "window_event_value_delta",
-    "word_cooccurrence_pmi",
-    # -- semantics changed this round (4) --
-    "ivf_ann_topk",
-    "pq_trained_adc_topk",
+    # -- never driver-attested (6) --
+    "badwords_filter_rates",
+    "hilbert_layout_keys",
+    "k_anonymity_audit",
+    "kcenter_coreset_sample",
+    "lpa_word_communities",
+    "audio_fingerprint_groups",
+    # -- new this round: incremental IVF ingestion (ANN sibling of
+    #    incremental_dedup_new_docs) + scene-change keyframe selection
+    #    (the video sibling of audio_fingerprint_groups) --
+    "ivf_incremental_ingest_topk",
+    "video_keyframe_selection",
+    # -- semantics/plan changed this round (4) --
     "join_key_skew_profile",
-    "matryoshka_recall_eval",
-    # -- new this round (1) --
+    "ivf_ann_topk",
     "ivf_capped_train_topk",
-    # -- round-6-era re-attestation (22 of 46) --
-    "stream_dedup_replayed_events",
-    "stream_dedup_windowed_stats",
-    "stream_static_enrich",
-    "pagerank_customer_supplier",
-    "lsh_candidate_precision",
-    "kmv_merge_equivalence",
-    "minhash_estimate_error",
-    "bloom_decontamination",
-    "power_iteration_pc1",
-    "pmi_graph_triangles",
-    "anagram_groups",
-    "anagram_pairs",
-    "ann_recall_eval",
-    "exact_dedup_groups",
-    "jaccard_prefix_dups",
-    "semdedup_discards",
-    "sorted_neighborhood_multipass",
-    "source_overlap_jaccard",
-    "scd2_customer_order_versions",
-    "snapshot_diff_customers",
-    "event_transition_matrix",
-    "events_json_corrupt_routing",
-    # -- new this round (2): MMR diversified retrieval + PSI drift --
-    "mmr_diverse_topk",
-    "source_drift_psi",
+    "pq_trained_adc_topk",
+    # -- round-6-era re-attestation (all 24 remaining) --
+    "m4_downsample_hourly",
+    "approx_stats_parts",
+    "zorder_layout_keys",
+    "bigram_coherence_score",
+    "bm25_doc_scores",
+    "dataset_split_counts",
+    "dedup_resolution_by_source",
+    "doc_overlapping_chunks",
+    "domain_capped_corpus",
+    "funnel_signup_click_purchase",
+    "label_centroid_distances",
+    "latest_event_per_user",
+    "length_bucketed_batches",
+    "pc1_projection_buckets",
+    "quality_percentile_filter",
+    "regression_price_vs_quantity",
+    "sequence_packing_plan",
+    "shingle_novelty_scores",
+    "symspell_handle_match",
+    "temperature_mixed_sample",
+    "time_weighted_avg_value",
+    "touch_attribution_revenue",
+    "user_retention_cohorts",
+    "weighted_sample_bychars",
+    # -- round-7-era re-attestation (14 of 46) --
+    "srp_ann_topk",
+    "sq8_ann_topk",
+    "ivf_fixed_cells_topk",
+    "cosine_topk_bruteforce",
+    "knn_label_consistency",
+    "simhash_near_dups",
+    "simhash_fingerprints",
+    "minhash_lsh_candidates",
+    "minhash_signatures",
+    "embedding_near_dup_pairs",
+    "docs_per_word_salted",
+    "table_quality_audit",
+    "value_outliers_mad",
+    "stream_distinct_user_event_pairs",
 ])
 
 # Re-export the flagship for __spark_entry__.entry
