@@ -66,6 +66,20 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select(*static.columns)
 
 
+def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the embeddings fixture — the arriving
+    vector batch of an ANN index at steady state (the streaming face of
+    the incremental-ingest contract; see similarity_q's
+    ``stream_ivf_cell_routing``).  Schema from the batch reader, same
+    single-file glob discipline as :func:`stream_events`."""
+    static = load_table(spark, sf_dir, "embeddings")
+    raw = (spark.readStream
+           .schema(spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema)
+           .option("pathGlobFilter", "embeddings.parquet")
+           .parquet(sf_dir))
+    return raw.select(*static.columns)
+
+
 def stream_events_redelivered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events stream with every row delivered TWICE — two independent
     file-stream sources over the same fixture, unioned.

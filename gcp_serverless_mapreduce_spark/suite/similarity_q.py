@@ -443,6 +443,65 @@ def ivf_incremental_ingest_topk(spark: SparkSession,
         n_probe=N_PROBE, train_target=_SMALL_TRAIN_TARGET)
 
 
+@register("stream_ivf_cell_routing",
+          _UNIT_CTE
+          + _lloyd_cte(_SMALL_TRAIN_TARGET, train_where=_INC_WHERE) + f""",
+sc AS (SELECT u0.vec_id, c.cell,
+              c.sq - 2.0 * {_dot("u0.v", "c.cent")} AS score
+       FROM u u0 CROSS JOIN c{LLOYD_ROUNDS} c
+       WHERE u0.vec_id % {_INC_MOD} = 0),
+home AS (SELECT vec_id, cell FROM sc
+         QUALIFY row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY score, cell) = 1)
+SELECT gs.cell, CAST(COUNT(home.vec_id) AS BIGINT) AS n_new
+FROM (SELECT unnest(generate_series(0, {N_CELLS - 1})) AS cell) gs
+LEFT JOIN home ON home.cell = gs.cell
+GROUP BY gs.cell
+""")
+def stream_ivf_cell_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING face of incremental IVF ingestion (round 11): the
+    arriving vector batch flows through readStream -> a map-only
+    nearest-cell routing stage (the Arrow-batched probe kernel over
+    centroids trained on the OLD corpus) -> an append sink; per-cell
+    arrival counts aggregate batch-side over the sink, with empty cells
+    surfaced through a {N_CELLS}-cell spine (the ingest-observability
+    twin of ivf_cell_balance — a hot arrival cell IS tomorrow's probe
+    latency tail).  The streaming stage holds NO state and no shuffle
+    before the sink — routing is pure per-batch map work, which is the
+    entire point of ingesting into a trained index: at 100 TB/day the
+    stream pays one Arrow pass per vector, never a Lloyd re-fit.
+    Centroids, routing, and counts are hash-gated by the same
+    old-filtered Lloyd oracle as ivf_incremental_ingest_topk."""
+    from ..streaming import pipeline
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old_pred = F.col("vec_id") % _INC_MOD != 0
+    n_old = emb.filter(old_pred).count()
+    sample = similarity.train_sample_pred(
+        "vec_id", similarity.train_sample_mod(n_old, _SMALL_TRAIN_TARGET))
+    centers = similarity.lloyd_centroids(
+        emb, CENTROIDS, rounds=LLOYD_ROUNDS,
+        train_filter=sample & old_pred)
+
+    new_batch = (pipeline.stream_embeddings(spark, sf_dir)
+                 .filter((F.col("vec_id") % _INC_MOD == 0)
+                         & F.exists("embedding", lambda x: x != 0)))
+    arr = F.col("embedding").cast("array<double>")
+    routed = new_batch.select(
+        "vec_id",
+        F.element_at(similarity._probe_cells_udf(centers, 1)(arr), 1)
+        .cast("long").alias("cell"))
+    rows = pipeline.run_available_now(
+        routed, "stream_ivf_cell_routing_sink", mode="append")
+    spine = spark.range(N_CELLS).select(F.col("id").alias("cell"))
+    counts = (rows.groupBy("cell")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_new")))
+    return (spine.join(counts, "cell", "left")
+            .select("cell",
+                    F.coalesce("n_new", F.lit(0).cast("long"))
+                    .alias("n_new")))
+
+
 # ---- Product quantization (PQ/ADC) — fixed md5-derived codebooks ----
 
 M_SUB, PQ_CODES, SUB_DIM = 8, 16, 8
