@@ -274,3 +274,60 @@ def hilbert_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("o_custkey").alias("max_custkey"),
                  F.min("day_no").cast("long").alias("min_day"),
                  F.max("day_no").cast("long").alias("max_day")))
+
+
+# Small-file compaction: target output size in bytes (fixture scale —
+# a real deployment uses 128 MB-1 GB row-group-aligned targets; the
+# packing arithmetic is scale-free).  Files >= the target pass through
+# compaction untouched, so the plan covers only size < TARGET.
+COMPACT_TARGET = 4_000
+
+
+@register("file_compaction_plan", f"""
+WITH f AS (
+    SELECT source, doc_id, n_chars
+    FROM documents WHERE n_chars < {COMPACT_TARGET}),
+b AS (
+    SELECT source, doc_id, n_chars,
+           (SUM(n_chars) OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id)
+            - n_chars) // {COMPACT_TARGET} AS bin_id
+    FROM f)
+SELECT source, CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_chars) AS BIGINT) AS bin_bytes
+FROM b GROUP BY source, bin_id
+""")
+def file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (NEW round 11) — the operational
+    pass every long-lived 100 TB table needs: landing-zone writes leave
+    thousands of sub-target files per partition, and scan throughput
+    dies on per-file open costs long before bytes do.  Plan: within
+    each partition (``source`` stands for the partition dir), order the
+    sub-target files by (size desc, id) and assign next-fit bins by
+    exclusive-prefix running sum ``(cumsum - size) // target`` — a pure
+    two-window-function plan both engines express identically, no UDF,
+    no iteration.  Output is the compaction manifest: one row per
+    (partition, bin) with file count and byte total; files >= target
+    pass through untouched (they are already scan-efficient).
+
+    Scale shape: the input is a FILE LISTING — O(n_files) metadata
+    rows (parquet footers / object-store listings), never data rows —
+    so the per-partition sort inside the window is over thousands of
+    entries per partition at any corpus size; the single exchange keys
+    on the partition dir, which is exactly how a compactor parallelizes
+    (one bin-pack per directory).  The fixture derives (file, size)
+    from (doc_id, n_chars).  The size-desc order also makes bins
+    monotone: big files pack first, so every bin except a partition's
+    last lands within one file of the target."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = (docs.select("source", "doc_id", "n_chars")
+         .filter(F.col("n_chars") < COMPACT_TARGET))
+    w = (Window.partitionBy("source")
+         .orderBy(F.desc("n_chars"), "doc_id"))
+    return (f.withColumn("bin_id", F.floor(
+                (F.sum("n_chars").over(w) - F.col("n_chars"))
+                / F.lit(COMPACT_TARGET)).cast("long"))
+            .groupBy("source", "bin_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_files"),
+                 F.sum("n_chars").cast("long").alias("bin_bytes")))

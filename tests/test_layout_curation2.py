@@ -186,3 +186,40 @@ def test_unimax_water_filling_regimes(spark):
     got = {r["lang"]: r["alloc_chars"] for r in unimax_language_budget(
         docs, budget_frac=100 / 980, max_epochs=2.0).collect()}
     assert set(got.values()) == {20.0}
+
+
+def test_file_compaction_plan_packing_invariants(spark):
+    """Next-fit exclusive-prefix binning, pinned: packed bytes are
+    conserved per partition, bin ids are dense from 0, and the running
+    prefix through every non-final bin reaches that bin's boundary
+    (so no bin closes early — the property that keeps output files
+    near the target)."""
+    from pyspark.sql import functions as F
+
+    from gcp_serverless_mapreduce_spark.suite.layout_q import (
+        COMPACT_TARGET, file_compaction_plan)
+    from gcp_serverless_mapreduce_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    plan = file_compaction_plan(spark, sf).collect()
+    docs = load_table(spark, sf, "documents")
+    truth = {r["source"]: r["b"] for r in
+             (docs.filter(F.col("n_chars") < COMPACT_TARGET)
+              .groupBy("source").agg(F.sum("n_chars").alias("b"))
+              .collect())}
+    by_src = {}
+    for r in plan:
+        by_src.setdefault(r["source"], {})[r["bin_id"]] = r
+    assert set(by_src) == set(truth)
+    for src, bins in by_src.items():
+        ids = sorted(bins)
+        assert ids == list(range(len(ids)))          # dense from 0
+        assert sum(b["bin_bytes"] for b in bins.values()) == truth[src]
+        run = 0
+        for i in ids:
+            run += bins[i]["bin_bytes"]
+            if i < ids[-1]:
+                # the next file opened bin i+1, so the prefix through
+                # bin i crossed the (i+1)*target boundary
+                assert run >= (i + 1) * COMPACT_TARGET
+        assert all(b["n_files"] >= 1 for b in bins.values())
