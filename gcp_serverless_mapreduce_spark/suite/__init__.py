@@ -60,13 +60,14 @@ from . import profiling_q  # noqa: F401, E402
 #    quote escaping, ADVICE r10) but is already in block 1;
 # 3) ALL 24 queries last driver-attested in round 6 — after this
 #    round no attestation predates round 7;
-# 4) 14 of the 46 round-7-era queries, leading with the ANN / sketch
+# 4) 12 of the 46 round-7-era queries, leading with the ANN / sketch
 #    / stateful operators (hardest to re-derive from builder parity
-#    alone).  The remaining 32 r7-era queries lead round 12:
+#    alone).  The remaining 34 r7-era queries lead round 12:
 #    audio_decode_roundtrip, bpe_fertility_by_lang, clean_text_stats,
 #    corpus_prep_pipeline, customers_with_big_orders,
 #    customers_without_orders, distinct_status_priority,
-#    doc_fingerprints, doc_quality_scores, dup_cluster_representatives,
+#    doc_fingerprints, doc_quality_scores, docs_per_word_salted,
+#    dup_cluster_representatives, embedding_near_dup_pairs,
 #    events_json_stats, events_parquet_schema_evolution,
 #    image_decode_roundtrip, language_confusion, language_id,
 #    language_id_chargram, media_decode_features,
@@ -85,10 +86,13 @@ promote([
     "lpa_word_communities",
     "audio_fingerprint_groups",
     # -- new this round: incremental IVF ingestion (ANN sibling of
-    #    incremental_dedup_new_docs) + scene-change keyframe selection
-    #    (the video sibling of audio_fingerprint_groups) --
+    #    incremental_dedup_new_docs) + its streaming routing face,
+    #    scene-change keyframe selection (the video sibling of
+    #    audio_fingerprint_groups), and small-file compaction planning --
     "ivf_incremental_ingest_topk",
+    "stream_ivf_cell_routing",
     "video_keyframe_selection",
+    "file_compaction_plan",
     # -- semantics/plan changed this round (4) --
     "join_key_skew_profile",
     "ivf_ann_topk",
@@ -119,7 +123,7 @@ promote([
     "touch_attribution_revenue",
     "user_retention_cohorts",
     "weighted_sample_bychars",
-    # -- round-7-era re-attestation (14 of 46) --
+    # -- round-7-era re-attestation (12 of 46) --
     "srp_ann_topk",
     "sq8_ann_topk",
     "ivf_fixed_cells_topk",
@@ -129,8 +133,6 @@ promote([
     "simhash_fingerprints",
     "minhash_lsh_candidates",
     "minhash_signatures",
-    "embedding_near_dup_pairs",
-    "docs_per_word_salted",
     "table_quality_audit",
     "value_outliers_mad",
     "stream_distinct_user_event_pairs",
