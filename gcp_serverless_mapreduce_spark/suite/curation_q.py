@@ -1064,3 +1064,61 @@ def badwords_filter_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.floor(flagged * 10000.0 / F.count(F.lit(1)))
                  .cast("long").alias("flag_rate_bp"),
                  *[F.sum(c).cast("long").alias(c) for c in _BW_COLS]))
+
+
+# Right-to-be-forgotten rewrite planning: a partition is rewritten when
+# erasure would touch more than ERASE_REWRITE_PCT percent of its rows
+# (below that, deletion vectors / merge-on-read absorb the deletes and
+# the rewrite is deferred).  Compared as exact integers
+# (n_erase * 100 > n_rows * PCT) so the decision is engine-identical.
+ERASE_REWRITE_PCT = 8
+
+
+@register("erasure_rewrite_plan", f"""
+WITH d AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+o AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS part_month,
+             (d.c_custkey IS NOT NULL) AS erase
+      FROM orders LEFT JOIN d ON o_custkey = d.c_custkey)
+SELECT part_month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE erase) AS BIGINT) AS n_erase,
+       round(100.0 * COUNT(*) FILTER (WHERE erase) / COUNT(*), 4)
+           AS erase_pct,
+       (COUNT(*) FILTER (WHERE erase) * 100
+        > COUNT(*) * {ERASE_REWRITE_PCT}) AS rewrite
+FROM o GROUP BY part_month
+""")
+def erasure_rewrite_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR / right-to-be-forgotten rewrite planning (NEW round 11) —
+    the erasure pass a training-data store runs on every deletion-list
+    delivery: which date partitions does the list touch, how hard, and
+    which are worth rewriting NOW versus deferring to deletion vectors.
+    The deletion list (customers with negative balance stands in for
+    the legal request feed) broadcast-joins the fact table once; per
+    month-partition output is the erasure manifest: row count, affected
+    count, affected percent, and an exact-integer rewrite decision
+    (> {ERASE_REWRITE_PCT}% of rows -> rewrite; the fixture's ~8-12%
+    monthly rates make the decision genuinely data-dependent).
+
+    Scale shape: one broadcast hash join (the deletion list is always
+    tiny relative to the corpus) + one partition-keyed aggregate — the
+    fact table is scanned once, no shuffle of fact rows before the
+    aggregate's own exchange.  The manifest drives targeted rewrites,
+    so the expensive work (rewriting files) happens only where the
+    audit says it pays."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dlist = F.broadcast(cust.filter(F.col("c_acctbal") < 0)
+                        .select("c_custkey"))
+    o = (orders.join(dlist, orders.o_custkey == dlist.c_custkey, "left")
+         .select(F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+                 .alias("part_month"),
+                 F.col("c_custkey").isNotNull().alias("erase")))
+    n_erase = F.sum(F.col("erase").cast("long"))
+    n_rows = F.count(F.lit(1))
+    return (o.groupBy("part_month")
+            .agg(n_rows.cast("long").alias("n_rows"),
+                 n_erase.cast("long").alias("n_erase"),
+                 F.round(100.0 * n_erase / n_rows, 4).alias("erase_pct"),
+                 (n_erase * 100 > n_rows * ERASE_REWRITE_PCT)
+                 .alias("rewrite")))
