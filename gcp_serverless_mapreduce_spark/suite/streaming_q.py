@@ -555,3 +555,81 @@ def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(exact, "event_type")
             .select("event_type", "hll_est", "registers_used",
                     "exact_distinct"))
+
+
+# Watermark-delay advisor: candidate withWatermark delays (seconds) and
+# the deterministic arrival-jitter bound of the simulated transport.
+# Jitter = md5(event_id) % (JITTER_BOUND_S + 1) seconds, so observed
+# lateness can NEVER exceed JITTER_BOUND_S — the advisor's last row
+# must read zero drops, the knee that says "a watermark at the
+# transport's delay bound loses nothing".
+WM_CANDIDATE_DELAYS_S = (0, 60, 600, 3600, 7200)
+JITTER_BOUND_S = 7200
+
+_ARR_JITTER_SQL = ("CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), "
+                   f"1, 8)) AS BIGINT) % {JITTER_BOUND_S + 1}")
+
+
+@register("watermark_delay_advisor", f"""
+WITH a AS (
+    SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+           epoch_us(ts) + {_ARR_JITTER_SQL} * 1000000 AS arr_us
+    FROM events),
+l AS (
+    SELECT event_type,
+           MAX(ts_us) OVER (PARTITION BY event_type
+                            ORDER BY arr_us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+               - ts_us AS late_us
+    FROM a),
+d AS (SELECT unnest(ARRAY{list(WM_CANDIDATE_DELAYS_S)}) AS delay_s)
+SELECT l.event_type, CAST(d.delay_s AS BIGINT) AS delay_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE l.late_us > CAST(d.delay_s AS BIGINT) * 1000000)
+            AS BIGINT) AS n_dropped,
+       round(100.0 * COUNT(*) FILTER (WHERE l.late_us > CAST(d.delay_s AS BIGINT) * 1000000)
+             / COUNT(*), 4) AS drop_pct
+FROM l CROSS JOIN d
+GROUP BY l.event_type, d.delay_s
+""")
+def watermark_delay_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing advisor (NEW round 11) — the measurement that
+    turns ``withWatermark`` from a guess into a budget: replay the
+    event stream in simulated arrival order (event time + a bounded
+    deterministic per-event transport jitter of 0-{JITTER_BOUND_S}s),
+    track the running max event time each Kafka-partition proxy
+    (event_type) has seen, and for each candidate delay count the
+    events that would arrive BEHIND the watermark and be dropped.
+    Output is the drop matrix (event_type x delay): the fixture's
+    jitter bound guarantees the {JITTER_BOUND_S}s row reads zero —
+    the knee a deployment looks for when trading state size against
+    completeness.  Lateness is exact integer micros; the per-partition
+    running max is one ordered window inside the partition (never a
+    global sort), and the {len(WM_CANDIDATE_DELAYS_S)}-delay fan-out
+    is an in-row explode of a constant array."""
+    ev = load_table(spark, sf_dir, "events")
+    jitter = (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
+                                 1, 8), 16, 10).cast("long")
+              % (JITTER_BOUND_S + 1))
+    a = ev.select(
+        "event_type", "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.unix_micros("ts") + jitter * 1_000_000).alias("arr_us"))
+    w = (Window.partitionBy("event_type").orderBy("arr_us", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    late = a.select("event_type",
+                    (F.max("ts_us").over(w) - F.col("ts_us"))
+                    .alias("late_us"))
+    fan = late.select(
+        "event_type", "late_us",
+        F.explode(F.array(*[F.lit(d).cast("long")
+                            for d in WM_CANDIDATE_DELAYS_S]))
+        .alias("delay_s"))
+    n_ev = F.count(F.lit(1))
+    n_drop = F.sum((F.col("late_us") > F.col("delay_s") * 1_000_000)
+                   .cast("long"))
+    return (fan.groupBy("event_type", "delay_s")
+            .agg(n_ev.cast("long").alias("n_events"),
+                 n_drop.cast("long").alias("n_dropped"),
+                 F.round(100.0 * n_drop / n_ev, 4).alias("drop_pct")))
