@@ -60,9 +60,9 @@ from . import profiling_q  # noqa: F401, E402
 #    quote escaping, ADVICE r10) but is already in block 1;
 # 3) ALL 24 queries last driver-attested in round 6 — after this
 #    round no attestation predates round 7;
-# 4) 12 of the 46 round-7-era queries, leading with the ANN / sketch
+# 4) 10 of the 46 round-7-era queries, leading with the ANN / sketch
 #    / stateful operators (hardest to re-derive from builder parity
-#    alone).  The remaining 34 r7-era queries lead round 12:
+#    alone).  The remaining 36 r7-era queries lead round 12:
 #    audio_decode_roundtrip, bpe_fertility_by_lang, clean_text_stats,
 #    corpus_prep_pipeline, customers_with_big_orders,
 #    customers_without_orders, distinct_status_priority,
@@ -75,8 +75,9 @@ from . import profiling_q  # noqa: F401, E402
 #    orders_per_nation, q16_parts_supplier_relationship,
 #    q20_excess_shipments_suppliers, q21_suppliers_kept_orders_waiting,
 #    q3_top_unshipped_orders, q5_supplier_volume_by_nation,
-#    repetition_quality_filter, srp_bucket_stats,
-#    stratified_sample_by_lang, tfidf_top_terms, window_running_spend.
+#    repetition_quality_filter, simhash_fingerprints, srp_bucket_stats,
+#    stratified_sample_by_lang, tfidf_top_terms, value_outliers_mad,
+#    window_running_spend.
 promote([
     # -- never driver-attested (6) --
     "badwords_filter_rates",
@@ -88,11 +89,14 @@ promote([
     # -- new this round: incremental IVF ingestion (ANN sibling of
     #    incremental_dedup_new_docs) + its streaming routing face,
     #    scene-change keyframe selection (the video sibling of
-    #    audio_fingerprint_groups), and small-file compaction planning --
+    #    audio_fingerprint_groups), small-file compaction planning, GDPR
+    #    erasure rewrite planning, and the watermark-delay advisor --
     "ivf_incremental_ingest_topk",
     "stream_ivf_cell_routing",
     "video_keyframe_selection",
     "file_compaction_plan",
+    "erasure_rewrite_plan",
+    "watermark_delay_advisor",
     # -- semantics/plan changed this round (4) --
     "join_key_skew_profile",
     "ivf_ann_topk",
@@ -123,18 +127,16 @@ promote([
     "touch_attribution_revenue",
     "user_retention_cohorts",
     "weighted_sample_bychars",
-    # -- round-7-era re-attestation (12 of 46) --
+    # -- round-7-era re-attestation (10 of 46) --
     "srp_ann_topk",
     "sq8_ann_topk",
     "ivf_fixed_cells_topk",
     "cosine_topk_bruteforce",
     "knn_label_consistency",
     "simhash_near_dups",
-    "simhash_fingerprints",
     "minhash_lsh_candidates",
     "minhash_signatures",
     "table_quality_audit",
-    "value_outliers_mad",
     "stream_distinct_user_event_pairs",
 ])
 
