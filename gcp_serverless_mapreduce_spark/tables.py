@@ -80,15 +80,12 @@ def table_row_count(sf_dir: str, name: str) -> int:
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if os.path.isdir(path):
-        total = 0
-        for root, _, files in os.walk(path):
-            for fname in files:
-                if fname.endswith(".parquet"):
-                    total += pq.ParquetFile(
-                        os.path.join(root, fname)).metadata.num_rows
-        return total
-    return pq.ParquetFile(path).metadata.num_rows
+    # ParquetDataset resolves a single file and a directory tree of part
+    # files through the same API, so there is exactly one code path —
+    # the fixture's one-file layout and a real table's many-file layout
+    # read the same ~100 bytes of footer per file either way.
+    return sum(pq.ParquetFile(f).metadata.num_rows
+               for f in pq.ParquetDataset(path).files)
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

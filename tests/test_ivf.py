@@ -178,3 +178,18 @@ def test_table_row_count_matches_spark_count(spark):
     for name in ("embeddings", "documents"):
         meta = table_row_count(SF_DIR, name)
         assert meta == load_table(spark, SF_DIR, name).count()
+
+
+def test_table_row_count_multi_file_directory(tmp_path):
+    # A real table arrives as a directory of part files; the footer
+    # reader must sum them through the same code path as the fixture's
+    # single-file layout.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcp_serverless_mapreduce_spark.tables import table_row_count
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    pq.write_table(pa.table({"x": [1, 2, 3]}), d / "part-0.parquet")
+    pq.write_table(pa.table({"x": [4, 5]}), d / "part-1.parquet")
+    assert table_row_count(str(tmp_path), "t") == 5
