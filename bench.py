@@ -121,6 +121,19 @@ def main() -> int:
 
     load_after = [round(x, 2) for x in os.getloadavg()]
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Compute-adjusted total: streaming walls are dominated by fixed
+    # harness costs (query start/stop, first-use Python-datasource
+    # spin-up, availableNow termination latency) that are load-sensitive
+    # and NOT plan quality — substitute each streaming query's measured
+    # micro-batch compute for its wall so round-over-round comparisons
+    # track the number that actually responds to plan changes
+    # (round-11 verdict item 2).
+    stream_wall = round(sum(b["wall_s"]
+                            for b in streaming_breakdown.values()), 3)
+    stream_compute = round(sum(b["compute_ms"]
+                               for b in streaming_breakdown.values()) / 1000,
+                           3)
+    total_compute_adj = round(total - stream_wall + stream_compute, 3)
 
     # Full-precision per-query detail goes to a sidecar file; stdout gets
     # ONE compact JSON line that must fit the driver's 2000-char tail
@@ -131,6 +144,9 @@ def main() -> int:
                            "BENCH_DETAIL.json"), "w") as fh:
         json.dump({"metric": "suite_wall_clock", "value": total,
                    "unit": "sec", "sf": sf,
+                   "value_compute_adjusted": total_compute_adj,
+                   "streaming_wall_s": stream_wall,
+                   "streaming_compute_s": stream_compute,
                    "method": "min_of_2_single_jvm",
                    "loadavg_before": load_before,
                    "loadavg_after": load_after,
@@ -144,6 +160,7 @@ def main() -> int:
 
     head = {"metric": "suite_wall_clock", "value": total, "unit": "sec",
             "sf": sf, "n_queries": len(timings),
+            "compute_adj": total_compute_adj,
             "load1m": [load_before[0], load_after[0]]}
     budget = 1900 - len(json.dumps(head, separators=(",", ":")))
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])

@@ -325,9 +325,16 @@ def file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
          .filter(F.col("n_chars") < COMPACT_TARGET))
     w = (Window.partitionBy("source")
          .orderBy(F.desc("n_chars"), "doc_id"))
-    return (f.withColumn("bin_id", F.floor(
-                (F.sum("n_chars").over(w) - F.col("n_chars"))
-                / F.lit(COMPACT_TARGET)).cast("long"))
+    # Integer `div` on the long prefix sum, matching the oracle's exact
+    # integer `//` — a double-division floor would start rounding once a
+    # partition's cumulative byte prefix exceeds 2^53 (ADVICE r11).
+    # Sizes are non-negative, so truncating div == floor div here.
+    return (f.withColumn("prefix_bytes",
+                         (F.sum("n_chars").over(w) - F.col("n_chars"))
+                         .cast("long"))
+            .withColumn("bin_id",
+                        F.expr(f"prefix_bytes div {COMPACT_TARGET}")
+                        .cast("long"))
             .groupBy("source", "bin_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_files"),
                  F.sum("n_chars").cast("long").alias("bin_bytes")))

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators import similarity
 from ..registry import register
-from ..tables import load_table, table_row_count
+from ..tables import load_table, old_batch_row_count, table_row_count
 
 DIM = 64
 NUM_PLANES = 8
@@ -440,7 +440,8 @@ def ivf_incremental_ingest_topk(spark: SparkSession,
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_incremental_topk(
         emb, _INC_MOD, K, CENTROIDS, rounds=LLOYD_ROUNDS,
-        n_probe=N_PROBE, train_target=_SMALL_TRAIN_TARGET)
+        n_probe=N_PROBE, train_target=_SMALL_TRAIN_TARGET,
+        n_old_rows=old_batch_row_count(sf_dir, "embeddings", _INC_MOD))
 
 
 @register("stream_ivf_cell_routing",
@@ -476,7 +477,7 @@ def stream_ivf_cell_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     old_pred = F.col("vec_id") % _INC_MOD != 0
-    n_old = emb.filter(old_pred).count()
+    n_old = old_batch_row_count(sf_dir, "embeddings", _INC_MOD)
     sample = similarity.train_sample_pred(
         "vec_id", similarity.train_sample_mod(n_old, _SMALL_TRAIN_TARGET))
     centers = similarity.lloyd_centroids(

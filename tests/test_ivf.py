@@ -193,3 +193,32 @@ def test_table_row_count_multi_file_directory(tmp_path):
     pq.write_table(pa.table({"x": [1, 2, 3]}), d / "part-0.parquet")
     pq.write_table(pa.table({"x": [4, 5]}), d / "part-1.parquet")
     assert table_row_count(str(tmp_path), "t") == 5
+
+
+def test_table_row_count_ignores_sidecar_files(tmp_path):
+    # Dataset discovery lists every non-hidden file in a table dir; a
+    # stray sidecar/tmp file must not turn the footer read into a
+    # parse error (ADVICE r11) — only '.parquet' fragments count.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcp_serverless_mapreduce_spark.tables import table_row_count
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    pq.write_table(pa.table({"x": [1, 2, 3]}), d / "part-0.parquet")
+    (d / "manifest.json").write_text('{"files": 1}')
+    (d / "part-1.parquet.tmp").write_text("half-written junk")
+    assert table_row_count(str(tmp_path), "t") == 3
+
+
+def test_old_batch_row_count_matches_filtered_count(spark):
+    # The incremental-IVF old-batch count is derived arithmetically
+    # from the footer total (dense 0..n-1 vec_id fixture contract);
+    # it must equal the filtered count() it replaced, at every mod.
+    from pyspark.sql import functions as F
+
+    from gcp_serverless_mapreduce_spark.tables import old_batch_row_count
+    emb = load_table(spark, SF_DIR, "embeddings")
+    for mod in (2, 3, 7):
+        expect = emb.filter(F.col("vec_id") % mod != 0).count()
+        assert old_batch_row_count(SF_DIR, "embeddings", mod) == expect

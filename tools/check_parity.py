@@ -119,9 +119,11 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -163,9 +165,13 @@ def main() -> int:
         else:
             print(f"PASS {name}: rows={len(srows)}")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass at {sf_dir}")
+    # Subset runs report executed queries only — a 12-query spot-check
+    # must print "12/12", never the full-registry denominator (VERDICT
+    # r11 minor finding).  The full-run summary stamp is unchanged.
+    print(f"\n{n_run - len(failures)}/{n_run} queries pass at {sf_dir}"
+          + ("" if not only else f" (subset of {len(qs)} registered)"))
     if not only:
-        _write_summary(sf_dir, len(qs) - len(failures), len(qs),
+        _write_summary(sf_dir, n_run - len(failures), n_run,
                        time.time() - t0)
     return 1 if failures else 0
 
