@@ -144,6 +144,113 @@ def banded_signatures(signatures: DataFrame, bands: int = 4,
     return banded
 
 
+def inline_band_hashes(num_perm: int = 8, bands: int = 4,
+                       rows_per_band: int = 2, k: int = 3,
+                       text_col: str = "text"):
+    """Row-local LSH band hashes as ONE array<string> column — the
+    zero-shuffle form of :func:`minhash_signatures` +
+    :func:`banded_signatures` for contexts that must stay map-only
+    (the streaming ingest probe: a stateless micro-batch stage cannot
+    carry the explode -> groupBy exchange the batch path prefers).
+
+    Bit-identical to the batch pair: mh_s = lexicographic min of
+    md5(s|shingle) over the doc's distinct shingles (array_min on the
+    transform == min() over exploded rows), band hash = md5 of the
+    band's '|'-joined minhashes.  Docs with < k tokens get an EMPTY
+    array, mirroring minhash_signatures' docs-without-signatures
+    no-row contract.  The batch path's measured 2x CollapseProject
+    recompute tax (minhash_signatures docstring) trades the other way
+    here: per-batch rows are bounded and the stream must not shuffle,
+    so row-local recompute is the right side of the trade.
+
+    Built as ONE SQL expression with a UNIQUE lambda variable name per
+    transform: Spark 4.1 mis-binds same-named Python-lambda variables
+    when several higher-order functions land in one projection over a
+    nested-lambda collection (all PySpark lambdas are named ``x``;
+    reproduced — 8 ``F.transform`` minhash columns in one select all
+    returned the min of the WRONG salted hash set, while the identical
+    SQL with ``x0..x7`` is correct; pinned by
+    tests/test_streaming_dedup.py)."""
+    if bands * rows_per_band > num_perm:
+        raise ValueError("inline_band_hashes: bands*rows_per_band "
+                         f"({bands * rows_per_band}) exceeds num_perm "
+                         f"({num_perm})")
+    toks = _toks_sql(text_col)
+
+    def sh(var: str) -> str:
+        return (f"array_distinct(IF(size({toks}) >= {k}, "
+                f"transform(sequence(1, size({toks}) - {k - 1}), "
+                f"{var} -> concat_ws(' ', slice({toks}, {var}, {k}))), "
+                f"CAST(array() AS ARRAY<STRING>)))")
+
+    def mh(s: int) -> str:
+        return (f"array_min(transform({sh(f'i{s}')}, "
+                f"x{s} -> md5(concat('{s}|', x{s}))))")
+
+    bands_sql = ", ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(mh(b * rows_per_band + r) for r in range(rows_per_band))
+        + "))"
+        for b in range(bands))
+    return F.expr(f"IF(size({sh('ig')}) > 0, array({bands_sql}), "
+                  f"CAST(array() AS ARRAY<STRING>))")
+
+
+def incremental_dedup_route(new_docs: DataFrame, old_hashes: DataFrame,
+                            old_bands: DataFrame,
+                            num_perm: int = 8, bands: int = 4,
+                            rows_per_band: int = 2, k: int = 3,
+                            doc_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """The MAP-ONLY probe stage of incremental dedup — the per-row work
+    a streaming ingest pays for each arriving document: content-md5 +
+    row-local band hashes (:func:`inline_band_hashes`), then two
+    broadcast left joins against the EXISTING corpus's fingerprint
+    index (``old_hashes``: distinct ``h`` + ``_seen`` marker) and band
+    index (``old_bands``: (doc, band, band_hash), bucket-capped).
+
+    No aggregation, no state, no exchange before the sink: posexplode
+    and broadcast-hash-joins are all row-local, so the stage composes
+    with an append-mode streaming sink (the ``stream_static_enrich``
+    topology).  posexplode_outer keeps < k-token docs as a null-band
+    row so the exact face still covers every new doc.
+
+    -> (doc_col, exact_dup, band, partner) rows; aggregate with
+    :func:`incremental_dedup_finalize` (batch-side, over the sink)."""
+    routed = (new_docs
+              .select(F.col(doc_col),
+                      F.md5(F.col(text_col)).alias("h"),
+                      inline_band_hashes(num_perm, bands, rows_per_band,
+                                         k, text_col).alias("_bands"))
+              .select(doc_col, "h",
+                      F.posexplode_outer("_bands")
+                      .alias("band", "band_hash")))
+    partners = (old_bands.select(F.col("doc").alias("partner"),
+                                 "band", "band_hash"))
+    return (routed
+            .join(F.broadcast(old_hashes), "h", "left")
+            .join(F.broadcast(partners), ["band", "band_hash"], "left")
+            .select(doc_col,
+                    F.col("_seen").isNotNull().alias("exact_dup"),
+                    "band", "partner"))
+
+
+def incremental_dedup_finalize(rows: DataFrame,
+                               doc_col: str = "doc_id") -> DataFrame:
+    """Fold the probe stage's (doc, exact_dup, band, partner) rows into
+    per-document decisions — batch-side over the materialized sink
+    (cross-band DISTINCT partner counting is an aggregation, which an
+    append-mode stateless stream must not carry).  Output schema ==
+    :func:`incremental_dedup`, so both faces share one oracle."""
+    return (rows.groupBy(doc_col)
+            .agg(F.max("exact_dup").alias("exact_dup"),
+                 F.countDistinct("partner").cast("long")
+                 .alias("n_near_partners"))
+            .select(doc_col, "exact_dup", "n_near_partners",
+                    (F.col("exact_dup") | (F.col("n_near_partners") > 0))
+                    .alias("is_dup")))
+
+
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
                         rows_per_band: int = 2,
                         max_bucket: int | None = None) -> DataFrame:

@@ -80,6 +80,20 @@ def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select(*static.columns)
 
 
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents fixture — the arriving
+    crawl batch of a steady-state ingest pipeline (the streaming face of
+    the incremental-dedup contract; see dedup_q's
+    ``stream_dedup_new_docs``).  Schema from the batch reader, same
+    single-file glob discipline as :func:`stream_events`."""
+    static = load_table(spark, sf_dir, "documents")
+    raw = (spark.readStream
+           .schema(spark.read.parquet(f"{sf_dir}/documents.parquet").schema)
+           .option("pathGlobFilter", "documents.parquet")
+           .parquet(sf_dir))
+    return raw.select(*static.columns)
+
+
 def stream_events_redelivered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events stream with every row delivered TWICE — two independent
     file-stream sources over the same fixture, unioned.

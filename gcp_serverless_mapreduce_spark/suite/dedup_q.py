@@ -865,7 +865,11 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 INC_MOD = 3
 
 
-@register("incremental_dedup_new_docs", _SIG_CTE + f""",
+# Shared oracle for BOTH faces of incremental-ingest dedup: the batch
+# operator (incremental_dedup_new_docs) and its streaming twin
+# (stream_dedup_new_docs) produce the identical per-new-doc decision
+# frame, so one SQL twin gates both.
+_INC_DEDUP_ORACLE = _SIG_CTE + f""",
 bd AS ({_BANDED_SELECTS}),
 nb AS (SELECT doc, band, band_hash FROM bd WHERE doc % {INC_MOD} = 0),
 ob AS (SELECT doc, band, band_hash FROM bd WHERE doc % {INC_MOD} <> 0
@@ -887,7 +891,10 @@ SELECT e.doc_id, e.exact_dup,
        COALESCE(np.n_near_partners, 0) AS n_near_partners,
        e.exact_dup OR COALESCE(np.n_near_partners, 0) > 0 AS is_dup
 FROM ex e LEFT JOIN np ON np.doc = e.doc_id
-""")
+"""
+
+
+@register("incremental_dedup_new_docs", _INC_DEDUP_ORACLE)
 def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup (operators/dedup.incremental_dedup):
     the NEW batch (doc_id % {INC_MOD} = 0) screens against the EXISTING
@@ -898,3 +905,47 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.incremental_dedup(docs, INC_MOD, NUM_PERM, BANDS,
                                    ROWS_PER_BAND, max_bucket=MAX_BUCKET)
+
+
+@register("stream_dedup_new_docs", _INC_DEDUP_ORACLE)
+def stream_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING face of incremental-ingest dedup (round 12) — the
+    last batch-only steady-state ingest shape, now a stream: arriving
+    new documents flow through readStream -> a MAP-ONLY fingerprint +
+    band-key stage (content md5 + row-local LSH band hashes,
+    operators/dedup.inline_band_hashes) -> per-micro-batch broadcast
+    probes of the OLD corpus's fingerprint and band indexes
+    (stream-static left joins, the stream_static_enrich topology) ->
+    an append sink of per-(doc, band) probe rows; the cross-band
+    DISTINCT-partner fold happens batch-side over the sink
+    (stream_ivf_cell_routing's pattern — an append-mode stateless
+    stream must not carry an aggregation).
+
+    The streaming stage holds NO state and no exchange before the
+    sink (pinned by tests/test_streaming_dedup.py): at 100 TB/day the
+    stream pays one row-local pass per arriving doc plus two
+    broadcast-hash probes against indexes the batch side maintains —
+    never a re-dedup of the old corpus, never old x old.  Decisions
+    are hash-gated by the same oracle as incremental_dedup_new_docs
+    (identical output frame by construction)."""
+    from ..streaming import pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % INC_MOD != 0)
+    # Static probe indexes, materialized ONCE: a stream-static join
+    # re-executes the static side every micro-batch, and these carry
+    # the minhash aggregation / bucket-cap window (same localCheckpoint
+    # rationale as stream_events_rate's indexed frame).
+    old_h = (old.select(F.md5("text").alias("h")).distinct()
+             .withColumn("_seen", F.lit(1)).localCheckpoint())
+    ob = dedup.banded_signatures(
+        dedup.minhash_signatures(old, NUM_PERM), BANDS, ROWS_PER_BAND,
+        max_bucket=MAX_BUCKET).localCheckpoint()
+
+    new_stream = (pipeline.stream_documents(spark, sf_dir)
+                  .filter(F.col("doc_id") % INC_MOD == 0))
+    routed = dedup.incremental_dedup_route(
+        new_stream, old_h, ob, NUM_PERM, BANDS, ROWS_PER_BAND)
+    rows = pipeline.run_available_now(
+        routed, "stream_dedup_new_docs_sink", mode="append")
+    return dedup.incremental_dedup_finalize(rows)
