@@ -21,7 +21,7 @@ generalization of that idea.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # 16 bits per dimension -> 32-bit z-key: enough for file-level clustering
@@ -139,3 +139,61 @@ def hilbert_ctes_sql(xcol: str, ycol: str, base: str,
             f" AS hy\n"
             f"  FROM h{idx - 1})")
     return ",\n".join(steps), f"h{bits}"
+
+
+def compaction_bins(files: DataFrame, target: int,
+                    part_col: str = "source",
+                    id_col: str = "doc_id",
+                    size_col: str = "n_chars") -> DataFrame:
+    """Next-fit bin assignment for small-file compaction — the ONE
+    arithmetic shared by the planning query (suite/layout_q.
+    file_compaction_plan) and the executing rewriter
+    (:func:`compact_partition`), so plan and execution cannot drift.
+
+    Within each partition directory (``part_col``), sub-target entries
+    ordered by (size desc, id) get ``bin_id = (exclusive-prefix-sum of
+    size) div target`` — integer division on the long prefix sum, so
+    the fold is exact at any cumulative byte count (ADVICE r11).
+    Entries >= target are NOT returned: they are already
+    scan-efficient and pass through compaction untouched.
+
+    -> input columns + ``bin_id`` (long)."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(part_col)
+         .orderBy(F.desc(size_col), id_col))
+    return (files.filter(F.col(size_col) < target)
+            .withColumn("_prefix",
+                        (F.sum(size_col).over(w) - F.col(size_col))
+                        .cast("long"))
+            .withColumn("bin_id",
+                        F.expr(f"_prefix div {int(target)}").cast("long"))
+            .drop("_prefix"))
+
+
+def compact_partition(docs: DataFrame, part_value: str, target: int,
+                      out_dir: str,
+                      part_col: str = "source",
+                      id_col: str = "doc_id",
+                      size_col: str = "n_chars") -> DataFrame:
+    """EXECUTE the compaction manifest for one partition — the
+    verification face of ``file_compaction_plan`` (round-11 verdict
+    task 7): rewrite the partition's sub-target entries into exactly
+    one output file per manifest bin.
+
+    ``repartition(bin_id)`` routes each bin's rows to one task;
+    ``partitionBy(bin_id)`` then makes every task write one file per
+    bin value it holds — together: exactly one data file per bin, the
+    compactor's whole point.  Entries >= target are untouched (they
+    are not part of the plan).  Parallelism at scale is one such call
+    per partition directory, which is how the single exchange of the
+    planning query parallelizes too.
+
+    -> the binned frame that was written (for the caller's own
+    conservation / fingerprint gates)."""
+    binned = compaction_bins(
+        docs.filter(F.col(part_col) == part_value),
+        target, part_col, id_col, size_col)
+    (binned.repartition(F.col("bin_id"))
+     .write.mode("overwrite").partitionBy("bin_id").parquet(out_dir))
+    return binned

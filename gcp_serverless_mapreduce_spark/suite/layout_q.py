@@ -321,20 +321,13 @@ def file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone: big files pack first, so every bin except a partition's
     last lands within one file of the target."""
     docs = load_table(spark, sf_dir, "documents")
-    f = (docs.select("source", "doc_id", "n_chars")
-         .filter(F.col("n_chars") < COMPACT_TARGET))
-    w = (Window.partitionBy("source")
-         .orderBy(F.desc("n_chars"), "doc_id"))
-    # Integer `div` on the long prefix sum, matching the oracle's exact
-    # integer `//` — a double-division floor would start rounding once a
-    # partition's cumulative byte prefix exceeds 2^53 (ADVICE r11).
-    # Sizes are non-negative, so truncating div == floor div here.
-    return (f.withColumn("prefix_bytes",
-                         (F.sum("n_chars").over(w) - F.col("n_chars"))
-                         .cast("long"))
-            .withColumn("bin_id",
-                        F.expr(f"prefix_bytes div {COMPACT_TARGET}")
-                        .cast("long"))
+    # Bin assignment shared with the executing rewriter
+    # (operators/layout.compact_partition) so plan and execution cannot
+    # drift; integer `div` on the long prefix sum matches the oracle's
+    # exact `//` at any cumulative byte count (ADVICE r11).
+    binned = layout.compaction_bins(
+        docs.select("source", "doc_id", "n_chars"), COMPACT_TARGET)
+    return (binned
             .groupBy("source", "bin_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_files"),
                  F.sum("n_chars").cast("long").alias("bin_bytes")))
