@@ -955,3 +955,108 @@ def incremental_dedup(docs: DataFrame, mod: int = 3, num_perm: int = 8,
                     (F.col("exact_dup")
                      | (F.coalesce("n_near_partners", F.lit(0)) > 0))
                     .alias("is_dup")))
+
+
+def substring_discard_manifest(docs: DataFrame, min_len: int = 8,
+                               ns: tuple[int, ...] = (8, 13),
+                               df_max: int = 128,
+                               doc_col: str = "doc_id",
+                               text_col: str = "text") -> DataFrame:
+    """Exact-substring dedup as a DISCARD MANIFEST (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", §3 —
+    the ExactSubstr operator): instead of reporting that two documents
+    share a long verbatim span (:func:`max_shared_span_exact`), emit
+    the TOKEN RANGES TO DROP so one occurrence of every duplicated
+    substring survives.
+
+    Keep-first convention: a document discards every maximal shared
+    run of >= ``min_len`` tokens it has in common with ANY
+    lower-doc_id document; overlapping/touching ranges from different
+    partners merge.  The first occurrence (lowest doc_id) keeps its
+    text — deterministic, order-free, and exactly the property the
+    paper's suffix-array pass enforces, re-expressed shardably.
+
+    Three phases:
+
+    1. DISCOVERY — the df-capped (span, gram) inverted index of
+       :func:`max_shared_span`, restricted to rungs >= ``min_len``
+       (a run of min_len tokens must contain a min_len-gram, so the
+       8/13 rungs are a sound discovery filter for min_len=8; the df
+       cap can only MISS pairs, never invent ranges).
+    2. REFINEMENT — an Arrow-batched kernel per candidate pair walks
+       the matching-token positions along anti-diagonals (the classic
+       LCS-substring run recurrence, restricted to actual matches:
+       O(matching position pairs), bounded per pair by doc length,
+       with the pair set df-cap-bounded) and emits every maximal run
+       >= min_len as a [start, end) range in the HIGHER doc.
+    3. MERGE — per doc, the classic interval sweep (one window over
+       (doc, start, end): a range opens a new group iff its start
+       exceeds the running max end of all prior ranges).
+
+    -> (doc_id, range_start, range_end, n_tokens), one row per merged
+    drop range; token indices are 0-based over split-on-whitespace
+    tokens (the corpus tokenization every other dedup face uses).
+
+    The DuckDB oracle computes the same ranges independently via the
+    diagonal-run SQL fold (no kernel), so the two algorithms must
+    agree range-for-range."""
+    from pyspark.sql import Window
+
+    cand = max_shared_span(docs, ns, df_max, doc_col, text_col)
+    toked = docs.select(F.col(doc_col).alias("doc"),
+                        tokens_col(text_col).alias("toks"))
+
+    @pandas_udf("array<struct<s:long,e:long>>")
+    def drop_ranges(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(ta, tb):
+            a, b = list(a), list(b)
+            pos_a: dict[str, list[int]] = {}
+            for i, t in enumerate(a):
+                pos_a.setdefault(t, []).append(i)
+            # run length ending at (i, j), keyed by diagonal i - j;
+            # iterate j ascending so diag state refers to j - 1.
+            runs: dict[int, tuple[int, int]] = {}   # diag -> (j_end, len)
+            ranges = []
+            for j, t in enumerate(b):
+                nxt: dict[int, tuple[int, int]] = {}
+                for i in pos_a.get(t, ()):
+                    d = i - j
+                    prev = runs.get(d)
+                    ln = prev[1] + 1 if prev and prev[0] == j - 1 else 1
+                    nxt[d] = (j, ln)
+                # a diagonal whose run did NOT extend to j has ended
+                for d, (j_end, ln) in runs.items():
+                    if d not in nxt and ln >= min_len:
+                        ranges.append((j_end - ln + 1, j_end + 1))
+                runs = nxt
+            for d, (j_end, ln) in runs.items():
+                if ln >= min_len:
+                    ranges.append((j_end - ln + 1, j_end + 1))
+            out.append(ranges)
+        return pd.Series(out)
+
+    pair_ranges = (
+        cand.select("doc_a", "doc_b")
+        .join(toked.select(F.col("doc").alias("doc_a"),
+                           F.col("toks").alias("ta")), "doc_a")
+        .join(toked.select(F.col("doc").alias("doc_b"),
+                           F.col("toks").alias("tb")), "doc_b")
+        .select(F.col("doc_b").alias(doc_col),
+                F.explode(drop_ranges("ta", "tb")).alias("r"))
+        .select(doc_col, F.col("r.s").alias("s"), F.col("r.e").alias("e"))
+        .distinct())
+
+    order = Window.partitionBy(doc_col).orderBy("s", "e")
+    pme = F.max("e").over(order.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = pair_ranges.withColumn(
+        "brk", F.when(pme.isNull() | (F.col("s") > pme), 1).otherwise(0))
+    grouped = flagged.withColumn(
+        "grp", F.sum("brk").over(
+            order.rowsBetween(Window.unboundedPreceding, 0)))
+    return (grouped.groupBy(doc_col, "grp")
+            .agg(F.min("s").cast("long").alias("range_start"),
+                 F.max("e").cast("long").alias("range_end"))
+            .select(doc_col, "range_start", "range_end",
+                    (F.col("range_end") - F.col("range_start"))
+                    .cast("long").alias("n_tokens")))

@@ -949,3 +949,87 @@ def stream_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = pipeline.run_available_now(
         routed, "stream_dedup_new_docs_sink", mode="append")
     return dedup.incremental_dedup_finalize(rows)
+
+
+# Exact-substring dedup discard manifest: discovery rungs must be >=
+# the drop threshold (a MIN_DROP_SPAN-token run always contains a
+# MIN_DROP_SPAN-gram), so the 8/13 rungs are a sound discovery filter.
+MIN_DROP_SPAN = 8
+_DROP_SPAN_LIST = "8, 13"
+
+
+@register("exact_substring_discard_manifest", f"""
+WITH toks AS (
+    SELECT doc_id AS doc, string_split_regex(trim(lower(text)), '\\s+') AS t
+    FROM documents),
+g AS (
+    SELECT DISTINCT doc, n.n AS span,
+           unnest(list_transform(generate_series(1, len(t) - n.n + 1),
+                                 i -> array_to_string(t[i:i+n.n-1], ' ')))
+               AS gram
+    FROM toks, (SELECT unnest([{_DROP_SPAN_LIST}]) AS n) n
+    WHERE len(t) >= n.n),
+capped AS (
+    SELECT doc, span, gram FROM g
+    QUALIFY COUNT(*) OVER (PARTITION BY span, gram) <= {JACCARD_DF_MAX}),
+cand AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM capped a
+    JOIN capped b ON a.span = b.span AND a.gram = b.gram
+                 AND a.doc < b.doc),
+pos AS (
+    SELECT doc, i.i AS i, t[i.i] AS tok
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) i),
+m AS (
+    SELECT c.doc_a, c.doc_b, pa.i AS ia, pb.i AS ib
+    FROM cand c
+    JOIN pos pa ON pa.doc = c.doc_a
+    JOIN pos pb ON pb.doc = c.doc_b AND pb.tok = pa.tok),
+r AS (
+    SELECT doc_a, doc_b, ib, ia - ib AS diag,
+           ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib
+                                   ORDER BY ia) AS grp
+    FROM m),
+rg AS (
+    SELECT DISTINCT doc_b AS doc_id,
+           MIN(ib) - 1 AS s, MIN(ib) - 1 + COUNT(*) AS e
+    FROM r GROUP BY doc_a, doc_b, diag, grp
+    HAVING COUNT(*) >= {MIN_DROP_SPAN}),
+o AS (
+    SELECT doc_id, s, e,
+           MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS pme
+    FROM rg),
+f AS (
+    SELECT doc_id, s, e,
+           CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk
+    FROM o),
+gg AS (
+    SELECT doc_id, s, e,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS grp2
+    FROM f)
+SELECT doc_id, CAST(MIN(s) AS BIGINT) AS range_start,
+       CAST(MAX(e) AS BIGINT) AS range_end,
+       CAST(MAX(e) - MIN(s) AS BIGINT) AS n_tokens
+FROM gg GROUP BY doc_id, grp2
+""")
+def exact_substring_discard_manifest(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Exact-substring dedup upgraded from a REPORT to a DISCARD
+    MANIFEST (round-12 frontier; Lee et al. 2022 ExactSubstr
+    semantics): per document, the merged 0-based token ranges to DROP
+    so one occurrence (the lowest-doc_id holder) of every >=
+    {MIN_DROP_SPAN}-token verbatim duplicated run survives.  Discovery
+    is the df-capped ladder inverted index restricted to rungs >=
+    the drop threshold; refinement walks matching-token diagonals per
+    bounded candidate pair (Arrow kernel); the per-doc interval sweep
+    merges ranges from all partners.  The oracle derives the same
+    ranges via the diagonal-run SQL fold, so the kernel and SQL
+    algorithms must agree range for range.  See operators/dedup.
+    substring_discard_manifest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.substring_discard_manifest(
+        docs, min_len=MIN_DROP_SPAN, ns=(8, 13), df_max=JACCARD_DF_MAX)

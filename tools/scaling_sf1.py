@@ -1,0 +1,118 @@
+"""Scaling decade check: sf0.1 -> sf1 (10x again) for the most
+scale-sensitive queries (round-11 verdict task 5).
+
+Usage:
+  python tools/make_sf1.py /tmp/sf1          # once
+  python tools/scaling_sf1.py [/tmp/sf1]     # writes SCALING_SF1.md
+
+Times each selected query twice at sf0.1 and at sf1 in ONE warm JVM
+(min of two — the bench.py discipline) and reports t(sf1)/t(sf0.1)
+plus result-row counts at both scales (a growing driver-side result is
+a scale bug on its own, independent of wall time).  Selection: the top
+of SCALING.md (highest sf0.01->sf0.1 ratios — the queries closest to
+compute-bound, where a super-linear cliff would show first) plus the
+ANN/dedup block, whose capped/banded plans carry the explicit 100 TB
+claims this check exists to probe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Top of SCALING.md (sf0.01->sf0.1 ratio order) ...
+SCALE_SENSITIVE = [
+    "repetition_quality_filter", "hashed_ngram_quality_scores",
+    "sorted_neighborhood_dups", "order_fill_stats",
+    "price_quantiles_by_flag", "sorted_neighborhood_multipass",
+    "window_trailing_7d_spend", "bpe_piece_stats", "minhash_signatures",
+    "q18_large_order_customers", "hilbert_layout_keys",
+    "q2_min_cost_supplier", "pagerank_customer_supplier",
+    "scd2_customer_order_versions", "jaccard_prefix_dups",
+    "max_shared_span_pairs", "doc_fingerprints", "window_running_spend",
+    "source_overlap_jaccard", "power_iteration_pc1",
+]
+# ... plus the ANN/dedup 100 TB-claim block.
+ANN_DEDUP = [
+    "minhash_lsh_candidates", "simhash_near_dups",
+    "incremental_dedup_new_docs", "dedup_resolution_by_source",
+    "ivf_ann_topk", "ivf_incremental_ingest_topk", "pq_trained_adc_topk",
+    "srp_ann_topk", "knn_label_consistency",
+    # documented quadratic baseline — EXPECTED ~100x on 10x data; kept
+    # in the table as the calibration row the ANN variants beat
+    "cosine_topk_bruteforce",
+]
+QUERIES = SCALE_SENSITIVE + ANN_DEDUP
+
+
+def time_queries(spark, qs, sf_dir: str) -> dict:
+    out: dict[str, dict] = {}
+    for attempt in range(2):
+        for name in QUERIES:
+            t0 = time.perf_counter()
+            rows = len(qs[name](spark, sf_dir).collect())
+            dt = round(time.perf_counter() - t0, 3)
+            rec = out.setdefault(name, {"t": dt, "rows": rows})
+            rec["t"] = min(rec["t"], dt)
+            rec["rows"] = rows
+    return out
+
+
+def main() -> int:
+    sf1_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    if not os.path.isdir(sf1_dir):
+        print(f"missing {sf1_dir}; run tools/make_sf1.py first",
+              file=sys.stderr)
+        return 2
+
+    import __spark_entry__ as e
+    from gcp_serverless_mapreduce_spark.session import get_spark
+
+    spark = get_spark("scaling-sf1")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    qs = e.queries()
+    load0 = round(os.getloadavg()[0], 2)
+    small = time_queries(spark, qs, "/root/testdata/sf0.1")
+    big = time_queries(spark, qs, sf1_dir)
+    load1 = round(os.getloadavg()[0], 2)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    lines = [
+        "# SCALING_SF1 — measured per-query scaling, sf0.1 → sf1 "
+        "(10× data, one decade past the bench scale)",
+        "",
+        "sf1 = ten id-shifted replicas of sf0.1 (tools/make_sf1.py: "
+        "dense ids preserved, per-copy join fan-outs identical, payload "
+        "bytes replicated — cross-copy exact duplication is the modeled "
+        "workload, see the tool docstring).  Same machine (local[32]), "
+        f"one warm JVM, per-query min of 2. loadavg {load0} → {load1}.",
+        "`ratio` = t(sf1) / t(sf0.1); ≲10 = at-worst-linear. `rows` = ",
+        "driver-side result rows — a ratio > 10 there is a growing",
+        "driver frame regardless of wall time.",
+        "",
+        "| query | sf0.1 (s) | sf1 (s) | ratio | rows sf0.1 | rows sf1 |",
+        "|---|---|---|---|---|---|",
+    ]
+    worst = []
+    for name in sorted(QUERIES,
+                       key=lambda n: -(big[n]["t"] / max(small[n]["t"],
+                                                         1e-9))):
+        r = big[name]["t"] / max(small[name]["t"], 1e-9)
+        worst.append((name, r))
+        lines.append(
+            f"| {name} | {small[name]['t']} | {big[name]['t']} | "
+            f"{r:.2f} | {small[name]['rows']} | {big[name]['rows']} |")
+    lines.append("")
+    with open(os.path.join(root, "SCALING_SF1.md"), "w") as fh:
+        fh.write("\n".join(lines))
+    print(json.dumps({"n": len(QUERIES),
+                      "worst": [f"{n}:{r:.2f}" for n, r in worst[:5]]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
