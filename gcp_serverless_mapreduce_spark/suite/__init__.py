@@ -44,10 +44,11 @@ from . import profiling_q  # noqa: F401, E402
 # Composition, per VERDICT r11 task 1 + the rotation invariant (every
 # query driver-attested within the last 4 rounds — the attestation ages
 # below are recomputed from CORRECTNESS_r*.json, not carried forward):
-# 1) the 2 queries NEVER driver-attested — both new this round:
-#    stream_dedup_new_docs (streaming face of incremental-ingest dedup)
-#    and exact_substring_discard_manifest (Lee et al. 2022 ExactSubstr
-#    discard ranges);
+# 1) the 3 queries NEVER driver-attested — all new this round:
+#    stream_dedup_new_docs (streaming face of incremental-ingest dedup),
+#    exact_substring_discard_manifest (Lee et al. 2022 ExactSubstr
+#    discard ranges), and crossmodal_pair_curation (CLIP-data basic
+#    filtering over decoded image + caption pairs);
 # 2) ALL 36 queries last driver-attested in round 7 — they reach
 #    attestation age 4 this round, so they lead en bloc; after this
 #    round no attestation predates round 8 (the r8 cohort of 47 less
@@ -59,15 +60,17 @@ from . import profiling_q  # noqa: F401, E402
 #    arithmetic — the per-invocation filtered count() scan is gone),
 #    and the two rate-replay windowed stats (n_expected from footer
 #    metadata instead of a count() job);
-# 4) 7 of the 47 round-8-era queries, leading with the sketches /
+# 4) 6 of the 47 round-8-era queries, leading with the sketches /
 #    stateful / dedup operators hardest to re-derive from builder
 #    parity alone (incremental_dedup_new_docs also just gained a
 #    shared-oracle streaming twin; max_shared_span_pairs is the new
-#    manifest operator's sibling).
+#    manifest operator's sibling); scd2_user_event_state and the other
+#    40 r8-era queries lead round 13.
 promote([
-    # -- never driver-attested (2, new this round) --
+    # -- never driver-attested (3, new this round) --
     "stream_dedup_new_docs",
     "exact_substring_discard_manifest",
+    "crossmodal_pair_curation",
     # -- round-7-era re-attestation (all 36) --
     "audio_decode_roundtrip",
     "bpe_fertility_by_lang",
@@ -118,7 +121,6 @@ promote([
     "max_shared_span_pairs",
     "soft_dedup_weights",
     "ivf_pq_topk",
-    "scd2_user_event_state",
 ])
 
 # Re-export the flagship for __spark_entry__.entry

@@ -471,3 +471,98 @@ def audio_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (fp.groupBy("afp")
             .agg(F.count(F.lit(1)).cast("long").alias("n_clips"),
                  ids_str.alias("media_ids")))
+
+
+# Cross-modal pair curation gates (DataComp/LAION "basic filtering"
+# constants, scaled to the fixture's dims/caption lengths so every gate
+# BINDS at test scale; the model-based CLIP-score gate needs a model
+# the container lacks and is the one documented omission).
+PAIR_CAP_MIN, PAIR_CAP_MAX = 20, 80   # caption tokens
+PAIR_TTR_MIN = 0.35                   # caption distinct-token ratio
+PAIR_MIN_DIM = 4                      # decoded pixels, min(w, h)
+PAIR_AR_NUM, PAIR_AR_DEN = 2, 1       # aspect: max(w,h) <= 2*min(w,h)
+
+
+@register("crossmodal_pair_curation", f"""
+WITH cap AS (
+    SELECT doc_id, source,
+           string_split_regex(trim(lower(text)), '\\s+') AS toks
+    FROM documents),
+g AS (
+    SELECT source,
+           len(toks) BETWEEN {PAIR_CAP_MIN} AND {PAIR_CAP_MAX} AS len_ok,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               >= {PAIR_TTR_MIN} AS ttr_ok,
+           -- decoded image dims in closed form (the Spark side parses
+           -- them back out of real BMP/PPM headers)
+           least(doc_id % 5 + 4, doc_id % 3 + 3) >= {PAIR_MIN_DIM}
+               AS res_ok,
+           greatest(doc_id % 5 + 4, doc_id % 3 + 3) * {PAIR_AR_DEN}
+               <= least(doc_id % 5 + 4, doc_id % 3 + 3) * {PAIR_AR_NUM}
+               AS aspect_ok
+    FROM cap)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(*) FILTER (WHERE len_ok AND ttr_ok AND res_ok
+                             AND aspect_ok) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE NOT len_ok) AS BIGINT)
+           AS n_drop_caption_len,
+       CAST(COUNT(*) FILTER (WHERE NOT ttr_ok) AS BIGINT)
+           AS n_drop_caption_ttr,
+       CAST(COUNT(*) FILTER (WHERE NOT res_ok) AS BIGINT)
+           AS n_drop_resolution,
+       CAST(COUNT(*) FILTER (WHERE NOT aspect_ok) AS BIGINT)
+           AS n_drop_aspect
+FROM g GROUP BY source
+""")
+def crossmodal_pair_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal (image, caption) pair curation (round-12 frontier) —
+    the CLIP-data/DataComp "basic filtering" recipe composed from the
+    REAL pieces this engine already has: one encoded image per document
+    (image_corpus) is DECODED back (format sniffed, dims parsed from
+    the BMP/PPM headers — the decode is load-bearing: the oracle's
+    closed-form dims only match if the header parse is right), joined
+    1:1 to its caption (the document text), and gated on caption length
+    [{PAIR_CAP_MIN}, {PAIR_CAP_MAX}] tokens, caption distinct-token
+    ratio >= {PAIR_TTR_MIN} (repetition junk), decoded min dimension >=
+    {PAIR_MIN_DIM}px, and aspect ratio <= {PAIR_AR_NUM}:{PAIR_AR_DEN}.
+    Per source: pair count, kept count, and per-gate drop counts
+    (gates counted independently — the ablation view a curation run
+    reports).  The model-based CLIP-similarity gate is the documented
+    omission (no model in this container); its slot in the plan is the
+    same broadcast-scored projection as knn_label_consistency.
+
+    Scale shape: decode is map-only mapInPandas (payload bytes never
+    shuffle); caption gates are codegen'd expressions on the documents
+    scan; the 1:1 join keys on doc_id; the only exchange is the final
+    20-group aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = multimodal.decode_image_stats(
+        multimodal.image_corpus(docs)).select("media_id", "px_w", "px_h")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    cap = docs.select(
+        F.col("doc_id"), "source",
+        F.size(toks).alias("n_toks"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr"))
+    g = (cap.join(decoded, cap.doc_id == decoded.media_id)
+         .select(
+             "source",
+             F.col("n_toks").between(PAIR_CAP_MIN, PAIR_CAP_MAX)
+             .alias("len_ok"),
+             (F.col("ttr") >= PAIR_TTR_MIN).alias("ttr_ok"),
+             (F.least("px_w", "px_h") >= PAIR_MIN_DIM).alias("res_ok"),
+             (F.greatest("px_w", "px_h") * PAIR_AR_DEN
+              <= F.least("px_w", "px_h") * PAIR_AR_NUM).alias("aspect_ok")))
+    keep = (F.col("len_ok") & F.col("ttr_ok") & F.col("res_ok")
+            & F.col("aspect_ok"))
+
+    def drops(c: str):
+        return F.sum((~F.col(c)).cast("long")).cast("long")
+
+    return (g.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+                 drops("len_ok").alias("n_drop_caption_len"),
+                 drops("ttr_ok").alias("n_drop_caption_ttr"),
+                 drops("res_ok").alias("n_drop_resolution"),
+                 drops("aspect_ok").alias("n_drop_aspect")))

@@ -189,3 +189,21 @@ def test_image_phash_brightness_invariant(spark):
     got = {r.media_id: r.phash for r in mm.image_phash(imgs).collect()}
     assert got[1] == got[2] != got[3]
     assert got[1] == 0b00001111  # top row of blocks above the mean
+
+
+def test_crossmodal_gates_all_bind(spark):
+    # Every curation gate must actually DROP something at fixture scale
+    # — a gate that never binds is untested dead configuration.
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+    df = e.queries()["crossmodal_pair_curation"](
+        spark, "/root/testdata/sf0.01")
+    tot = df.agg(*[F.sum(c).alias(c) for c in
+                   ("n_pairs", "n_kept", "n_drop_caption_len",
+                    "n_drop_caption_ttr", "n_drop_resolution",
+                    "n_drop_aspect")]).collect()[0]
+    assert tot["n_pairs"] == 500
+    assert 0 < tot["n_kept"] < tot["n_pairs"]
+    for gate in ("n_drop_caption_len", "n_drop_caption_ttr",
+                 "n_drop_resolution", "n_drop_aspect"):
+        assert tot[gate] > 0, gate
