@@ -428,9 +428,13 @@ m AS (SELECT doc, md5(tok) AS m FROM toks WHERE tok <> ''),
 sums AS (SELECT doc, {_NEAR_SUMS} FROM m GROUP BY doc),
 fp AS (SELECT doc, CAST({_NEAR_VALUE} AS BIGINT) AS h FROM sums),
 banded AS ({_NEAR_BANDED}),
+bcap AS (
+    SELECT * FROM banded
+    QUALIFY row_number() OVER (PARTITION BY band, bv
+                               ORDER BY doc) <= {MAX_BUCKET}),
 cand AS (
     SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.h AS ha, b.h AS hb
-    FROM banded a JOIN banded b
+    FROM bcap a JOIN bcap b
       ON a.band = b.band AND a.bv = b.bv AND a.doc < b.doc)
 SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
 FROM cand
@@ -440,9 +444,16 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 60-bit fingerprints, banded pigeonhole join
     (4 x 15-bit bands; any pair within hamming {MAX_HAMMING} shares an
     exact band), exact bit_count(xor) re-check.  Shuffles only on the
-    band value — the simhash analog of the MinHash-LSH candidate plan."""
+    band value — the simhash analog of the MinHash-LSH candidate plan.
+    Round 12: degenerate bands are CAPPED at {MAX_BUCKET} docs (smallest
+    ids kept), the same contract as the LSH pair join — the sf1 decade
+    check caught the uncapped plan emitting m^2/2 pairs per
+    identical-fingerprint group under replica-heavy data (36x wall on
+    10x data, 101x output; SCALING_SF1.md).  Pairs can be missed under
+    the cap, never invented."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_dups(docs, MAX_HAMMING, NEAR_BITS, NEAR_BANDS)
+    return dedup.simhash_near_dups(docs, MAX_HAMMING, NEAR_BITS, NEAR_BANDS,
+                                   max_bucket=MAX_BUCKET)
 
 
 # ---- embedding near-dup ---------------------------------------------------
