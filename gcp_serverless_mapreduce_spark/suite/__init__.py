@@ -53,19 +53,21 @@ from . import profiling_q  # noqa: F401, E402
 #    attestation age 4 this round, so they lead en bloc; after this
 #    round no attestation predates round 8 (the r8 cohort of 47 less
 #    the 7 re-attested below leads round 13);
-# 3) the 5 queries whose PLAN changed this round: file_compaction_plan
+# 3) the 6 queries whose PLAN/semantics changed this round: file_compaction_plan
 #    (bin arithmetic now integer div on the long prefix, shared with
 #    the executing rewriter), ivf_incremental_ingest_topk and
 #    stream_ivf_cell_routing (old-batch training modulus from footer
 #    arithmetic — the per-invocation filtered count() scan is gone),
-#    and the two rate-replay windowed stats (n_expected from footer
-#    metadata instead of a count() job);
-# 4) 6 of the 47 round-8-era queries, leading with the sketches /
+#    the two rate-replay windowed stats (n_expected from footer
+#    metadata instead of a count() job), and simhash_near_dups (banded
+#    join now bucket-capped at 64 — the sf1 decade check caught the
+#    uncapped m^2 blow-up, SCALING_SF1.md);
+# 4) 5 of the 47 round-8-era queries, leading with the sketches /
 #    stateful / dedup operators hardest to re-derive from builder
 #    parity alone (incremental_dedup_new_docs also just gained a
 #    shared-oracle streaming twin; max_shared_span_pairs is the new
-#    manifest operator's sibling); scd2_user_event_state and the other
-#    40 r8-era queries lead round 13.
+#    manifest operator's sibling); scd2_user_event_state,
+#    soft_dedup_weights and the other 40 r8-era queries lead round 13.
 promote([
     # -- never driver-attested (3, new this round) --
     "stream_dedup_new_docs",
@@ -114,12 +116,12 @@ promote([
     "stream_ivf_cell_routing",
     "stream_windowed_event_stats_rate",
     "stream_windowed_event_stats_pyds",
+    "simhash_near_dups",
     # -- round-8-era re-attestation (7 of 47) --
     "hll_merge_equivalence",
     "stream_hll_distinct_users",
     "incremental_dedup_new_docs",
     "max_shared_span_pairs",
-    "soft_dedup_weights",
     "ivf_pq_topk",
 ])
 
