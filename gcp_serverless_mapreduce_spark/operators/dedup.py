@@ -146,7 +146,7 @@ def banded_signatures(signatures: DataFrame, bands: int = 4,
 
 def inline_band_hashes(num_perm: int = 8, bands: int = 4,
                        rows_per_band: int = 2, k: int = 3,
-                       text_col: str = "text"):
+                       text_col: str = "text", arrow: bool = True):
     """Row-local LSH band hashes as ONE array<string> column — the
     zero-shuffle form of :func:`minhash_signatures` +
     :func:`banded_signatures` for contexts that must stay map-only
@@ -163,18 +163,53 @@ def inline_band_hashes(num_perm: int = 8, bands: int = 4,
     here: per-batch rows are bounded and the stream must not shuffle,
     so row-local recompute is the right side of the trade.
 
-    Built as ONE SQL expression with a UNIQUE lambda variable name per
-    transform: Spark 4.1 mis-binds same-named Python-lambda variables
-    when several higher-order functions land in one projection over a
-    nested-lambda collection (all PySpark lambdas are named ``x``;
-    reproduced — 8 ``F.transform`` minhash columns in one select all
-    returned the min of the WRONG salted hash set, while the identical
-    SQL with ``x0..x7`` is correct; pinned by
-    tests/test_streaming_dedup.py)."""
+    Two implementations, bit-identical results (same convention as
+    :func:`shingle_array`, pinned by tests/test_streaming_dedup.py):
+
+    - ``arrow=True`` (default): one Arrow-batched pandas UDF computing
+      shingles, salted-md5 minima, and band hashes per document in one
+      Python pass.  Measured 4.6x FASTER than the expression form at
+      sf0.1 (2.6 s vs 11.8 s for the new-batch probe stage): Spark's
+      higher-order functions are interpreted, never codegen'd, and the
+      expression form recomputes the shingle array per minhash column.
+    - ``arrow=False``: ONE SQL expression with a UNIQUE lambda variable
+      name per transform, for contexts that must stay JVM-only.
+      Unique names are load-bearing: Spark 4.1 mis-binds same-named
+      Python-lambda variables when several higher-order functions land
+      in one projection over a nested-lambda collection (all PySpark
+      lambdas are named ``x``; reproduced — 8 ``F.transform`` minhash
+      columns in one select all returned the min of the WRONG salted
+      hash set, while the identical SQL with ``x0..x7`` is correct;
+      also pinned by tests/test_streaming_dedup.py)."""
     if bands * rows_per_band > num_perm:
         raise ValueError("inline_band_hashes: bands*rows_per_band "
                          f"({bands * rows_per_band}) exceeds num_perm "
                          f"({num_perm})")
+    if arrow:
+        import hashlib
+
+        @pandas_udf("array<string>")
+        def _bands(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts:
+                toks = (t or "").strip().lower().split()
+                sh = {" ".join(toks[i:i + k])
+                      for i in range(len(toks) - k + 1)}
+                if not sh:
+                    out.append([])
+                    continue
+                mh = [min(hashlib.md5((f"{s}|" + x).encode()).hexdigest()
+                          for x in sh)
+                      for s in range(num_perm)]
+                out.append([
+                    hashlib.md5(
+                        "|".join(mh[b * rows_per_band:
+                                    (b + 1) * rows_per_band]).encode())
+                    .hexdigest()
+                    for b in range(bands)])
+            return pd.Series(out)
+
+        return _bands(text_col)
     toks = _toks_sql(text_col)
 
     def sh(var: str) -> str:

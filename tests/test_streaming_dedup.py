@@ -45,15 +45,18 @@ def test_inline_band_hashes_match_batch_banding(spark):
     for r in dedup.banded_signatures(
             dedup.minhash_signatures(docs, NUM_PERM), BANDS, RPB).collect():
         batch.setdefault(r["doc"], {})[r["band"]] = r["band_hash"]
-    inline = {r["doc_id"]: list(r["b"]) for r in docs.select(
-        "doc_id", dedup.inline_band_hashes(
-            NUM_PERM, BANDS, RPB, 3, "text").alias("b")).collect()}
-    assert set(inline) >= set(batch)
-    for doc_id, bands in inline.items():
-        if doc_id in batch:
-            assert bands == [batch[doc_id][b] for b in range(BANDS)], doc_id
-        else:
-            assert bands == [], doc_id
+    for arrow in (True, False):
+        inline = {r["doc_id"]: list(r["b"]) for r in docs.select(
+            "doc_id", dedup.inline_band_hashes(
+                NUM_PERM, BANDS, RPB, 3, "text",
+                arrow=arrow).alias("b")).collect()}
+        assert set(inline) >= set(batch)
+        for doc_id, bands in inline.items():
+            if doc_id in batch:
+                assert bands == [batch[doc_id][b]
+                                 for b in range(BANDS)], (arrow, doc_id)
+            else:
+                assert bands == [], (arrow, doc_id)
 
 
 def test_probe_stage_is_map_only(spark):
