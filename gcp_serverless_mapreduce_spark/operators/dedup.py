@@ -250,6 +250,17 @@ def incremental_dedup_route(new_docs: DataFrame, old_hashes: DataFrame,
     topology).  posexplode_outer keeps < k-token docs as a null-band
     row so the exact face still covers every new doc.
 
+    Scale assumption (ADVICE r12): the broadcast shape holds only while
+    the OLD-corpus fingerprint/band indexes fit the broadcast threshold
+    (md5 + band hashes are ~50 B/doc -> ~10^9 docs/TB of index; a
+    steady 100 TB/day ingest outgrows that in weeks).  Past that, drop
+    the two ``F.broadcast`` hints: the same left joins execute as
+    shuffled hash joins bucketed on ``h`` / (band, band_hash), and with
+    the index tables bucket-sorted on those keys the probe stays
+    shuffle-free on the index side.  The routing semantics (and the
+    oracle) are unchanged either way — broadcast is a physical hint
+    here, not a correctness dependency.
+
     -> (doc_col, exact_dup, band, partner) rows; aggregate with
     :func:`incremental_dedup_finalize` (batch-side, over the sink)."""
     routed = (new_docs

@@ -39,8 +39,14 @@ def read_gutenberg_corpus(spark: SparkSession, path: str,
     # IO-bound: a 43 MB corpus otherwise lands in ONE task and serializes
     # the whole map phase.  Spread files across cores first — shuffling
     # whole small files is cheap, idle cores are not (measured 2.4× on the
-    # 43 MB baseline job).
-    raw = raw.repartition(spark.sparkContext.defaultParallelism)
+    # 43 MB baseline job).  GUARDED: only when the scan genuinely
+    # under-parallelizes (fewer splits than cores).  At 100 TB the file
+    # source already yields ~10^5-10^6 splits >> cores and an unconditional
+    # repartition would shuffle every payload byte for nothing; the
+    # partition count is plan-time metadata (file listing), not a job.
+    parallelism = spark.sparkContext.defaultParallelism
+    if raw.rdd.getNumPartitions() < parallelism:
+        raw = raw.repartition(parallelism)
     return raw.select(
         F.col("path"),
         F.decode(F.col("content"), "ISO-8859-1").alias("content"),

@@ -946,12 +946,17 @@ def stream_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Static probe indexes, materialized ONCE: a stream-static join
     # re-executes the static side every micro-batch, and these carry
     # the minhash aggregation / bucket-cap window (same localCheckpoint
-    # rationale as stream_events_rate's indexed frame).
-    old_h = (old.select(F.md5("text").alias("h")).distinct()
-             .withColumn("_seen", F.lit(1)).localCheckpoint())
-    ob = dedup.banded_signatures(
-        dedup.minhash_signatures(old, NUM_PERM), BANDS, ROWS_PER_BAND,
-        max_bucket=MAX_BUCKET).localCheckpoint()
+    # rationale as stream_events_rate's indexed frame).  timed_batch_side:
+    # this build is the bulk of the query's wall-vs-trigger-compute gap
+    # (3.2 of 4.3 s at sf0.1) — batch-side work a steady-state deployment
+    # amortizes across ingest batches, timed so bench.py's
+    # compute-adjusted total counts it instead of calling it overhead.
+    with pipeline.timed_batch_side():
+        old_h = (old.select(F.md5("text").alias("h")).distinct()
+                 .withColumn("_seen", F.lit(1)).localCheckpoint())
+        ob = dedup.banded_signatures(
+            dedup.minhash_signatures(old, NUM_PERM), BANDS, ROWS_PER_BAND,
+            max_bucket=MAX_BUCKET).localCheckpoint()
 
     new_stream = (pipeline.stream_documents(spark, sf_dir)
                   .filter(F.col("doc_id") % INC_MOD == 0))

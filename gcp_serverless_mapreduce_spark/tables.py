@@ -87,10 +87,16 @@ def table_row_count(sf_dir: str, name: str) -> int:
     # table directory would turn the metadata read into a hard error
     # (ADVICE r11) — Spark's own scan tolerates those, and so must this.
     if os.path.isdir(path):
-        frags = sorted(
-            os.path.join(dp, fn) for dp, _dns, fns in os.walk(path)
-            for fn in fns
-            if fn.endswith(".parquet") and not fn.startswith((".", "_")))
+        frags = []
+        for dp, dns, fns in os.walk(path):
+            # prune hidden/metadata dirs (_spark_metadata, .hive-staging):
+            # Spark's scan never reads those, so neither may this count
+            # (ADVICE r12)
+            dns[:] = [d for d in dns if not d.startswith((".", "_"))]
+            frags.extend(
+                os.path.join(dp, fn) for fn in fns
+                if fn.endswith(".parquet") and not fn.startswith((".", "_")))
+        frags.sort()
     else:
         frags = [path]
     return sum(pq.ParquetFile(f).metadata.num_rows for f in frags)

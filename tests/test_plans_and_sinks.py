@@ -69,6 +69,35 @@ def test_jaccard_reuses_shingle_exchange(spark):
     assert plan.count("ReusedExchange") >= 2, plan
 
 
+def test_corpus_reader_no_shuffle_on_many_files(spark, tmp_path):
+    # 100 TB shape: the scan already yields >= cores splits -> the
+    # under-parallelization spread must NOT fire (zero Exchange; an
+    # unconditional repartition would shuffle every payload byte).
+    from gcp_serverless_mapreduce_spark.sources.text import read_gutenberg_corpus
+
+    many = tmp_path / "many"
+    many.mkdir()
+    for i in range(160):  # 160 x openCostInBytes(4 MB) >> cores splits
+        (many / f"doc{i:03d}.txt").write_text(f"word{i} common\n")
+    df = read_gutenberg_corpus(spark, str(many))
+    assert df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    assert "Exchange" not in _plan(df), _plan(df)
+
+
+def test_corpus_reader_spreads_few_files(spark, tmp_path):
+    # Bench shape: 43 MB lands in ~1 split -> spread across cores fires
+    # (the measured 2.4x on the baseline job depends on this).
+    from gcp_serverless_mapreduce_spark.sources.text import read_gutenberg_corpus
+
+    few = tmp_path / "few"
+    few.mkdir()
+    (few / "a.txt").write_text("alpha beta\n")
+    (few / "b.txt").write_text("gamma delta\n")
+    df = read_gutenberg_corpus(spark, str(few))
+    assert df.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert "Exchange RoundRobinPartitioning" in _plan(df), _plan(df)
+
+
 def test_fnv32a_matches_reference_golden():
     # shuffle_test.go:138-147: "acer" lands on reducer 1 of 5
     assert fnv32a_py("acer") % 5 == 1
