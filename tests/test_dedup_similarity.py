@@ -169,6 +169,27 @@ def test_dup_clusters_long_chain_converges_fast(spark):
     assert got == {i: 0 for i in range(65)}
 
 
+def test_dup_clusters_adaptive_cap_beats_fixed(spark):
+    # 1025-node path graph: converges in exactly ceil(log2 1025) = 11
+    # doubling rounds.  A fixed cap below that REFUSES (RuntimeError, by
+    # contract — never silently-wrong labels); the adaptive default sizes
+    # the cap from the node count and passes, recording the measured
+    # iteration count as the one-row diagnostic (round-13 verdict task 6).
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1024)], ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(pairs, max_iter=6).collect()
+    got = dedup.dup_clusters(pairs)  # adaptive
+    assert got.filter(F.col("cluster_id") != 0).count() == 0
+    assert got.count() == 1025
+    st = dedup.CC_STATS
+    assert st["converged"] and st["n_nodes"] == 1025
+    assert st["rounds"] <= st["cap"] == 11 + 8
+    assert 9 <= st["rounds"] <= 11  # ~log2(diameter), not the 1024 of one-hop
+
+
 def test_simhash_near_dups_pigeonhole_and_cap(spark):
     # Identical token sets -> hamming 0; one swapped token -> small
     # hamming; unrelated vocabulary -> far beyond max_hamming.
