@@ -195,6 +195,66 @@ def ngram_contamination(docs: DataFrame, n: int = 3, eval_mod: int = 41,
     )
 
 
+def contamination_span_manifest(docs: DataFrame, n: int = 3,
+                                eval_mod: int = 41,
+                                id_col: str = "doc_id",
+                                text_col: str = "text") -> DataFrame:
+    """Span-level benchmark decontamination (round-13 frontier): the
+    surgical composition of :func:`ngram_contamination` (which FLAGS
+    whole train docs) with the discard-manifest semantics of
+    operators/dedup.substring_discard_manifest — emit, per contaminated
+    train document, the merged 0-based TOKEN RANGES covering every
+    occurrence of an eval-shared word n-gram, so a pipeline can drop
+    only the contaminated spans and keep the clean remainder.  Whole-doc
+    dropping (the PaLM/GPT-3 appendix convention) wastes the long tail
+    of mostly-clean documents that merely quote a benchmark item; span
+    excision is what Lee et al. 2022 do for duplicated text, applied
+    here to contamination.
+
+    -> (doc_id, range_start, range_end, n_tokens): one row per maximal
+    contaminated span, token indices 0-based over the whitespace
+    tokenization every other curation face uses; a matching n-gram at
+    token position i covers [i, i+n), and overlapping/touching covers
+    merge via the per-doc interval sweep.
+
+    Scale shape: the eval n-gram set is BROADCAST (a benchmark suite is
+    tiny next to a 100 TB corpus); the corpus-side positioned-gram
+    explode is map-only and only MATCHES survive the join, so the one
+    exchange is the per-doc window over hit rows — bounded by
+    contamination volume, never corpus volume."""
+    toked = (docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+             .filter(F.size("toks") >= n))
+    # posexplode position = the gram's 0-based start token index
+    grams = toked.select(
+        id_col,
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n))))
+        .alias("s", "gram"))
+    is_eval = (F.col(id_col) % eval_mod) == 0
+    eval_grams = grams.filter(is_eval).select("gram").distinct()
+    hits = (grams.filter(~is_eval)
+            .join(F.broadcast(eval_grams), "gram")
+            .select(id_col, F.col("s").cast("long").alias("s"),
+                    (F.col("s") + n).cast("long").alias("e")))
+    # interval-merge sweep, identical to substring_discard_manifest
+    # phase 3 (and its oracle's window fold): a range opens a new group
+    # iff its start exceeds the running max end of all prior ranges.
+    order = Window.partitionBy(id_col).orderBy("s", "e")
+    pme = F.max("e").over(order.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = hits.withColumn(
+        "brk", F.when(pme.isNull() | (F.col("s") > pme), 1).otherwise(0))
+    grouped = flagged.withColumn(
+        "grp", F.sum("brk").over(
+            order.rowsBetween(Window.unboundedPreceding, 0)))
+    return (grouped.groupBy(id_col, "grp")
+            .agg(F.min("s").cast("long").alias("range_start"),
+                 F.max("e").cast("long").alias("range_end"))
+            .select(id_col, "range_start", "range_end",
+                    (F.col("range_end") - F.col("range_start"))
+                    .cast("long").alias("n_tokens")))
+
+
 def cap_per_source(docs: DataFrame, cap: int,
                    source_col: str = "source",
                    id_col: str = "doc_id",

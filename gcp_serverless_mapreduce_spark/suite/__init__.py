@@ -40,89 +40,80 @@ from . import sketch_q  # noqa: F401, E402
 from . import linkage_q  # noqa: F401, E402
 from . import profiling_q  # noqa: F401, E402
 
-# Round-12 window head (the driver checks the FIRST ~50 registered).
-# Composition, per VERDICT r11 task 1 + the rotation invariant (every
+# Round-13 window head (the driver checks the FIRST ~50 registered).
+# Composition, per VERDICT r12 task 1 + the rotation invariant (every
 # query driver-attested within the last 4 rounds — the attestation ages
 # below are recomputed from CORRECTNESS_r*.json, not carried forward):
-# 1) the 3 queries NEVER driver-attested — all new this round:
-#    stream_dedup_new_docs (streaming face of incremental-ingest dedup),
-#    exact_substring_discard_manifest (Lee et al. 2022 ExactSubstr
-#    discard ranges), and crossmodal_pair_curation (CLIP-data basic
-#    filtering over decoded image + caption pairs);
-# 2) ALL 36 queries last driver-attested in round 7 — they reach
-#    attestation age 4 this round, so they lead en bloc; after this
-#    round no attestation predates round 8 (the r8 cohort of 47 less
-#    the 7 re-attested below leads round 13);
-# 3) the 6 queries whose PLAN/semantics changed this round: file_compaction_plan
-#    (bin arithmetic now integer div on the long prefix, shared with
-#    the executing rewriter), ivf_incremental_ingest_topk and
-#    stream_ivf_cell_routing (old-batch training modulus from footer
-#    arithmetic — the per-invocation filtered count() scan is gone),
-#    the two rate-replay windowed stats (n_expected from footer
-#    metadata instead of a count() job), and simhash_near_dups (banded
-#    join now bucket-capped at 64 — the sf1 decade check caught the
-#    uncapped m^2 blow-up, SCALING_SF1.md);
-# 4) 5 of the 47 round-8-era queries, leading with the sketches /
-#    stateful / dedup operators hardest to re-derive from builder
-#    parity alone (incremental_dedup_new_docs also just gained a
-#    shared-oracle streaming twin; max_shared_span_pairs is the new
-#    manifest operator's sibling); scd2_user_event_state,
-#    soft_dedup_weights and the other 40 r8-era queries lead round 13.
+# 1) the 1 query NEVER driver-attested — new this round:
+#    contamination_span_manifest (span-level decontamination: merged
+#    token ranges covering eval-shared n-grams, so pipelines drop the
+#    contaminated spans, not whole documents);
+# 2) ALL 42 queries last driver-attested in round 8 — they reach
+#    attestation age 4 this round, so they lead en bloc (the TPC-H
+#    block, cube/rollup/grouping-sets, the HLL pair, SCD2, the sampling
+#    and text-analysis cohort); after this round no attestation
+#    predates round 9;
+# 3) the 7 queries whose OPERATOR changed this round:
+#    dup_clusters and its three cluster-consuming faces not already in
+#    cohort 2 (dedup_resolution_by_source, dup_cluster_representatives,
+#    leakage_safe_split_counts) — the CC cap is now adaptive with a
+#    measured-rounds diagnostic — and the corpus-reader trio
+#    (anagram_groups, anagram_pairs, corpus_prep_pipeline) after the
+#    under-parallelization guard on read_gutenberg_corpus.
 promote([
-    # -- never driver-attested (3, new this round) --
-    "stream_dedup_new_docs",
-    "exact_substring_discard_manifest",
-    "crossmodal_pair_curation",
-    # -- round-7-era re-attestation (all 36) --
-    "audio_decode_roundtrip",
-    "bpe_fertility_by_lang",
-    "clean_text_stats",
-    "corpus_prep_pipeline",
-    "customers_with_big_orders",
-    "customers_without_orders",
-    "distinct_status_priority",
-    "doc_fingerprints",
-    "doc_quality_scores",
-    "docs_per_word_salted",
+    # -- never driver-attested (1, new this round) --
+    "contamination_span_manifest",
+    # -- round-8-era re-attestation (all 42) --
+    "bloom_semijoin_reduction",
+    "cube_orders_status_priority",
+    "fim_split_plan",
+    "grouping_sets_order_stats",
+    "hashed_ngram_quality_scores",
+    "having_orders_per_customer",
+    "heldout_bigram_perplexity",
+    "hll_distinct_users",
+    "hll_hourly_rollup_daily",
+    "ivf_cell_balance",
+    "kcore_pmi_words",
+    "neyman_allocation_sample",
+    "normalization_dedup_lift",
+    "ntile_customer_value_quartiles",
+    "q10_returned_item_revenue",
+    "q11_part_value_concentration",
+    "q12_priority_line_counts",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_order_customers",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority_check",
+    "q6_revenue_forecast",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "rollup_lineitem_status",
+    "scd2_user_event_state",
+    "soft_dedup_weights",
+    "source_boilerplate_prefix",
+    "unimax_language_budget",
+    "video_decode_roundtrip",
+    "window_top3_orders_per_customer",
+    "window_trailing_7d_spend",
+    "word_bigram_freq_udtf",
+    "word_commonness_by_source_salted",
+    "zipf_slope_by_source",
+    # -- operator changed this round (7) --
+    "dup_clusters",
+    "dedup_resolution_by_source",
     "dup_cluster_representatives",
-    "embedding_near_dup_pairs",
-    "events_json_stats",
-    "events_parquet_schema_evolution",
-    "image_decode_roundtrip",
-    "language_confusion",
-    "language_id",
-    "language_id_chargram",
-    "media_decode_features",
-    "multimodal_feature_table",
-    "multires_event_rollup",
-    "order_fill_stats",
-    "orders_per_nation",
-    "q16_parts_supplier_relationship",
-    "q20_excess_shipments_suppliers",
-    "q21_suppliers_kept_orders_waiting",
-    "q3_top_unshipped_orders",
-    "q5_supplier_volume_by_nation",
-    "repetition_quality_filter",
-    "simhash_fingerprints",
-    "srp_bucket_stats",
-    "stratified_sample_by_lang",
-    "tfidf_top_terms",
-    "token_count_by_source",
-    "value_outliers_mad",
-    "window_running_spend",
-    # -- plan changed this round (5) --
-    "file_compaction_plan",
-    "ivf_incremental_ingest_topk",
-    "stream_ivf_cell_routing",
-    "stream_windowed_event_stats_rate",
-    "stream_windowed_event_stats_pyds",
-    "simhash_near_dups",
-    # -- round-8-era re-attestation (7 of 47) --
-    "hll_merge_equivalence",
-    "stream_hll_distinct_users",
-    "incremental_dedup_new_docs",
-    "max_shared_span_pairs",
-    "ivf_pq_topk",
+    "leakage_safe_split_counts",
+    "anagram_groups",
+    "anagram_pairs",
+    "corpus_prep_pipeline",
 ])
 
 # Re-export the flagship for __spark_entry__.entry

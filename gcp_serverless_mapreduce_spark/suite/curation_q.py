@@ -140,6 +140,56 @@ def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.ngram_contamination(docs, NGRAM_N, EVAL_MOD)
 
 
+@register("contamination_span_manifest", f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+    SELECT doc_id, i.i - 1 AS s, i.i - 1 + {NGRAM_N} AS e,
+           array_to_string(list_slice(toks, i.i, i.i + {NGRAM_N - 1}),
+                           ' ') AS gram
+    FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - {NGRAM_N - 1}))
+        AS i) i
+    WHERE len(toks) >= {NGRAM_N}),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {EVAL_MOD} = 0),
+hit AS (
+    SELECT g.doc_id, g.s, g.e FROM g JOIN ev USING (gram)
+    WHERE g.doc_id % {EVAL_MOD} <> 0),
+o AS (
+    SELECT doc_id, s, e,
+           MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS pme
+    FROM hit),
+f AS (
+    SELECT doc_id, s, e,
+           CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk
+    FROM o),
+gg AS (
+    SELECT doc_id, s, e,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS grp
+    FROM f)
+SELECT doc_id, CAST(MIN(s) AS BIGINT) AS range_start,
+       CAST(MAX(e) AS BIGINT) AS range_end,
+       CAST(MAX(e) - MIN(s) AS BIGINT) AS n_tokens
+FROM gg GROUP BY doc_id, grp
+""")
+def contamination_span_manifest(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Span-level decontamination manifest (round-13 frontier): per
+    contaminated train doc, the merged 0-based token ranges covering
+    every eval-shared {NGRAM_N}-gram occurrence — drop the spans, keep
+    the clean remainder, instead of discarding whole documents.  Same
+    eval split (doc_id % {EVAL_MOD} = 0) and tokenizer as
+    ngram_contamination; same interval-merge contract as
+    exact_substring_discard_manifest, derived independently by the SQL
+    window fold so both engines must agree range for range.  See
+    operators/curation.contamination_span_manifest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.contamination_span_manifest(docs, NGRAM_N, EVAL_MOD)
+
+
 DOMAIN_CAP = 10
 
 

@@ -245,3 +245,21 @@ def test_pq_training_does_not_worsen_sample_quantization(spark):
 
     assert mse(trained) <= mse(BOOKS) + 1e-9
     assert mse(trained) < mse(BOOKS)    # and it actually moved
+
+
+def test_contamination_span_manifest_known_spans(spark):
+    # doc 0 is the eval split (0 % 41 == 0); its trigrams are
+    # "a b c", "b c d", "c d e".  Train doc 1 hits "a b c" at token
+    # positions 1 and 5 and "b c d" at 6 -> covers [1,4) and [5,9)
+    # (the 5/6 covers overlap and merge).  Train doc 2 IS the eval
+    # text -> one fully-merged span [0,5).  Train doc 3 is clean.
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="a b c d e"),
+        Row(doc_id=1, text="x a b c y a b c d z"),
+        Row(doc_id=2, text="a b c d e"),
+        Row(doc_id=3, text="p q r s t u"),
+    ])
+    got = sorted(
+        (r["doc_id"], r["range_start"], r["range_end"], r["n_tokens"])
+        for r in curation.contamination_span_manifest(docs, n=3).collect())
+    assert got == [(1, 1, 4, 3), (1, 5, 9, 4), (2, 0, 5, 5)]
