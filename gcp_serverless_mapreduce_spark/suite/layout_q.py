@@ -283,7 +283,11 @@ def hilbert_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 COMPACT_TARGET = 4_000
 
 
-@register("file_compaction_plan", f"""
+# Shared oracle for BOTH faces of the compaction contract: the batch
+# planner (file_compaction_plan) and its streaming twin
+# (stream_file_compaction_plan) emit the identical (partition, bin)
+# manifest, so one SQL twin gates both.
+_COMPACTION_ORACLE = f"""
 WITH f AS (
     SELECT source, doc_id, n_chars
     FROM documents WHERE n_chars < {COMPACT_TARGET}),
@@ -297,7 +301,10 @@ SELECT source, CAST(bin_id AS BIGINT) AS bin_id,
        CAST(COUNT(*) AS BIGINT) AS n_files,
        CAST(SUM(n_chars) AS BIGINT) AS bin_bytes
 FROM b GROUP BY source, bin_id
-""")
+"""
+
+
+@register("file_compaction_plan", _COMPACTION_ORACLE)
 def file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning (NEW round 11) — the operational
     pass every long-lived 100 TB table needs: landing-zone writes leave
@@ -327,6 +334,43 @@ def file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact `//` at any cumulative byte count (ADVICE r11).
     binned = layout.compaction_bins(
         docs.select("source", "doc_id", "n_chars"), COMPACT_TARGET)
+    return (binned
+            .groupBy("source", "bin_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_files"),
+                 F.sum("n_chars").cast("long").alias("bin_bytes")))
+
+
+@register("stream_file_compaction_plan", _COMPACTION_ORACLE)
+def stream_file_compaction_plan(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The STREAMING face of the compaction contract (round-13
+    frontier): landed-file metadata arrives as a stream — one row per
+    written object (partition dir, file id, byte size), exactly what a
+    landing-zone sink's commit log emits per micro-batch — and flows
+    through a STATELESS map-only stage (project the listing columns,
+    drop already-scan-efficient >= target entries) into an append
+    landing index; the compactor's bin-pack then plans over the
+    accumulated listing batch-side via layout.compaction_bins — the
+    ONE arithmetic shared with the batch planner and the executing
+    rewriter (tests/test_compaction_exec.py), so stream, plan, and
+    execution cannot drift.
+
+    The streaming stage holds NO state and no exchange before the sink
+    (pinned by tests/test_compaction_exec.py): at 100 TB/day the
+    stream pays one metadata row per landed file — O(files), never
+    data bytes — and the per-directory window bin-pack runs on the
+    compactor's own cadence over the index, not per arriving file.
+    availableNow over the full fixture makes the accumulated listing
+    equal the batch listing, so the manifest is hash-gated by the SAME
+    oracle as file_compaction_plan (identical output by construction)."""
+    from ..streaming import pipeline
+
+    listing = (pipeline.stream_documents(spark, sf_dir)
+               .select("source", "doc_id", "n_chars")
+               .filter(F.col("n_chars") < COMPACT_TARGET))
+    rows = pipeline.run_available_now(
+        listing, "stream_compaction_listing_sink", mode="append")
+    binned = layout.compaction_bins(rows, COMPACT_TARGET)
     return (binned
             .groupBy("source", "bin_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_files"),

@@ -69,3 +69,30 @@ def test_compact_partition_matches_manifest(spark, tmp_path):
     # Oversize entries pass through: none of them may appear in the
     # compacted output
     assert written.filter(F.col("n_chars") >= TARGET).count() == 0
+
+
+def test_stream_compaction_listing_stage_is_map_only(spark):
+    # The transform the landing stream runs per micro-batch, applied to
+    # a static batch: no Exchange, no aggregation — pure metadata
+    # pass-through (the bin-pack runs batch-side over the sink).
+    import re
+
+    docs = load_table(spark, SF_DIR, "documents")
+    listing = (docs.select("source", "doc_id", "n_chars")
+               .filter(F.col("n_chars") < TARGET))
+    plan = listing._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"\bExchange (?:hash|range|Single)", plan), plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
+
+
+def test_stream_compaction_plan_matches_batch(spark):
+    # availableNow over the full fixture: the streaming face's manifest
+    # must equal the batch planner's row for row.
+    from gcp_serverless_mapreduce_spark.suite.layout_q import (
+        file_compaction_plan, stream_file_compaction_plan)
+
+    batch = {(r["source"], r["bin_id"]): (r["n_files"], r["bin_bytes"])
+             for r in file_compaction_plan(spark, SF_DIR).collect()}
+    stream = {(r["source"], r["bin_id"]): (r["n_files"], r["bin_bytes"])
+              for r in stream_file_compaction_plan(spark, SF_DIR).collect()}
+    assert stream == batch and batch
