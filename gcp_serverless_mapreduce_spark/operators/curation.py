@@ -195,6 +195,46 @@ def ngram_contamination(docs: DataFrame, n: int = 3, eval_mod: int = 41,
     )
 
 
+def merge_token_ranges(hits: DataFrame, id_col: str = "doc_id",
+                       s_col: str = "s", e_col: str = "e") -> DataFrame:
+    """Per-doc interval-merge sweep shared by the span-manifest family
+    (and mirrored by operators/dedup.substring_discard_manifest and
+    every manifest oracle's window fold): a range opens a new group iff
+    its start exceeds the running max end of all prior ranges.
+
+    -> (id_col, range_start, range_end, n_tokens)."""
+    order = Window.partitionBy(id_col).orderBy(s_col, e_col)
+    pme = F.max(e_col).over(order.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = hits.withColumn(
+        "brk",
+        F.when(pme.isNull() | (F.col(s_col) > pme), 1).otherwise(0))
+    grouped = flagged.withColumn(
+        "grp", F.sum("brk").over(
+            order.rowsBetween(Window.unboundedPreceding, 0)))
+    return (grouped.groupBy(id_col, "grp")
+            .agg(F.min(s_col).cast("long").alias("range_start"),
+                 F.max(e_col).cast("long").alias("range_end"))
+            .select(id_col, "range_start", "range_end",
+                    (F.col("range_end") - F.col("range_start"))
+                    .cast("long").alias("n_tokens")))
+
+
+def positioned_ngrams(docs: DataFrame, n: int,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """-> (id_col, s, gram): every word n-gram WITH its 0-based start
+    token position (the positioned sibling of :func:`word_ngrams` —
+    no per-doc dedup, since span manifests need every occurrence)."""
+    toked = (docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+             .filter(F.size("toks") >= n))
+    return toked.select(
+        id_col,
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n))))
+        .alias("s", "gram"))
+
+
 def contamination_span_manifest(docs: DataFrame, n: int = 3,
                                 eval_mod: int = 41,
                                 id_col: str = "doc_id",
@@ -222,37 +262,46 @@ def contamination_span_manifest(docs: DataFrame, n: int = 3,
     explode is map-only and only MATCHES survive the join, so the one
     exchange is the per-doc window over hit rows — bounded by
     contamination volume, never corpus volume."""
-    toked = (docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
-             .filter(F.size("toks") >= n))
-    # posexplode position = the gram's 0-based start token index
-    grams = toked.select(
-        id_col,
-        F.posexplode(F.transform(
-            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n))))
-        .alias("s", "gram"))
+    grams = positioned_ngrams(docs, n, id_col, text_col)
     is_eval = (F.col(id_col) % eval_mod) == 0
     eval_grams = grams.filter(is_eval).select("gram").distinct()
     hits = (grams.filter(~is_eval)
             .join(F.broadcast(eval_grams), "gram")
             .select(id_col, F.col("s").cast("long").alias("s"),
                     (F.col("s") + n).cast("long").alias("e")))
-    # interval-merge sweep, identical to substring_discard_manifest
-    # phase 3 (and its oracle's window fold): a range opens a new group
-    # iff its start exceeds the running max end of all prior ranges.
-    order = Window.partitionBy(id_col).orderBy("s", "e")
-    pme = F.max("e").over(order.rowsBetween(Window.unboundedPreceding, -1))
-    flagged = hits.withColumn(
-        "brk", F.when(pme.isNull() | (F.col("s") > pme), 1).otherwise(0))
-    grouped = flagged.withColumn(
-        "grp", F.sum("brk").over(
-            order.rowsBetween(Window.unboundedPreceding, 0)))
-    return (grouped.groupBy(id_col, "grp")
-            .agg(F.min("s").cast("long").alias("range_start"),
-                 F.max("e").cast("long").alias("range_end"))
-            .select(id_col, "range_start", "range_end",
-                    (F.col("range_end") - F.col("range_start"))
-                    .cast("long").alias("n_tokens")))
+    return merge_token_ranges(hits, id_col)
+
+
+def bloom_span_manifest(docs: DataFrame, n: int = 3, eval_mod: int = 41,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """:func:`contamination_span_manifest` with the probe pushed through
+    a BLOOM FILTER instead of a broadcast set join — the true 100 TB
+    shape: the eval split's n-grams fold into an 8 KiB bitmap literal
+    (operators/sketches.bloom_build/bloom_bitmap) and every train-side
+    positioned gram tests membership as whole-stage-codegen'd bit
+    arithmetic ON THE SCAN — zero joins, zero broadcast, zero shuffle
+    before the per-doc interval merge over hit rows only.  The spans
+    are a SUPERSET of the exact manifest's (Bloom false positives widen
+    or add ranges — conservative over-redaction, the safe direction for
+    decontamination); the FP inclusion is deterministic (md5-derived
+    bit positions) and the oracle reproduces every set bit, so the
+    bloom-level manifest is hash-gated exactly, FPs included — the same
+    discipline as bloom_decontamination's bloom_fp column.
+
+    -> (doc_id, range_start, range_end, n_tokens), one row per merged
+    bloom-hit span."""
+    from .sketches import bloom_bitmap, bloom_build, bloom_hit_expr
+
+    grams = positioned_ngrams(docs, n, id_col, text_col)
+    is_eval = (F.col(id_col) % eval_mod) == 0
+    bitmap = bloom_bitmap(bloom_build(
+        grams.filter(is_eval).select("gram").distinct(), key_col="gram"))
+    hits = (grams.filter(~is_eval)
+            .filter(bloom_hit_expr(F.col("gram"), bitmap))
+            .select(id_col, F.col("s").cast("long").alias("s"),
+                    (F.col("s") + n).cast("long").alias("e")))
+    return merge_token_ranges(hits, id_col)
 
 
 def cap_per_source(docs: DataFrame, cap: int,

@@ -44,10 +44,13 @@ from . import profiling_q  # noqa: F401, E402
 # Composition, per VERDICT r12 task 1 + the rotation invariant (every
 # query driver-attested within the last 4 rounds — the attestation ages
 # below are recomputed from CORRECTNESS_r*.json, not carried forward):
-# 1) the 2 queries NEVER driver-attested — new this round:
+# 1) the 3 queries NEVER driver-attested — new this round:
 #    contamination_span_manifest (span-level decontamination: merged
 #    token ranges covering eval-shared n-grams, so pipelines drop the
-#    contaminated spans, not whole documents) and
+#    contaminated spans, not whole documents),
+#    bloom_span_manifest (same spans with the probe pushed through the
+#    8 KiB Bloom bitmap literal — zero joins before the merge; FP spans
+#    deterministic and oracle-gated), and
 #    stream_file_compaction_plan (the streaming face of the compaction
 #    contract: landed-file metadata streams map-only into the landing
 #    index; the shared bin-pack plans over it batch-side — one oracle
@@ -62,14 +65,16 @@ from . import profiling_q  # noqa: F401, E402
 #    (dedup_resolution_by_source, dup_cluster_representatives,
 #    leakage_safe_split_counts): the CC cap is now adaptive with a
 #    measured-rounds diagnostic;
-# 4) the flagship anagram pair (age 3) to keep its rotation fresh.
+# 4) the flagship grouping query (age 3) to keep its rotation fresh
+#    (anagram_pairs, same age, rotates next round — the window is 50).
 #    (The corpus-reader repartition guard touches only the text-file
 #    source — tools/bench_baseline.py + plan tests cover it; the suite's
 #    anagram queries read the parquet fixture, so no re-attestation is
 #    forced by that change.)
 promote([
-    # -- never driver-attested (2, new this round) --
+    # -- never driver-attested (3, new this round) --
     "contamination_span_manifest",
+    "bloom_span_manifest",
     "stream_file_compaction_plan",
     # -- round-8-era re-attestation (all 42) --
     "bloom_semijoin_reduction",
@@ -119,9 +124,8 @@ promote([
     "dedup_resolution_by_source",
     "dup_cluster_representatives",
     "leakage_safe_split_counts",
-    # -- flagship freshness (2, age 3) --
+    # -- flagship freshness (1, age 3) --
     "anagram_groups",
-    "anagram_pairs",
 ])
 
 # Re-export the flagship for __spark_entry__.entry

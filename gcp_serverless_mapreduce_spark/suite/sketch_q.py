@@ -208,6 +208,64 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("bloom_fp")))
 
 
+@register("bloom_span_manifest", f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+    SELECT doc_id, i.i - 1 AS s, i.i - 1 + {NGRAM_N} AS e,
+           array_to_string(list_slice(toks, i.i, i.i + {NGRAM_N - 1}),
+                           ' ') AS gram
+    FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - {NGRAM_N - 1}))
+        AS i) i
+    WHERE len(toks) >= {NGRAM_N}),
+e AS (SELECT DISTINCT gram FROM g WHERE doc_id % {EVAL_MOD} = 0),
+seeds AS (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS sd),
+bits AS (SELECT DISTINCT {_bloom_pos_sql('gram', 'sd')} AS pos
+         FROM e, seeds),
+pp AS (SELECT g.doc_id, g.s, g.e, g.gram,
+              {_bloom_pos_sql('g.gram', 'sd')} AS pos
+       FROM g, seeds WHERE g.doc_id % {EVAL_MOD} <> 0),
+hit AS (
+    SELECT doc_id, s, e
+    FROM pp LEFT JOIN bits b USING (pos)
+    GROUP BY doc_id, s, e, gram
+    HAVING count(b.pos) = {BLOOM_K}),
+o AS (
+    SELECT doc_id, s, e,
+           MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS pme
+    FROM hit),
+f AS (
+    SELECT doc_id, s, e,
+           CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk
+    FROM o),
+gg AS (
+    SELECT doc_id, s, e,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS grp
+    FROM f)
+SELECT doc_id, CAST(MIN(s) AS BIGINT) AS range_start,
+       CAST(MAX(e) AS BIGINT) AS range_end,
+       CAST(MAX(e) - MIN(s) AS BIGINT) AS n_tokens
+FROM gg GROUP BY doc_id, grp
+""")
+def bloom_span_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation_q's contamination_span_manifest with the probe pushed
+    through the Bloom sketch (round 13): eval n-grams fold into the
+    8 KiB bitmap literal and every train-side POSITIONED gram tests
+    membership as codegen'd bit arithmetic on the scan — zero joins or
+    broadcasts before the per-doc interval merge over hit rows.  Spans
+    are a deterministic SUPERSET of the exact manifest (Bloom false
+    positives widen/add ranges — conservative over-redaction); the
+    oracle reproduces every set bit, so the bloom-level ranges are
+    hash-gated exactly, FPs included.  See
+    operators/curation.bloom_span_manifest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.bloom_span_manifest(docs, NGRAM_N, EVAL_MOD)
+
+
 _KMV_STATE_SQL = """
     SELECT grp, h FROM (
         SELECT grp, h,

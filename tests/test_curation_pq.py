@@ -263,3 +263,33 @@ def test_contamination_span_manifest_known_spans(spark):
         (r["doc_id"], r["range_start"], r["range_end"], r["n_tokens"])
         for r in curation.contamination_span_manifest(docs, n=3).collect())
     assert got == [(1, 1, 4, 3), (1, 5, 9, 4), (2, 0, 5, 5)]
+
+
+def test_bloom_span_manifest_superset_and_zero_join_probe(spark):
+    # Bloom spans must COVER the exact manifest's token positions
+    # (false positives only ever widen/add ranges — conservative
+    # over-redaction), and the probe stage must be join-free: the
+    # bitmap rides as a literal, so the pre-merge plan's only join-ish
+    # node is none at all.
+    import re
+
+    from gcp_serverless_mapreduce_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def covered(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["doc_id"], set()).update(
+                range(r["range_start"], r["range_end"]))
+        return out
+
+    exact = covered(curation.contamination_span_manifest(docs))
+    bloom = covered(curation.bloom_span_manifest(docs))
+    assert exact, "fixture produced no contaminated spans"
+    for doc, toks in exact.items():
+        assert toks <= bloom.get(doc, set()), doc
+
+    plan = (curation.bloom_span_manifest(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan, plan  # probe is pure scan-side arithmetic
