@@ -195,7 +195,7 @@ def ngram_contamination(docs: DataFrame, n: int = 3, eval_mod: int = 41,
     )
 
 
-def merge_token_ranges(hits: DataFrame, id_col: str = "doc_id",
+def _merge_token_ranges(hits: DataFrame, id_col: str = "doc_id",
                        s_col: str = "s", e_col: str = "e") -> DataFrame:
     """Per-doc interval-merge sweep shared by the span-manifest family
     (and mirrored by operators/dedup.substring_discard_manifest and
@@ -219,7 +219,7 @@ def merge_token_ranges(hits: DataFrame, id_col: str = "doc_id",
                     .cast("long").alias("n_tokens")))
 
 
-def positioned_ngrams(docs: DataFrame, n: int,
+def _positioned_ngrams(docs: DataFrame, n: int,
                       id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """-> (id_col, s, gram): every word n-gram WITH its 0-based start
@@ -262,14 +262,14 @@ def contamination_span_manifest(docs: DataFrame, n: int = 3,
     explode is map-only and only MATCHES survive the join, so the one
     exchange is the per-doc window over hit rows — bounded by
     contamination volume, never corpus volume."""
-    grams = positioned_ngrams(docs, n, id_col, text_col)
+    grams = _positioned_ngrams(docs, n, id_col, text_col)
     is_eval = (F.col(id_col) % eval_mod) == 0
     eval_grams = grams.filter(is_eval).select("gram").distinct()
     hits = (grams.filter(~is_eval)
             .join(F.broadcast(eval_grams), "gram")
             .select(id_col, F.col("s").cast("long").alias("s"),
                     (F.col("s") + n).cast("long").alias("e")))
-    return merge_token_ranges(hits, id_col)
+    return _merge_token_ranges(hits, id_col)
 
 
 def bloom_span_manifest(docs: DataFrame, n: int = 3, eval_mod: int = 41,
@@ -293,7 +293,7 @@ def bloom_span_manifest(docs: DataFrame, n: int = 3, eval_mod: int = 41,
     bloom-hit span."""
     from .sketches import bloom_bitmap, bloom_build, bloom_hit_expr
 
-    grams = positioned_ngrams(docs, n, id_col, text_col)
+    grams = _positioned_ngrams(docs, n, id_col, text_col)
     is_eval = (F.col(id_col) % eval_mod) == 0
     bitmap = bloom_bitmap(bloom_build(
         grams.filter(is_eval).select("gram").distinct(), key_col="gram"))
@@ -301,7 +301,7 @@ def bloom_span_manifest(docs: DataFrame, n: int = 3, eval_mod: int = 41,
             .filter(bloom_hit_expr(F.col("gram"), bitmap))
             .select(id_col, F.col("s").cast("long").alias("s"),
                     (F.col("s") + n).cast("long").alias("e")))
-    return merge_token_ranges(hits, id_col)
+    return _merge_token_ranges(hits, id_col)
 
 
 def cap_per_source(docs: DataFrame, cap: int,
