@@ -50,3 +50,21 @@ def test_no_driver_fragile_output_types(spark):
     assert not bad, (
         "driver-fragile output types (cast to long/double/string at the "
         f"end of the query): {bad}")
+
+
+def test_table_row_count_prunes_hidden_dirs(spark, tmp_path):
+    # A directory-tree table with _spark_metadata / .hive-staging junk:
+    # the footer walk must count exactly what Spark's scan reads
+    # (ADVICE r12 — hidden and underscore dirs are pruned).
+    import os
+
+    from gcp_serverless_mapreduce_spark.tables import table_row_count
+
+    tdir = tmp_path / "t.parquet"
+    spark.range(10).coalesce(2).write.parquet(str(tdir))
+    for junk in ("_staging_tmp", ".hive-staging_x"):
+        os.makedirs(tdir / junk)
+        with open(tdir / junk / "junk.parquet", "w") as fh:
+            fh.write("not parquet")
+    assert table_row_count(str(tmp_path), "t") == 10
+    assert spark.read.parquet(str(tdir)).count() == 10

@@ -182,6 +182,20 @@ def run_traced(sf_dir: str) -> None:
             write_anagram_sink(anagram_pipeline(docs, gutenberg=True),
                                os.path.join(scratch, "out"),
                                num_partitions=2)
+            # directory-tree table: the footer-metadata row count must
+            # walk part files and prune hidden/metadata dirs exactly
+            # like Spark's scan (ADVICE r12; a literal _spark_metadata dir
+            # would flip Spark into its stream-sink log reader, so the
+            # junk dir here is a neutral underscore name)
+            from gcp_serverless_mapreduce_spark.tables import (
+                table_row_count)
+            tdir = os.path.join(scratch, "t.parquet")
+            spark.range(10).coalesce(2).write.parquet(tdir)
+            os.makedirs(os.path.join(tdir, "_staging_tmp"))
+            with open(os.path.join(tdir, "_staging_tmp",
+                                   "junk.parquet"), "w") as fh:
+                fh.write("not parquet")
+            assert table_row_count(scratch, "t") == 10
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
     finally:
