@@ -304,6 +304,55 @@ def bloom_span_manifest(docs: DataFrame, n: int = 3, eval_mod: int = 41,
     return _merge_token_ranges(hits, id_col)
 
 
+def inline_bloom_spans(bitmap: list[int], n: int = 3,
+                       text_col: str = "text") -> Column:
+    """The ENTIRE bloom span computation of :func:`bloom_span_manifest`
+    as ONE row-local column expression: positioned grams, the k-bit
+    Bloom probe, and the interval merge all fold IN-ROW (an
+    ``aggregate`` over ascending hit positions replaces the per-doc
+    window), so a document's merged contaminated spans come out of pure
+    whole-stage-codegen'd expressions — no explode, no window, no
+    exchange, not even a per-doc shuffle.
+
+    This is what makes decontamination a STATELESS STREAMING stage
+    (suite/sketch_q.stream_contamination_spans): each arriving document
+    emits its spans map-only; the only batch-side dependency is the
+    8 KiB bitmap literal built once from the eval split.  Must produce
+    exactly the rows of :func:`bloom_span_manifest` (the window and the
+    fold are two derivations of one contract — both oracle-gated).
+
+    -> array<struct<s:long, e:long>> of merged spans (empty array for
+    clean or shorter-than-n documents)."""
+    from .sketches import bloom_hit_expr
+
+    toks = tokens(F.col(text_col))
+    # 0-based gram start positions whose gram bloom-hits; guard short
+    # docs BEFORE sequence (Spark's sequence(0, -1) counts DOWN)
+    hit_pos = F.filter(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: bloom_hit_expr(
+            F.concat_ws(" ", F.slice(toks, i + 1, n)), bitmap))
+    empty = F.expr("CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)")
+    # interval merge as a left fold over ascending positions: a hit at p
+    # opens a new span iff p exceeds the running span's end (touching
+    # merges), else extends it — the in-row twin of _merge_token_ranges.
+    merged = F.aggregate(
+        hit_pos, empty,
+        lambda acc, p: F.when(
+            (F.size(acc) == 0)
+            | (p.cast("long") > F.element_at(acc, -1)["e"]),
+            F.concat(acc, F.array(F.struct(
+                p.cast("long").alias("s"),
+                (p + n).cast("long").alias("e"))))
+        ).otherwise(
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["s"].alias("s"),
+                    (p + n).cast("long").alias("e"))))))
+    return F.when(F.size(toks) >= n, merged).otherwise(empty)
+
+
 def cap_per_source(docs: DataFrame, cap: int,
                    source_col: str = "source",
                    id_col: str = "doc_id",

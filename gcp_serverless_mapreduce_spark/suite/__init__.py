@@ -44,13 +44,16 @@ from . import profiling_q  # noqa: F401, E402
 # Composition, per VERDICT r12 task 1 + the rotation invariant (every
 # query driver-attested within the last 4 rounds — the attestation ages
 # below are recomputed from CORRECTNESS_r*.json, not carried forward):
-# 1) the 3 queries NEVER driver-attested — new this round:
+# 1) the 4 queries NEVER driver-attested — new this round:
 #    contamination_span_manifest (span-level decontamination: merged
 #    token ranges covering eval-shared n-grams, so pipelines drop the
 #    contaminated spans, not whole documents),
 #    bloom_span_manifest (same spans with the probe pushed through the
 #    8 KiB Bloom bitmap literal — zero joins before the merge; FP spans
-#    deterministic and oracle-gated), and
+#    deterministic and oracle-gated),
+#    stream_contamination_spans (stateless streaming decontamination:
+#    probe AND interval merge fold in-row, no window/state/exchange —
+#    shares bloom_span_manifest's oracle), and
 #    stream_file_compaction_plan (the streaming face of the compaction
 #    contract: landed-file metadata streams map-only into the landing
 #    index; the shared bin-pack plans over it batch-side — one oracle
@@ -65,16 +68,17 @@ from . import profiling_q  # noqa: F401, E402
 #    (dedup_resolution_by_source, dup_cluster_representatives,
 #    leakage_safe_split_counts): the CC cap is now adaptive with a
 #    measured-rounds diagnostic;
-# 4) the flagship grouping query (age 3) to keep its rotation fresh
-#    (anagram_pairs, same age, rotates next round — the window is 50).
+# (anagram_groups/anagram_pairs, age 3, rotate next round — the
+# window is 50 and the four new queries take their slots.)
 #    (The corpus-reader repartition guard touches only the text-file
 #    source — tools/bench_baseline.py + plan tests cover it; the suite's
 #    anagram queries read the parquet fixture, so no re-attestation is
 #    forced by that change.)
 promote([
-    # -- never driver-attested (3, new this round) --
+    # -- never driver-attested (4, new this round) --
     "contamination_span_manifest",
     "bloom_span_manifest",
+    "stream_contamination_spans",
     "stream_file_compaction_plan",
     # -- round-8-era re-attestation (all 42) --
     "bloom_semijoin_reduction",
@@ -124,8 +128,6 @@ promote([
     "dedup_resolution_by_source",
     "dup_cluster_representatives",
     "leakage_safe_split_counts",
-    # -- flagship freshness (1, age 3) --
-    "anagram_groups",
 ])
 
 # Re-export the flagship for __spark_entry__.entry

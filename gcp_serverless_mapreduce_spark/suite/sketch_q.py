@@ -208,7 +208,11 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("bloom_fp")))
 
 
-@register("bloom_span_manifest", f"""
+# Shared oracle for BOTH faces of bloom span decontamination: the batch
+# window derivation (bloom_span_manifest) and the in-row streaming fold
+# (stream_contamination_spans) emit identical merged ranges, so one SQL
+# twin gates both.
+_BLOOM_SPAN_ORACLE = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 g AS (
     SELECT doc_id, i.i - 1 AS s, i.i - 1 + {NGRAM_N} AS e,
@@ -250,7 +254,10 @@ SELECT doc_id, CAST(MIN(s) AS BIGINT) AS range_start,
        CAST(MAX(e) AS BIGINT) AS range_end,
        CAST(MAX(e) - MIN(s) AS BIGINT) AS n_tokens
 FROM gg GROUP BY doc_id, grp
-""")
+"""
+
+
+@register("bloom_span_manifest", _BLOOM_SPAN_ORACLE)
 def bloom_span_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """curation_q's contamination_span_manifest with the probe pushed
     through the Bloom sketch (round 13): eval n-grams fold into the
@@ -264,6 +271,47 @@ def bloom_span_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/curation.bloom_span_manifest."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.bloom_span_manifest(docs, NGRAM_N, EVAL_MOD)
+
+
+@register("stream_contamination_spans", _BLOOM_SPAN_ORACLE)
+def stream_contamination_spans(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """STATELESS STREAMING decontamination (round 13): arriving train
+    documents emit their merged contaminated token spans map-only —
+    the positioned-gram probe AND the interval merge both fold in-row
+    (operators/curation.inline_bloom_spans: an ``aggregate`` over
+    ascending Bloom-hit positions replaces the per-doc window), so the
+    streaming stage holds no state, no window, no join, and no
+    exchange before the sink (plan-pinned in
+    tests/test_curation_pq.py).  The only batch-side dependency is the
+    8 KiB eval-split bitmap, built once (timed as batch_side) and
+    riding every micro-batch as a literal — at 100 TB/day the stream
+    pays one codegen'd pass per arriving document, full stop.
+    Hash-gated by the SAME oracle as bloom_span_manifest: the in-row
+    fold and the batch window are two derivations of one contract."""
+    from ..operators.sketches import bloom_bitmap, bloom_build
+    from ..streaming import pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pipeline.timed_batch_side():
+        bitmap = bloom_bitmap(bloom_build(
+            curation.word_ngrams(
+                docs.filter(F.col("doc_id") % EVAL_MOD == 0), NGRAM_N)
+            .select("gram").distinct(), key_col="gram"))
+
+    spans = (pipeline.stream_documents(spark, sf_dir)
+             .filter(F.col("doc_id") % EVAL_MOD != 0)
+             .select("doc_id",
+                     curation.inline_bloom_spans(bitmap, NGRAM_N)
+                     .alias("_spans"))
+             .select("doc_id", F.explode("_spans").alias("r"))
+             .select("doc_id",
+                     F.col("r.s").alias("range_start"),
+                     F.col("r.e").alias("range_end"),
+                     (F.col("r.e") - F.col("r.s")).cast("long")
+                     .alias("n_tokens")))
+    return pipeline.run_available_now(
+        spans, "stream_contamination_spans_sink", mode="append")
 
 
 _KMV_STATE_SQL = """

@@ -293,3 +293,36 @@ def test_bloom_span_manifest_superset_and_zero_join_probe(spark):
     plan = (curation.bloom_span_manifest(docs)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Join" not in plan, plan  # probe is pure scan-side arithmetic
+
+
+def test_inline_bloom_spans_equals_window_derivation(spark):
+    # The in-row fold (streaming face) and the window sweep (batch face)
+    # are two derivations of one contract: identical rows, and the
+    # in-row plan has NO exchange/window/aggregate/join at all.
+    import re
+
+    from gcp_serverless_mapreduce_spark.operators.sketches import (
+        bloom_bitmap, bloom_build)
+    from gcp_serverless_mapreduce_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bitmap = bloom_bitmap(bloom_build(
+        curation.word_ngrams(
+            docs.filter(F.col("doc_id") % 41 == 0), 3)
+        .select("gram").distinct(), key_col="gram"))
+
+    inline = (docs.filter(F.col("doc_id") % 41 != 0)
+              .select("doc_id",
+                      curation.inline_bloom_spans(bitmap, 3).alias("sp"))
+              .select("doc_id", F.explode("sp").alias("r"))
+              .select("doc_id", F.col("r.s").alias("range_start"),
+                      F.col("r.e").alias("range_end")))
+    got = {tuple(r) for r in inline.collect()}
+    want = {(r["doc_id"], r["range_start"], r["range_end"])
+            for r in curation.bloom_span_manifest(docs).collect()}
+    assert got == want and want
+
+    plan = inline._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"\bExchange ", plan), plan
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
