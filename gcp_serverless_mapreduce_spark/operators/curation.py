@@ -325,40 +325,133 @@ def inline_bloom_spans(bitmap: list[int], n: int = 3,
     clean or shorter-than-n documents)."""
     from .sketches import bloom_hit_expr
 
-    toks = tokens(F.col(text_col))
-    # (position, gram) structs, the gram built ONCE per position: the
-    # lambda body of a higher-order function is interpreted per element,
-    # and bloom_hit_expr references its key expression once per seed —
-    # inlining the gram build there re-evaluated concat_ws(slice) k=4
-    # times per position (measured 3.5x slower at sf0.1).  Guard short
-    # docs BEFORE sequence (Spark's sequence(0, -1) counts DOWN).
-    pos_grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.struct(
-            i.alias("p"),
-            F.concat_ws(" ", F.slice(toks, i + 1, n)).alias("g")))
-    # Bloom probe per struct; And short-circuits, so a miss costs ~one
-    # md5 — only survivors pay all k probes.
-    hits = F.filter(pos_grams, lambda s: bloom_hit_expr(s["g"], bitmap))
     empty = F.expr("CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)")
-    # interval merge as a left fold over ascending positions: a hit at p
-    # opens a new span iff p exceeds the running span's end (touching
-    # merges), else extends it — the in-row twin of _merge_token_ranges.
-    merged = F.aggregate(
-        hits, empty,
-        lambda acc, s: F.when(
-            (F.size(acc) == 0)
-            | (s["p"].cast("long") > F.element_at(acc, -1)["e"]),
-            F.concat(acc, F.array(F.struct(
-                s["p"].cast("long").alias("s"),
-                (s["p"] + n).cast("long").alias("e"))))
-        ).otherwise(
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(F.struct(
-                    F.element_at(acc, -1)["s"].alias("s"),
-                    (s["p"] + n).cast("long").alias("e"))))))
-    return F.when(F.size(toks) >= n, merged).otherwise(empty)
+    gap = F.lit(n).cast("long")
+    big = F.lit(1 << 62).cast("long")
+
+    # THE rule of this function (learned twice, r13 and r14): inside a
+    # higher-order-function lambda, any referenced expression that is
+    # not a lambda variable or a literal is RE-EVALUATED per element.
+    # r13's 3.5x was the gram build inlined into the probe (k re-evals
+    # per position); the r14 dense-doc stress exposed the much worse
+    # one — `tokens(text)` referenced inside the per-position lambda
+    # re-ran lower+split+filter of the WHOLE document per position,
+    # O(tokens x text_len): 187 s for one 20k-token doc.  So every
+    # array used more than O(1) times is LET-BOUND once via
+    # transform(array(x), body) — inside `body` it is a lambda variable
+    # and each reference is one pointer read.
+
+    def spans_of(ps):
+        # Interval merge in O(hits) over let-bound ascending hit
+        # positions `ps` — the in-row twin of _merge_token_ranges.
+        # Hits at gap <= n share a span (a hit at p covers [p, p+n),
+        # touching merges): a hit OPENS a span iff its gap to the
+        # previous hit exceeds n and CLOSES one iff the gap to the next
+        # does.  The flags come from zip_with against sentinel-padded
+        # SHIFTED copies built once per row, so every lambda touches
+        # only its own arguments — no indexed neighbor lookups, no
+        # fold: this replaces the r13 accumulator-concat fold that was
+        # O(hits^2) on a wall-to-wall contaminated document (r13
+        # watch-item 3) and drops its fragile element_at(acc, -1)
+        # behind-short-circuit probe (ADVICE r13) entirely.
+        tail = F.greatest(F.size(ps) - 1, F.lit(0))
+        prevs = F.concat(F.array(-gap - 1), F.slice(ps, 1, tail))
+        nexts = F.concat(F.slice(ps, 2, tail), F.array(big))
+        starts = F.filter(
+            F.zip_with(ps, prevs, lambda p, q: F.struct(
+                p.alias("p"), (p - q > gap).alias("f"))),
+            lambda s: s["f"])
+        ends = F.filter(
+            F.zip_with(ps, nexts, lambda p, q: F.struct(
+                p.alias("p"), (q - p > gap).alias("f"))),
+            lambda s: s["f"])
+        # starts[k] and ends[k] bound the k-th merged span (the flags
+        # alternate open/close over ascending positions)
+        return F.zip_with(
+            starts, ends,
+            lambda a, b: F.struct(a["p"].alias("s"),
+                                  (b["p"] + n).cast("long").alias("e")))
+
+    def body(toks):
+        # (position, gram) structs, the gram built ONCE per position
+        # from the let-bound token array.  The short-doc guard at the
+        # bottom keeps sequence(0, negative) — which counts DOWN — out
+        # of the evaluated branch.
+        pos_grams = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.struct(
+                i.alias("p"),
+                F.concat_ws(" ", F.slice(toks, i + 1, n)).alias("g")))
+        # Bloom probe per struct; And short-circuits, so a miss costs
+        # ~one md5 — only survivors pay all k probes.  The bitmap rides
+        # as a true array literal (see sketches.bloom_hit_expr).
+        hits = F.filter(pos_grams,
+                        lambda s: bloom_hit_expr(s["g"], bitmap))
+        ps_once = F.transform(hits, lambda s: s["p"].cast("long"))
+        merged = F.element_at(F.transform(F.array(ps_once), spans_of), 1)
+        return F.when(F.size(toks) >= n, merged).otherwise(empty)
+
+    return F.element_at(
+        F.transform(F.array(tokens(F.col(text_col))), body), 1)
+
+
+def bpe_aligned_span_manifest(docs: DataFrame, n: int = 3,
+                              eval_mod: int = 41,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """TOKENIZER-AWARE decontamination manifest (round-14 frontier):
+    :func:`contamination_span_manifest`'s word-index ranges re-expressed
+    as BPE PIECE ranges — the coordinate system an LLM training pipeline
+    actually excises in, since the model consumes tokenizer pieces, not
+    whitespace words.  A span covering words [ws, we) maps to pieces
+    [offset(ws), offset(we)) where offset is the per-document prefix sum
+    of each word's piece count under the corpus merge table
+    (operators/textstats.bpe_pieces; merges never cross word boundaries
+    and spaces are never wrapped, so the document's piece stream is
+    exactly the word-major concatenation — the alignment is exact, not
+    heuristic).
+
+    -> (doc_id, range_start, range_end, piece_start, piece_end,
+    n_pieces): one row per merged contaminated span, word indices AND
+    piece indices, both 0-based.
+
+    Scale shape: the word-level manifest already bounds everything by
+    contamination volume (eval grams broadcast; only matches shuffle).
+    The piece-offset pass runs ONLY over contaminated documents (a
+    left-semi join on the manifest's doc ids prunes the corpus before
+    the posexplode), so the per-doc cumulative window costs O(tokens of
+    contaminated docs) — at 100 TB, a sliver of the corpus — and the
+    two final equi-joins are manifest-row-sized.  The BPE piece count
+    itself is the codegen'd replace chain, no Python, no UDF."""
+    from .textstats import bpe_pieces
+
+    spans = contamination_span_manifest(docs, n, eval_mod, id_col,
+                                        text_col)
+    contam = docs.join(spans.select(id_col).distinct(), id_col,
+                       "left_semi")
+    w = contam.select(
+        id_col, F.posexplode(tokens(F.col(text_col))).alias("wi", "word"))
+    p = bpe_pieces(F.col("word"))
+    n_pieces = (F.length(p)
+                - F.length(F.replace(p, F.lit("<"), F.lit("")))
+                ).cast("long")
+    win = Window.partitionBy(id_col).orderBy("wi")
+    off = (w.withColumn("np", n_pieces)
+           .select(id_col, "wi",
+                   (F.sum("np").over(win) - F.col("np")).alias("p_start"),
+                   F.sum("np").over(win).alias("p_end")))
+    s1 = off.select(id_col, F.col("wi").cast("long").alias("range_start"),
+                    "p_start")
+    s2 = off.select(id_col,
+                    (F.col("wi") + 1).cast("long").alias("range_end"),
+                    "p_end")
+    return (spans.join(s1, [id_col, "range_start"])
+            .join(s2, [id_col, "range_end"])
+            .select(id_col, "range_start", "range_end",
+                    F.col("p_start").alias("piece_start"),
+                    F.col("p_end").alias("piece_end"),
+                    (F.col("p_end") - F.col("p_start")).cast("long")
+                    .alias("n_pieces")))
 
 
 def cap_per_source(docs: DataFrame, cap: int,

@@ -150,7 +150,15 @@ def bloom_hit_expr(key: Column, bitmap: list[int]) -> Column:
     membership test is whole-stage-codegen'd bit arithmetic on the scan
     side — the shape you want when 100 TB of corpus probes a fixed
     filter."""
-    lit_map = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    # A TRUE array literal, not CreateArray(1024 literal children): a
+    # CreateArray re-materializes the 1024-slot array on EVERY
+    # evaluation (ruinous inside a higher-order-function lambda, where
+    # each array element re-evaluates the predicate) and its codegen
+    # emits per-element stores that bloat the generated method; a
+    # Literal is a single stored ArrayData reference either way.  The
+    # cast to bigint is constant-folded, so the runtime plan carries
+    # just the literal.
+    lit_map = F.lit(bitmap).cast("array<bigint>")
     checks = []
     for s in range(BLOOM_K):
         p = bloom_pos(key, s)

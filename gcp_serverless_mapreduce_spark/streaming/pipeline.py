@@ -94,6 +94,23 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select(*static.columns)
 
 
+def stream_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the orders fixture — the CDC feed of new
+    orders arriving after a stored snapshot (the streaming face of the
+    snapshot-diff contract; see relational_q's
+    ``stream_snapshot_diff_customers``).  Schema from the batch reader,
+    same single-file glob discipline as :func:`stream_events`."""
+    static = load_table(spark, sf_dir, "orders")
+    raw = (spark.readStream
+           .schema(spark.read.parquet(f"{sf_dir}/orders.parquet").schema)
+           .option("pathGlobFilter", "orders.parquet")
+           .parquet(sf_dir))
+    for col, dtype in raw.dtypes:
+        if dtype == "timestamp_ntz":
+            raw = raw.withColumn(col, F.col(col).cast("timestamp"))
+    return raw.select(*static.columns)
+
+
 def stream_events_redelivered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events stream with every row delivered TWICE — two independent
     file-stream sources over the same fixture, unioned.
@@ -353,10 +370,17 @@ def run_available_now(result: DataFrame, name: str,
              .outputMode(mode)
              .trigger(availableNow=True)
              .start())
-    q.awaitTermination()
-    out = spark.table(name).localCheckpoint()  # detach from the sink table
-    _record_progress(name, q)
-    q.stop()
+    try:
+        q.awaitTermination()
+        out = spark.table(name).localCheckpoint()  # detach from sink table
+        _record_progress(name, q)
+    finally:
+        # A failure between timed_batch_side and _record_progress would
+        # otherwise leave a stale pending batch-side wall that the NEXT
+        # streaming query's stats would absorb (ADVICE r13).  On the
+        # success path _record_progress already drained the list.
+        _PENDING_BATCH_SIDE_MS.clear()
+        q.stop()
     return out
 
 
@@ -404,6 +428,9 @@ def run_rate_replay(result: DataFrame, name: str, n_expected: int,
         out = spark.table(name).localCheckpoint()
         _record_progress(name, q)
     finally:
+        # Same stale-pending guard as run_available_now: the TimeoutError
+        # path stops the query without recording, so drain here too.
+        _PENDING_BATCH_SIDE_MS.clear()
         q.stop()
     return out
 

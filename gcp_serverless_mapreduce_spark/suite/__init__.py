@@ -40,95 +40,91 @@ from . import sketch_q  # noqa: F401, E402
 from . import linkage_q  # noqa: F401, E402
 from . import profiling_q  # noqa: F401, E402
 
-# Round-13 window head (the driver checks the FIRST ~50 registered).
-# Composition, per VERDICT r12 task 1 + the rotation invariant (every
-# query driver-attested within the last 4 rounds — the attestation ages
-# below are recomputed from CORRECTNESS_r*.json, not carried forward):
-# 1) the 4 queries NEVER driver-attested — new this round:
-#    contamination_span_manifest (span-level decontamination: merged
-#    token ranges covering eval-shared n-grams, so pipelines drop the
-#    contaminated spans, not whole documents),
-#    bloom_span_manifest (same spans with the probe pushed through the
-#    8 KiB Bloom bitmap literal — zero joins before the merge; FP spans
-#    deterministic and oracle-gated),
-#    stream_contamination_spans (stateless streaming decontamination:
-#    probe AND interval merge fold in-row, no window/state/exchange —
-#    shares bloom_span_manifest's oracle), and
-#    stream_file_compaction_plan (the streaming face of the compaction
-#    contract: landed-file metadata streams map-only into the landing
-#    index; the shared bin-pack plans over it batch-side — one oracle
-#    with file_compaction_plan);
-# 2) ALL 42 queries last driver-attested in round 8 — they reach
-#    attestation age 4 this round, so they lead en bloc (the TPC-H
-#    block, cube/rollup/grouping-sets, the HLL pair, SCD2, the sampling
-#    and text-analysis cohort); after this round no attestation
-#    predates round 9;
-# 3) the 4 queries whose OPERATOR changed this round — dup_clusters and
-#    its cluster-consuming faces not already in cohort 2
-#    (dedup_resolution_by_source, dup_cluster_representatives,
-#    leakage_safe_split_counts): the CC cap is now adaptive with a
-#    measured-rounds diagnostic;
-# (anagram_groups/anagram_pairs, age 3, rotate next round — the
-# window is 50 and the four new queries take their slots.)
-#    (The corpus-reader repartition guard touches only the text-file
-#    source — tools/bench_baseline.py + plan tests cover it; the suite's
-#    anagram queries read the parquet fixture, so no re-attestation is
-#    forced by that change.)
+# Round-14 window head (the driver checks the FIRST ~50 registered).
+# Composition, per VERDICT r13 task 2 + the rotation invariant (ages
+# recomputed from CORRECTNESS_r01..r13 at the start of this round):
+# 1) the 3 queries NEVER driver-attested — new this round:
+#    bpe_aligned_contamination_spans (tokenizer-aware decontamination:
+#    the span manifest's word ranges mapped to exact BPE piece ranges
+#    via per-doc piece-offset prefix sums — r13 verdict task 7a),
+#    stream_snapshot_diff_customers (CDC streaming face of the
+#    snapshot-diff reconciliation: after-period orders stream into a
+#    stateful per-customer aggregate, reconciled against the stored
+#    before-snapshot batch-side; shares snapshot_diff_customers'
+#    oracle — r13 verdict task 7b), and
+#    dup_clusters_diagnostics (the CC fixpoint's one-row run telemetry:
+#    n_nodes/adaptive cap/postcondition flags, oracle-exact from the
+#    pair graph — r13 verdict task 6);
+# 2) stream_contamination_spans — its operator (inline_bloom_spans) was
+#    REWRITTEN this round: the O(hits^2) accumulator-concat fold became
+#    an O(hits) span-break-flag derivation with let-bound arrays (r13
+#    watch-item 3 / verdict task 4);
+# 3) ALL 46 queries last driver-attested in round 9 — attestation age 5
+#    this round, so they take the remaining 46 slots en bloc; after
+#    this round no attestation predates round 10.
+# Not in the window (no room; 3+1+46 fills all 50): the other three
+# bloom-probe queries whose PLAN changed when bloom_hit_expr's bitmap
+# became a true array literal (bloom_span_manifest, bloom_decontamination,
+# bloom_semijoin_reduction — all age 1, value-identical change) — they
+# are re-proven by this round's full-suite parity stamp at HEAD across
+# all three scales plus bloom_semijoin_reduction's standalone low-load
+# rerun (verdict task 3).  The 45 age-4 queries rotate next round.
 promote([
-    # -- never driver-attested (4, new this round) --
-    "contamination_span_manifest",
-    "bloom_span_manifest",
+    # -- never driver-attested (3, new this round) --
+    "bpe_aligned_contamination_spans",
+    "stream_snapshot_diff_customers",
+    "dup_clusters_diagnostics",
+    # -- operator rewritten this round (1) --
     "stream_contamination_spans",
-    "stream_file_compaction_plan",
-    # -- round-8-era re-attestation (all 42) --
-    "bloom_semijoin_reduction",
-    "cube_orders_status_priority",
-    "fim_split_plan",
-    "grouping_sets_order_stats",
-    "hashed_ngram_quality_scores",
-    "having_orders_per_customer",
-    "heldout_bigram_perplexity",
-    "hll_distinct_users",
-    "hll_hourly_rollup_daily",
-    "ivf_cell_balance",
-    "kcore_pmi_words",
-    "neyman_allocation_sample",
-    "normalization_dedup_lift",
-    "ntile_customer_value_quartiles",
-    "q10_returned_item_revenue",
-    "q11_part_value_concentration",
-    "q12_priority_line_counts",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_order_customers",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "q4_order_priority_check",
-    "q6_revenue_forecast",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "rollup_lineitem_status",
-    "scd2_user_event_state",
-    "soft_dedup_weights",
-    "source_boilerplate_prefix",
-    "unimax_language_budget",
-    "video_decode_roundtrip",
-    "window_top3_orders_per_customer",
-    "window_trailing_7d_spend",
-    "word_bigram_freq_udtf",
-    "word_commonness_by_source_salted",
-    "zipf_slope_by_source",
-    # -- operator changed this round (4) --
-    "dup_clusters",
-    "dedup_resolution_by_source",
-    "dup_cluster_representatives",
-    "leakage_safe_split_counts",
+    # -- round-9-era re-attestation (all 46) --
+    "asof_click_before_purchase",
+    "bpe_learn_merges",
+    "bpe_piece_stats",
+    "bucket_histogram",
+    "chunk_dedup_docs",
+    "clicks_within_1h_of_error",
+    "cms_heavy_hitter_words",
+    "containment_dups",
+    "contrastive_negatives",
+    "corpus_prep_pipeline_v2",
+    "customer_record_linkage",
+    "daily_orders_gapfilled",
+    "doc_token_entropy",
+    "doc_token_ids_fingerprint",
+    "dsir_importance_weights",
+    "embedding_dim_stats",
+    "epoch_shuffle_plan",
+    "event_pattern_matches",
+    "events_csv_roundtrip_fingerprint",
+    "events_json_roundtrip_fingerprint",
+    "events_orc_roundtrip_fingerprint",
+    "gopher_rule_filter",
+    "hot_key_join_aqe",
+    "image_resize_plan",
+    "locf_hourly_event_values",
+    "media_feature_summary",
+    "ngram_contamination",
+    "orders_by_month",
+    "part_string_functions",
+    "pii_redaction_stats",
+    "pivot_priority_by_status",
+    "pq_adc_topk",
+    "pq_code_stats",
+    "price_quantiles_by_flag",
+    "pyds_click_user_stats",
+    "setops_customer_segments",
+    "stream_click_purchase_full_join",
+    "stream_click_purchase_join",
+    "stream_click_purchase_left_join",
+    "stream_hourly_topk_events",
+    "stream_session_stats",
+    "stream_user_totals_stateful",
+    "stream_windowed_event_stats",
+    "top20_lineitems_by_price",
+    "udaf_geomean_by_status",
+    "video_frame_samples",
 ])
+
 
 # Re-export the flagship for __spark_entry__.entry
 from .anagram_q import anagram_groups  # noqa: F401, E402

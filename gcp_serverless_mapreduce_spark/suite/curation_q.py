@@ -140,7 +140,9 @@ def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.ngram_contamination(docs, NGRAM_N, EVAL_MOD)
 
 
-@register("contamination_span_manifest", f"""
+# Shared exact-manifest CTE chain (through merged `spans`) — the oracle
+# of contamination_span_manifest, reused by the BPE-aligned face.
+_SPAN_CTES = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 g AS (
     SELECT doc_id, i.i - 1 AS s, i.i - 1 + {NGRAM_N} AS e,
@@ -169,11 +171,16 @@ gg AS (
            SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
                           ROWS BETWEEN UNBOUNDED PRECEDING
                           AND CURRENT ROW) AS grp
-    FROM f)
-SELECT doc_id, CAST(MIN(s) AS BIGINT) AS range_start,
-       CAST(MAX(e) AS BIGINT) AS range_end,
-       CAST(MAX(e) - MIN(s) AS BIGINT) AS n_tokens
-FROM gg GROUP BY doc_id, grp
+    FROM f),
+spans AS (
+    SELECT doc_id, CAST(MIN(s) AS BIGINT) AS range_start,
+           CAST(MAX(e) AS BIGINT) AS range_end,
+           CAST(MAX(e) - MIN(s) AS BIGINT) AS n_tokens
+    FROM gg GROUP BY doc_id, grp)"""
+
+
+@register("contamination_span_manifest", _SPAN_CTES + """
+SELECT doc_id, range_start, range_end, n_tokens FROM spans
 """)
 def contamination_span_manifest(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
@@ -188,6 +195,48 @@ def contamination_span_manifest(spark: SparkSession,
     operators/curation.contamination_span_manifest."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.contamination_span_manifest(docs, NGRAM_N, EVAL_MOD)
+
+
+from .textstats_q import _bpe_sql as _BPE_SQL  # noqa: E402
+
+
+@register("bpe_aligned_contamination_spans", _SPAN_CTES + f""",
+w AS (
+    SELECT t.doc_id, i.i - 1 AS wi, toks[i.i] AS word
+    FROM t JOIN (SELECT DISTINCT doc_id FROM spans) c USING (doc_id),
+         LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) i),
+pc AS (
+    SELECT doc_id, wi,
+           CAST(len(p) - len(replace(p, '<', '')) AS BIGINT) AS np
+    FROM (SELECT doc_id, wi, {_BPE_SQL('word')} AS p FROM w)),
+off AS (
+    SELECT doc_id, wi,
+           SUM(np) OVER (PARTITION BY doc_id ORDER BY wi) - np AS p_start,
+           SUM(np) OVER (PARTITION BY doc_id ORDER BY wi) AS p_end
+    FROM pc)
+SELECT sp.doc_id, sp.range_start, sp.range_end,
+       CAST(o1.p_start AS BIGINT) AS piece_start,
+       CAST(o2.p_end AS BIGINT) AS piece_end,
+       CAST(o2.p_end - o1.p_start AS BIGINT) AS n_pieces
+FROM spans sp
+JOIN off o1 ON o1.doc_id = sp.doc_id AND o1.wi = sp.range_start
+JOIN off o2 ON o2.doc_id = sp.doc_id AND o2.wi = sp.range_end - 1
+""")
+def bpe_aligned_contamination_spans(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Tokenizer-aware decontamination (round-14 frontier): the span
+    manifest's word ranges re-expressed as BPE PIECE ranges under the
+    corpus merge table — the coordinate system an LLM pipeline actually
+    excises in, since eval decontamination happens on tokenizer pieces,
+    not whitespace words.  Alignment is exact: merges never cross word
+    boundaries (textstats.bpe_pieces wraps only non-space units), so
+    piece offsets are per-doc prefix sums of per-word piece counts, and
+    a word span [ws, we) maps to pieces [offset(ws), offset(we)).  The
+    piece-offset pass runs ONLY over contaminated documents (left-semi
+    prune before the explode) — at 100 TB a sliver of the corpus.  See
+    operators/curation.bpe_aligned_span_manifest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.bpe_aligned_span_manifest(docs, NGRAM_N, EVAL_MOD)
 
 
 DOMAIN_CAP = 10

@@ -1106,7 +1106,10 @@ def regression_price_vs_quantity(spark: SparkSession,
 SNAPSHOT_YEAR = 1998
 
 
-@register("snapshot_diff_customers", f"""
+# Shared by the batch face and the CDC streaming face — the oracle is
+# the period-over-period reconciliation itself; availableNow over the
+# full fixture makes the streamed after-aggregate equal the batch one.
+_SNAPSHOT_DIFF_ORACLE = f"""
 WITH a AS (
     SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_before,
            SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS spend_before
@@ -1125,7 +1128,10 @@ SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
        CAST(COALESCE(spend_after, 0) - COALESCE(spend_before, 0) AS DOUBLE)
            AS spend_delta
 FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
-""")
+"""
+
+
+@register("snapshot_diff_customers", _SNAPSHOT_DIFF_ORACLE)
 def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Period-over-period snapshot reconciliation via FULL OUTER join:
     per-customer order counts and exact-decimal spend for the before/
@@ -1148,6 +1154,58 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
          .agg(F.count("*").alias("n_after"), spend.alias("spend_after")))
     ak, bk = F.col("custkey_a"), F.col("custkey_b")
     return (a.join(b, ak == bk, "full_outer")
+            .select(F.coalesce(ak, bk).alias("custkey"),
+                    F.when(ak.isNull(), F.lit("new"))
+                    .when(bk.isNull(), F.lit("churned"))
+                    .otherwise(F.lit("retained")).alias("status"),
+                    F.coalesce("n_before", F.lit(0)).alias("n_before"),
+                    F.coalesce("n_after", F.lit(0)).alias("n_after"),
+                    (F.coalesce("spend_after", F.lit(0))
+                     - F.coalesce("spend_before", F.lit(0)))
+                    .cast("double").alias("spend_delta")))
+
+
+@register("stream_snapshot_diff_customers", _SNAPSHOT_DIFF_ORACLE)
+def stream_snapshot_diff_customers(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """CDC / snapshot-diff STREAMING face (round-14 frontier; the
+    missing streaming twin of the SCD2 family): the "after" period's
+    orders arrive as a change feed and fold into a per-customer
+    stateful aggregate (count + exact-decimal spend — idempotent set
+    semantics are not needed because the file source is exactly-once;
+    a Kafka deployment would put dropDuplicatesWithinWatermark on
+    o_orderkey in front); the stored "before" snapshot is a batch
+    aggregate (timed as batch_side), and the reconciliation —
+    FULL OUTER join + new/churned/retained classification — runs over
+    the sink on the compactor's cadence, since stream-stream/static
+    full-outer is not a streaming-supported join shape.
+
+    At 100 TB the streaming state is one (custkey, count, decimal) row
+    per ACTIVE customer of the period — bounded by entity cardinality,
+    never order volume — and the batch-side join shuffles snapshot-
+    sized frames on the same custkey both aggregates already hash on.
+    availableNow over the full fixture makes the streamed after-
+    aggregate equal the batch one, so the face is hash-gated by the
+    SAME oracle as snapshot_diff_customers."""
+    from ..streaming import pipeline
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+    with pipeline.timed_batch_side():
+        before = (orders.filter(F.year("o_orderdate") < SNAPSHOT_YEAR)
+                  .groupBy(F.col("o_custkey").alias("custkey_a"))
+                  .agg(F.count("*").alias("n_before"),
+                       spend.alias("spend_before"))
+                  .localCheckpoint())
+    after_stream = (pipeline.stream_orders(spark, sf_dir)
+                    .filter(F.year("o_orderdate") >= SNAPSHOT_YEAR)
+                    .groupBy(F.col("o_custkey").alias("custkey_b"))
+                    .agg(F.count("*").alias("n_after"),
+                         spend.alias("spend_after")))
+    after = pipeline.run_available_now(
+        after_stream, "stream_snapshot_diff_sink", mode="complete")
+    ak, bk = F.col("custkey_a"), F.col("custkey_b")
+    return (before.join(after, ak == bk, "full_outer")
             .select(F.coalesce(ak, bk).alias("custkey"),
                     F.when(ak.isNull(), F.lit("new"))
                     .when(bk.isNull(), F.lit("churned"))

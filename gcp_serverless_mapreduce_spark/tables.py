@@ -76,7 +76,16 @@ def table_row_count(sf_dir: str, name: str) -> int:
     catalog/metastore statistics a real deployment maintains; either
     way the value equals ``spark.read.parquet(path).count()`` exactly
     (unfiltered row counts are footer-exact — NULLs and deletes don't
-    exist in these immutable fixture files)."""
+    exist in these immutable fixture files).
+
+    For a STREAMING-SINK table (a ``_spark_metadata`` dir at the root)
+    Spark's scan reads only files committed in that log, so a plain
+    directory walk would overcount orphan part files left by crashed
+    micro-batches (ADVICE r13).  In that case the committed file list
+    is read from the sink log itself (latest ``.compact`` snapshot +
+    later delta batches, ``add`` minus ``delete`` actions); if the log
+    can't be parsed the walk is used and may overcount — matching a
+    non-streaming reader, not Spark's _spark_metadata-aware scan."""
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -87,19 +96,73 @@ def table_row_count(sf_dir: str, name: str) -> int:
     # table directory would turn the metadata read into a hard error
     # (ADVICE r11) — Spark's own scan tolerates those, and so must this.
     if os.path.isdir(path):
-        frags = []
-        for dp, dns, fns in os.walk(path):
-            # prune hidden/metadata dirs (_spark_metadata, .hive-staging):
-            # Spark's scan never reads those, so neither may this count
-            # (ADVICE r12)
-            dns[:] = [d for d in dns if not d.startswith((".", "_"))]
-            frags.extend(
-                os.path.join(dp, fn) for fn in fns
-                if fn.endswith(".parquet") and not fn.startswith((".", "_")))
-        frags.sort()
+        frags = _sink_log_files(os.path.join(path, "_spark_metadata"))
+        if frags is None:
+            frags = []
+            for dp, dns, fns in os.walk(path):
+                # prune hidden/metadata dirs (_spark_metadata,
+                # .hive-staging): Spark's scan never reads those, so
+                # neither may this count (ADVICE r12)
+                dns[:] = [d for d in dns if not d.startswith((".", "_"))]
+                frags.extend(
+                    os.path.join(dp, fn) for fn in fns
+                    if fn.endswith(".parquet")
+                    and not fn.startswith((".", "_")))
+            frags.sort()
     else:
         frags = [path]
     return sum(pq.ParquetFile(f).metadata.num_rows for f in frags)
+
+
+def _sink_log_files(meta_dir: str) -> list[str] | None:
+    """Committed data files per a FileStreamSink ``_spark_metadata`` log,
+    or None when there is no log (plain batch table) or it can't be
+    parsed (caller falls back to the directory walk).
+
+    Log layout (public Spark FileStreamSinkLog format): one file per
+    micro-batch named by batch id, periodically squashed into
+    ``<id>.compact`` snapshots; each is a ``v1`` header line followed by
+    JSON entries ``{"path": ..., "action": "add"|"delete", ...}``.  The
+    committed set = entries of the LATEST compact snapshot plus every
+    later delta batch, adds minus deletes — exactly what Spark's
+    MetadataLogFileIndex feeds the scan."""
+    import json
+
+    if not os.path.isdir(meta_dir):
+        return None
+    try:
+        names = [n for n in os.listdir(meta_dir) if not n.startswith(".")]
+        batches = {}
+        for n in names:
+            stem = n[:-len(".compact")] if n.endswith(".compact") else n
+            if stem.isdigit():
+                # a compact file supersedes the same-id delta
+                if int(stem) not in batches or n.endswith(".compact"):
+                    batches[int(stem)] = n
+        if not batches:
+            return None
+        compacts = [b for b, n in batches.items() if n.endswith(".compact")]
+        start = max(compacts) if compacts else min(batches)
+        committed: set[str] = set()
+        for b in sorted(b for b in batches if b >= start):
+            with open(os.path.join(meta_dir, batches[b])) as fh:
+                header = fh.readline().strip()
+                if header != "v1":
+                    return None
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    entry = json.loads(line)
+                    # paths are URIs (file:/...) or plain; normalize
+                    p = entry["path"]
+                    p = p[len("file:"):] if p.startswith("file:") else p
+                    if entry.get("action", "add") == "delete":
+                        committed.discard(p)
+                    else:
+                        committed.add(p)
+        return sorted(committed)
+    except (OSError, ValueError, KeyError):
+        return None
 
 
 def old_batch_row_count(sf_dir: str, name: str, inc_mod: int) -> int:

@@ -326,3 +326,53 @@ def test_inline_bloom_spans_equals_window_derivation(spark):
     assert not re.search(r"\bExchange ", plan), plan
     assert "Window" not in plan and "Join" not in plan, plan
     assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
+
+
+def test_inline_bloom_spans_dense_contamination_stress(spark):
+    # Round-13 watch-item 3: a 100 TB stream WILL contain fully-quoted
+    # eval documents (hits ~= tokens).  The r13 fold's accumulator
+    # concat made that row O(hits^2); the span-break-flag derivation is
+    # O(hits).  Gate: a book-length wall-to-wall contaminated doc (20k
+    # tokens, every position a hit -> one merged span) stays within ~2x
+    # of the batch window face on the SAME row, and both produce the
+    # identical single full-cover span.
+    import time
+
+    from gcp_serverless_mapreduce_spark.operators.sketches import (
+        bloom_bitmap, bloom_build)
+
+    n, n_tok = 3, 20_000
+    vocab = [f"w{i}" for i in range(97)]  # co-prime stride: all grams distinct-ish
+    words = [vocab[(i * 31) % 97] for i in range(n_tok)]
+    eval_doc = Row(doc_id=0, text=" ".join(words))      # 0 % 41 == 0: eval
+    train_doc = Row(doc_id=1, text=" ".join(words))     # verbatim quote
+    docs = spark.createDataFrame([eval_doc, train_doc])
+
+    bitmap = bloom_bitmap(bloom_build(
+        curation.word_ngrams(docs.filter(F.col("doc_id") % 41 == 0), n)
+        .select("gram").distinct(), key_col="gram"))
+
+    def timed(df):
+        t0 = time.perf_counter()
+        rows = df.collect()
+        return rows, time.perf_counter() - t0
+
+    inline = (docs.filter(F.col("doc_id") % 41 != 0)
+              .select("doc_id",
+                      curation.inline_bloom_spans(bitmap, n).alias("sp"))
+              .select("doc_id", F.explode("sp").alias("r"))
+              .select("doc_id", F.col("r.s").alias("range_start"),
+                      F.col("r.e").alias("range_end")))
+    got_inline, t_inline = timed(inline)
+    got_batch, t_batch = timed(
+        curation.bloom_span_manifest(docs, n)
+        .select("doc_id", "range_start", "range_end"))
+
+    # every position hits -> exactly one merged span covering the doc
+    assert [tuple(r) for r in got_inline] == [(1, 0, n_tok)]
+    assert [tuple(r) for r in got_batch] == [(1, 0, n_tok)]
+    # O(hits) fold: within ~2x of the window face on the dense row (and
+    # an absolute ceiling so an O(hits^2) regression fails loudly even
+    # if the batch face also degrades)
+    assert t_inline < 2.0 * t_batch + 1.0, (t_inline, t_batch)
+    assert t_inline < 30.0, t_inline

@@ -406,3 +406,38 @@ def test_lsh_cap_recall_floor_on_zipf_skew_corpus(spark):
     recall = sum(1 for p in planted if p in capped) / len(planted)
     assert recall >= 0.9, \
         f"capped LSH recall {recall:.2f} on planted near-dups < 0.9"
+
+
+def test_dup_clusters_rounds_exact_on_path_graph(spark):
+    # The doubling worst case (round-13 verdict task 6): on a path graph
+    # (diameter n-1) the fixpoint converges in EXACTLY ceil(log2 n)
+    # rounds — the measured count CC_STATS records, which the
+    # dup_clusters_diagnostics suite query then emits as a one-row
+    # telemetry frame.
+    import math
+
+    for n in (64, 256):
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"])
+        got = dedup.dup_clusters(pairs)
+        assert got.filter(F.col("cluster_id") != 0).count() == 0
+        st = dedup.CC_STATS
+        assert st["rounds"] == math.ceil(math.log2(n)), (n, st)
+        assert st["cap"] == math.ceil(math.log2(n)) + 8
+        assert st["converged"] and st["n_nodes"] == n
+
+
+def test_dup_clusters_diagnostics_query_emits_cc_stats(spark):
+    # The suite face: one row, long-typed, consistent with the module
+    # diagnostic the run just recorded.
+    from gcp_serverless_mapreduce_spark.suite.dedup_q import (
+        dup_clusters_diagnostics)
+
+    row = dup_clusters_diagnostics(spark, "/root/testdata/sf0.001").collect()
+    assert len(row) == 1
+    r = row[0]
+    st = dedup.CC_STATS
+    assert r["n_nodes"] == st["n_nodes"] > 0
+    assert r["cap"] == st["cap"]
+    assert r["rounds_within_cap"] == 1 and r["converged"] == 1
+    assert st["rounds"] <= st["cap"]

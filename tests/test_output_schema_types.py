@@ -68,3 +68,30 @@ def test_table_row_count_prunes_hidden_dirs(spark, tmp_path):
             fh.write("not parquet")
     assert table_row_count(str(tmp_path), "t") == 10
     assert spark.read.parquet(str(tdir)).count() == 10
+
+
+def test_table_row_count_streaming_sink_reads_commit_log(spark, tmp_path):
+    # A FileStreamSink table: Spark's scan reads only files committed in
+    # _spark_metadata, so the footer count must follow the log and skip
+    # orphan part files from crashed micro-batches (ADVICE r13).
+    import shutil
+
+    from gcp_serverless_mapreduce_spark.tables import table_row_count
+
+    tdir = tmp_path / "t.parquet"
+    src = tmp_path / "src"
+    (spark.range(10).coalesce(1).write.json(str(src)))
+    stream = spark.readStream.schema("id long").json(str(src))
+    q = (stream.writeStream.format("parquet")
+         .option("path", str(tdir))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # orphan part file a crashed batch would leave behind: real parquet,
+    # absent from the commit log
+    committed = [p for p in tdir.iterdir()
+                 if p.name.endswith(".parquet") and not p.name.startswith("_")]
+    orphan = tdir / "part-orphan-uncommitted.c000.snappy.parquet"
+    shutil.copyfile(committed[0], orphan)
+    assert spark.read.parquet(str(tdir)).count() == 10  # log-aware scan
+    assert table_row_count(str(tmp_path), "t") == 10
