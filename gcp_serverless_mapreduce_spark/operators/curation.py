@@ -437,21 +437,31 @@ def bpe_aligned_span_manifest(docs: DataFrame, n: int = 3,
                 ).cast("long")
     win = Window.partitionBy(id_col).orderBy("wi")
     off = (w.withColumn("np", n_pieces)
-           .select(id_col, "wi",
+           .select(id_col, F.col("wi").cast("long").alias("wi"),
                    (F.sum("np").over(win) - F.col("np")).alias("p_start"),
                    F.sum("np").over(win).alias("p_end")))
-    s1 = off.select(id_col, F.col("wi").cast("long").alias("range_start"),
-                    "p_start")
-    s2 = off.select(id_col,
-                    (F.col("wi") + 1).cast("long").alias("range_end"),
-                    "p_end")
-    return (spans.join(s1, [id_col, "range_start"])
-            .join(s2, [id_col, "range_end"])
+    # ONE pass over the offset frame: a naive pair of equi-joins (one on
+    # range_start, one on range_end - 1) makes Spark re-derive `off`
+    # twice — two scans, two BPE replace chains, two windows (seen in
+    # the plan audit).  Instead each span contributes its two boundary
+    # word indices as broadcast-side keys; off streams through a single
+    # broadcast join and a spans-keyed aggregate pivots the two matched
+    # offsets back onto one row.  Both join and aggregate are bounded by
+    # contamination volume.
+    keys = spans.select(
+        id_col, "range_start", "range_end",
+        F.explode(F.array("range_start", F.col("range_end") - 1))
+        .alias("wi"))
+    hit = off.join(F.broadcast(keys), [id_col, "wi"])
+    return (hit.groupBy(id_col, "range_start", "range_end")
+            .agg(F.min(F.when(F.col("wi") == F.col("range_start"),
+                              F.col("p_start"))).alias("piece_start"),
+                 F.max(F.when(F.col("wi") == F.col("range_end") - 1,
+                              F.col("p_end"))).alias("piece_end"))
             .select(id_col, "range_start", "range_end",
-                    F.col("p_start").alias("piece_start"),
-                    F.col("p_end").alias("piece_end"),
-                    (F.col("p_end") - F.col("p_start")).cast("long")
-                    .alias("n_pieces")))
+                    "piece_start", "piece_end",
+                    (F.col("piece_end") - F.col("piece_start"))
+                    .cast("long").alias("n_pieces")))
 
 
 def cap_per_source(docs: DataFrame, cap: int,

@@ -53,7 +53,21 @@ ROUND13 = [
     "anagram_groups", "corpus_prep_pipeline", "dup_clusters",
     "contamination_span_manifest",
 ]
-QUERIES = SCALE_SENSITIVE + ANN_DEDUP + ROUND13
+# Round-14 additions (verdict task 5): the rest of the span family —
+# the bloom-probed batch face and the stateless streaming face (both
+# absent from the r13 table), plus the new tokenizer-aligned face.
+# Hit-density note for readers: all three scale with CONTAMINATION
+# volume past the scan (the probe is map-only; only bloom/eval hits
+# reach the merge), and the fixture's eval split is a fixed 1/41 of
+# doc ids, so hits grow ~linearly with corpus size here.  A corpus
+# with denser contamination raises the merge's share proportionally —
+# the in-row face stays O(hits per doc) after the r14 flag-fold
+# rewrite (dense stress row in tests/test_curation_pq.py).
+ROUND14 = [
+    "bloom_span_manifest", "stream_contamination_spans",
+    "bpe_aligned_contamination_spans",
+]
+QUERIES = SCALE_SENSITIVE + ANN_DEDUP + ROUND13 + ROUND14
 
 
 def time_queries(spark, qs, sf_dir: str) -> dict:
