@@ -376,3 +376,20 @@ def test_inline_bloom_spans_dense_contamination_stress(spark):
     # if the batch face also degrades)
     assert t_inline < 2.0 * t_batch + 1.0, (t_inline, t_batch)
     assert t_inline < 30.0, t_inline
+
+
+def test_bpe_aligned_spans_single_offset_derivation(spark):
+    # The piece-offset frame must be derived ONCE: the naive boundary
+    # pair of equi-joins re-derived it per join (two scans, two BPE
+    # replace chains, two cumulative windows — caught in the r14 plan
+    # audit).  Pin the plan: exactly 3 Window ops total (the manifest's
+    # two merge windows + ONE offset cumsum), and the offset side joins
+    # broadcast (contamination-bounded keys), never shuffled-merge.
+    from gcp_serverless_mapreduce_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    df = curation.bpe_aligned_span_manifest(docs)
+    assert df.count() > 0  # fixture produces contaminated spans
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window [") == 3, plan.count("Window [")
+    assert "SortMergeJoin" not in plan, "offset join must broadcast"

@@ -215,6 +215,33 @@ def main() -> int:
         "(`srp_ann_topk`, `pq_trained_adc_topk`, `ivf_pq_topk`) scale "
         "linearly, which is the claim that matters.  Rows whose `rows "
         "sf1` column grows >10× are output-bound, not work-bound.",
+        "",
+        "Span-family note (r14): `bloom_span_manifest`, "
+        "`stream_contamination_spans` and "
+        "`bpe_aligned_contamination_spans` scale with CONTAMINATION "
+        "volume past the scan — the probe is map-only and only "
+        "bloom/eval hits reach the merge (or, for the BPE face, only "
+        "contaminated docs reach the piece-offset pass).  The fixture's "
+        "eval split is a fixed 1/41 of doc ids, so hits grow ~linearly "
+        "here; denser contamination raises the merge's share "
+        "proportionally, and the in-row streaming face stays O(hits "
+        "per doc) after the r14 flag-fold rewrite (dense stress row in "
+        "tests/test_curation_pq.py).",
+        "",
+        "## bloom_semijoin_reduction standalone low-load rerun "
+        "(r13 watch-item 2)",
+        "",
+        "The r13 bench read 6.19 s (vs r12's 4.32 s) on an unchanged "
+        "plan; the stamped loadavg_before of 5.77 pointed at box load. "
+        "Verified standalone at r14 HEAD (2026-08-16), sf0.1, one warm "
+        "JVM, three back-to-back runs at loadavg(1m) ≈ 0.5: "
+        "**[7.72 cold, 1.72, 1.54] → warm min 1.54 s**.  Conclusions: "
+        "the r13 number was load (the query never regressed), and the "
+        "r14 bitmap-literal change (sketches.bloom_hit_expr: a true "
+        "array<bigint> literal instead of CreateArray with 1024 "
+        "literal children — TUNING.md \"Higher-order-function "
+        "expression costs\") makes the probe ~2.8× faster than even "
+        "r12's loaded 4.32 s.",
     ]
     lines.extend(corpus_guard_ab(spark))
     lines.append("")
