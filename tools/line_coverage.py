@@ -196,6 +196,29 @@ def run_traced(sf_dir: str) -> None:
                                    "junk.parquet"), "w") as fh:
                 fh.write("not parquet")
             assert table_row_count(scratch, "t") == 10
+            # STREAMING-SINK table: the count must follow the
+            # _spark_metadata commit log and skip orphan part files from
+            # crashed micro-batches (ADVICE r13) — the sink-log reader
+            # is runtime surface no parquet-fixture query reaches, so
+            # the gate drives it here (same shape as
+            # tests/test_output_schema_types.py's pytest twin)
+            src = os.path.join(scratch, "s_src")
+            spark.range(10).coalesce(1).write.json(src)
+            sdir = os.path.join(scratch, "s.parquet")
+            q = (spark.readStream.schema("id long").json(src)
+                 .writeStream.format("parquet")
+                 .option("path", sdir)
+                 .option("checkpointLocation",
+                         os.path.join(scratch, "s_ckpt"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            committed = [n for n in os.listdir(sdir)
+                         if n.endswith(".parquet")
+                         and not n.startswith("_")]
+            shutil.copyfile(
+                os.path.join(sdir, committed[0]),
+                os.path.join(sdir, "part-orphan.c000.snappy.parquet"))
+            assert table_row_count(scratch, "s") == 10
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
     finally:
