@@ -50,10 +50,67 @@ def srp_planes(num_planes: int, dim: int) -> list[list[int]]:
     ]
 
 
+def _unit_udf():
+    """Arrow-batched unit-vector kernel with the ORACLE's IEEE-754 op
+    sequence: |v|^2 accumulates dimension by dimension, left-to-right,
+    seeded 0.0 (one vectorized add per dim — same bit-parity technique
+    as :func:`_probe_cells_udf`), then sqrt and one elementwise divide.
+
+    Replaces the pure-expression ``transform(v, x -> x / l2_norm(v))``
+    rendering: Spark's higher-order functions are CodegenFallback —
+    every lambda step is an interpreted expression walk — and the
+    normalize measured ~2.4 s per pass over the sf0.1 embeddings
+    (2000×64!) as a single-task stage, the dominant cost of the whole
+    similarity family.  The numpy kernel is the same arithmetic at
+    Arrow-batch speed (guide §4.2).  Semantics preserved exactly:
+    NULL in → NULL out, zero norm → NULL (the ``when(nrm != 0)``
+    rule); mixed-length batches are grouped by length so each group
+    vectorizes (a vector always matches its own length — no ragged
+    zip_with edge cases here)."""
+    import numpy as np
+
+    @pandas_udf("array<double>")
+    def unit(arrs: pd.Series) -> pd.Series:
+        n = len(arrs)
+        out: list = [None] * n
+        if not n:
+            return pd.Series(out, dtype=object)
+        lens: dict[int, list[int]] = {}
+        vals = arrs.to_numpy()
+        for i, v in enumerate(vals):
+            if v is not None:
+                lens.setdefault(len(v), []).append(i)
+        for ln, idxs in lens.items():
+            if ln == 0:
+                continue                      # |v| = 0 → NULL
+            m = np.vstack([vals[i] for i in idxs]).astype(np.float64)
+            acc = np.zeros(len(idxs))
+            for d in range(ln):               # fold order = oracle
+                acc += m[:, d] * m[:, d]
+            nrm = np.sqrt(acc)
+            u = m / nrm[:, None]
+            for r, i in enumerate(idxs):
+                if nrm[r] != 0:
+                    out[i] = u[r]
+        return pd.Series(out, dtype=object)
+
+    return unit
+
+
 def unit_vectors(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Normalize once, before any pair join — the pair join then computes
     ONE fold (the dot product) instead of three (dot + two norms).
-    Zero vectors normalize to NULL and drop out of similarity joins."""
+    Zero vectors normalize to NULL and drop out of similarity joins.
+    Runs as an Arrow-batched kernel with the oracle's exact fold order
+    (see :func:`_unit_udf`); :func:`unit_vectors_expr` keeps the
+    pure-expression reference rendering."""
+    return emb.withColumn("unit", _unit_udf()(F.col(vec_col)))
+
+
+def unit_vectors_expr(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Pure-expression REFERENCE twin of :func:`unit_vectors` (higher-
+    order functions only — interpreted, CodegenFallback); kept for the
+    bit-equality test that pins the kernel's fold order."""
     nrm = l2_norm(F.col(vec_col))
     unit = F.when(nrm != 0, F.transform(
         F.col(vec_col).cast("array<double>"), lambda x: x / nrm))
@@ -66,7 +123,47 @@ def srp_signature(vec_col: Column, planes: list[list[int]]) -> Column:
     Feed the RAW vector, not the unit vector: sign(v·h) is scale-invariant,
     and a unit-vector input would drag the norm fold into all |planes| dot
     expressions when CollapseProject inlines it (measured 2× on bucketing).
-    """
+
+    Arrow-batched kernel with the oracle's fold order (v·h accumulates
+    dimension by dimension, left-to-right, seeded 0.0 — each plane's
+    fold is the exact IEEE-754 op sequence of the expression twin
+    :func:`srp_signature_expr`, which the pure-HOF rendering evaluated
+    INTERPRETED at ~8 64-dim expression-walk folds per row)."""
+    import numpy as np
+
+    dim = len(planes[0])
+    n_planes = len(planes)
+    pl = np.asarray(planes, dtype=np.float64)        # n_planes × dim
+    zero_sig = "0" * n_planes
+
+    @pandas_udf("string")
+    def sig(arrs: pd.Series) -> pd.Series:
+        n = len(arrs)
+        out: list = [zero_sig] * n
+        if not n:
+            return pd.Series(out, dtype=object)
+        vals = arrs.to_numpy()
+        ok = [i for i, v in enumerate(vals)
+              if v is not None and len(v) == dim]
+        # any other length reproduces the expression twin exactly: a
+        # NULL vector or a zip_with length mismatch nulls the dot, and
+        # ``when(NULL >= 0, '1').otherwise('0')`` emits '0' per plane
+        if ok:
+            m = np.vstack([vals[i] for i in ok]).astype(np.float64)
+            acc = np.zeros((len(ok), n_planes))
+            for d in range(dim):                     # fold order = oracle
+                acc += m[:, d:d + 1] * pl[None, :, d]
+            bits = np.where(acc >= 0, "1", "0")
+            for r, i in enumerate(ok):
+                out[i] = "".join(bits[r])
+        return pd.Series(out, dtype=object)
+
+    return sig(vec_col)
+
+
+def srp_signature_expr(vec_col: Column, planes: list[list[int]]) -> Column:
+    """Pure-expression REFERENCE twin of :func:`srp_signature` (kept for
+    the bit-equality test that pins the kernel's fold order)."""
     bits = [
         F.when(dot(vec_col, F.array(*[F.lit(s) for s in plane])) >= 0,
                F.lit("1")).otherwise(F.lit("0"))
@@ -1163,6 +1260,23 @@ def pq_adc_table(unit_col: Column,
                      for m, book in enumerate(codebooks) for c in book])
 
 
+def _adc_sum(n_sub: int, n_codes: int,
+             qtab: str = "qtab", codes: str = "codes") -> Column:
+    """The per-pair ADC distance ``sum_m qtab[m*n_codes + codes[m]]`` as a
+    CHAINED add expression — the exact op sequence of the previous
+    ``F.aggregate(F.sequence(0, n_sub-1), 0.0, ...)`` fold (seeded 0.0,
+    left-to-right), but in plain codegen-able expressions: higher-order
+    functions are CodegenFallback, so the fold ran INTERPRETED once per
+    candidate pair — the per-pair hot loop of both ADC scans."""
+    acc: Column = F.lit(0.0)
+    for m in range(n_sub):
+        acc = acc + F.element_at(
+            F.col(qtab),
+            (m * n_codes + F.element_at(F.col(codes), m + 1) + 1)
+            .cast("int"))
+    return acc
+
+
 def pq_adc_topk(emb: DataFrame, k: int, codebooks: list[list[list[float]]],
                 num_queries: int, id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
@@ -1208,14 +1322,7 @@ def pq_adc_topk(emb: DataFrame, k: int, codebooks: list[list[list[float]]],
                .select(F.col(id_col).alias("query_id"),
                        pq_adc_table_udf(codebooks)(F.col("unit"))
                        .alias("qtab")))
-    adist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(n_sub - 1)),
-        F.lit(0.0),
-        lambda acc, m: acc + F.element_at(
-            F.col("qtab"),
-            (m * n_codes + F.element_at(F.col("codes"), m + 1) + 1)
-            .cast("int")),
-    )
+    adist = _adc_sum(n_sub, n_codes)
     pairs = (
         F.broadcast(queries).crossJoin(corpus)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1490,14 +1597,7 @@ def ivf_pq_topk(emb: DataFrame, k: int, centers: list[list[float]],
                        F.explode("cells").alias("cell"),
                        pq_adc_table_udf(codebooks)(F.col("unit"))
                        .alias("qtab")))
-    adist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(n_sub - 1)),
-        F.lit(0.0),
-        lambda acc, m: acc + F.element_at(
-            F.col("qtab"),
-            (m * n_codes + F.element_at(F.col("codes"), m + 1) + 1)
-            .cast("int")),
-    )
+    adist = _adc_sum(n_sub, n_codes)
     cand = (F.broadcast(queries).join(corpus, "cell")
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id", adist.alias("adist")))

@@ -75,6 +75,23 @@ def get_spark(app_name: str = "gcp-serverless-mapreduce-spark",
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # Broadcast threshold: dims (region/nation/supplier) always fit.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Compiled-class cache for whole-stage/expression codegen.  The
+        # default 100 entries thrashes under a many-query workload (this
+        # suite compiles thousands of distinct plans per run), so warm
+        # re-executions re-pay Janino compilation; sized so that a full
+        # suite pass stays resident.  Scale-neutral: this is a JVM
+        # compile cache (driver + executors), not data memory.
+        .config("spark.sql.codegen.cache.maxEntries",
+                os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
+        # AQE coalescing floor.  With parallelismFirst (default on) the
+        # coalesce target is max(shuffleBytes/parallelism, THIS); the
+        # 1 MB default collapses any sub-32 MB shuffle to a handful of
+        # partitions, serializing CPU-bound Arrow/pandas kernel stages
+        # whose cost AQE's byte model cannot see.  64k only changes the
+        # tiny-shuffle regime — at real volumes shuffleBytes/parallelism
+        # dominates the max(), so production coalescing is unaffected.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_MIN_COALESCED_PARTITION", "256k"))
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
