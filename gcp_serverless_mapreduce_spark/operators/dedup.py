@@ -88,9 +88,18 @@ def shingle_array(k: int = 3, text_col: str = "text", arrow: bool = True):
 def word_shingles(docs: DataFrame, k: int = 3,
                   doc_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
-    """-> (doc, shingle) rows, distinct per doc (exploded shingle_array)."""
-    return docs.select(F.col(doc_col).alias("doc"),
-                       F.explode(shingle_array(k, text_col)).alias("shingle"))
+    """-> (doc, shingle) rows, distinct per doc (exploded shingle_array).
+
+    The scan is spread first (guarded, tables.spread_small_scan): the
+    shingle kernel + explode is the CPU-heavy stage of every consumer
+    (minhash/jaccard/containment/novelty) and must not serialize on an
+    under-parallelized single-row-group scan.  All downstream folds are
+    exact (string grams, md5 mins, counts), so the spread cannot perturb
+    results."""
+    from ..tables import spread_small_scan
+    return (spread_small_scan(docs)
+            .select(F.col(doc_col).alias("doc"),
+                    F.explode(shingle_array(k, text_col)).alias("shingle")))
 
 
 def _toks_sql(text_col: str) -> str:
@@ -487,9 +496,13 @@ def simhash_bits(docs: DataFrame, n_bits: int, doc_col: str = "doc_id",
         raise ValueError(f"n_bits must be in [1, 60], got {n_bits}")
     uniq = F.array_distinct(
         F.filter(tokens_col(text_col), lambda t: t != ""))
+    # Spread before the tokenize+md5 explode (integer bit sums are
+    # partitioning-independent) — see word_shingles.
+    from ..tables import spread_small_scan
     toks = (
-        docs.select(F.col(doc_col).alias("doc"),
-                    F.explode(uniq).alias("tok"))
+        spread_small_scan(docs)
+        .select(F.col(doc_col).alias("doc"),
+                F.explode(uniq).alias("tok"))
         .withColumn("m", F.md5("tok"))
     )
     bit_sums = [
@@ -841,7 +854,11 @@ def max_shared_span(docs: DataFrame, ns: tuple[int, ...] = SPAN_NS,
     """
     from pyspark.sql import Window
 
-    toked = (docs
+    from ..tables import spread_small_scan
+
+    # Spread before the tokenize + per-ladder gram transforms (the
+    # CPU-heavy interpreted stage); grams/spans are exact strings/ints.
+    toked = (spread_small_scan(docs)
              .select(F.col(doc_col).alias("doc"),
                      tokens_col(text_col).alias("toks"))
              .filter(F.size("toks") >= min(ns)))
@@ -908,8 +925,10 @@ def max_shared_span_exact(docs: DataFrame, ns: tuple[int, ...] = SPAN_NS,
     cap-bounded while the corpus-side joins stay key-partitioned.
     """
     cand = max_shared_span(docs, ns, df_max, doc_col, text_col)
-    toked = docs.select(F.col(doc_col).alias("doc"),
-                        tokens_col(text_col).alias("toks"))
+    from ..tables import spread_small_scan
+    toked = (spread_small_scan(docs)
+             .select(F.col(doc_col).alias("doc"),
+                     tokens_col(text_col).alias("toks")))
 
     @pandas_udf("long")
     def exact_span(ta: pd.Series, tb: pd.Series,
@@ -1078,8 +1097,10 @@ def substring_discard_manifest(docs: DataFrame, min_len: int = 8,
     from pyspark.sql import Window
 
     cand = max_shared_span(docs, ns, df_max, doc_col, text_col)
-    toked = docs.select(F.col(doc_col).alias("doc"),
-                        tokens_col(text_col).alias("toks"))
+    from ..tables import spread_small_scan
+    toked = (spread_small_scan(docs)
+             .select(F.col(doc_col).alias("doc"),
+                     tokens_col(text_col).alias("toks")))
 
     @pandas_udf("array<struct<s:long,e:long>>")
     def drop_ranges(ta: pd.Series, tb: pd.Series) -> pd.Series:

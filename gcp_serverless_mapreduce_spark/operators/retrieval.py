@@ -39,8 +39,12 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
     score(D) = sum_t  IDF(t) * tf * (k1+1) / (tf + k1*(1 - b + b*|D|/avgdl))
     IDF(t)   = ln( (N - df + 0.5) / (df + 0.5) + 1 )        (Lucene form)
     """
-    toks = docs.select(F.col(doc_col).alias("doc"),
-                       tokens_col(text_col).alias("t"))
+    from ..tables import spread_small_scan
+    # Guarded spread before the tokenize (single-row-group scans would
+    # otherwise serialize it on one core); see tables.spread_small_scan.
+    toks = (spread_small_scan(docs)
+            .select(F.col(doc_col).alias("doc"),
+                    tokens_col(text_col).alias("t")))
     lens = toks.select("doc", F.size("t").alias("dl"))
     # one broadcast-scalar frame: corpus size and average doc length
     stats = lens.agg(F.count("*").alias("n_docs"),

@@ -7,6 +7,7 @@ to 6dp for formatting safety; the fingerprint fold is pure bigint math.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -438,6 +439,36 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("score", 6).alias("tfidf"), "rank"))
 
 
+def _repetition_stats_kernel():
+    """Arrow kernel emitting the EXACT integer repetition stats per doc:
+    (n_tokens, n_distinct, top_bg = most-frequent-bigram count, n_bg).
+    Tokenization is ``strip().lower().split()`` — identical to
+    textstats.tokens on ASCII input (same whitespace class, same case
+    fold); pinned vs the old HOF pipeline in tests/test_r15_batch2.py."""
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("n_tokens long, n_distinct long, top_bg long, n_bg long")
+    def rep_stats(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            toks = (t or "").strip().lower().split()
+            n = len(toks)
+            if n >= 2:
+                bigrams = [toks[i] + " " + toks[i + 1]
+                           for i in range(n - 1)]
+                top = max(Counter(bigrams).values())
+            else:
+                bigrams, top = [], 0
+            rows.append((n, len(set(toks)), top, len(bigrams)))
+        return pd.DataFrame(rows,
+                            columns=["n_tokens", "n_distinct",
+                                     "top_bg", "n_bg"])
+
+    return rep_stats
+
+
 @register("repetition_quality_filter", _T_CTE + """,
 bg AS (
     SELECT doc_id, toks,
@@ -466,22 +497,25 @@ def repetition_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows would move this into an Arrow pandas stage, per the measured
     HOF-vs-pandas crossover in operators/dedup.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    d = (docs.withColumn("toks", textstats.tokens(F.col("text")))
-         .filter(F.size("toks") >= 2))
-    n = F.size("toks")
-    toks = F.col("toks")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
-                           F.element_at(toks, i + 1)))
-    d = d.withColumn("bigrams", bigrams)
-    bgs = F.col("bigrams")
-    top_bg = F.array_max(F.transform(
-        F.array_distinct(bgs),
-        lambda b: F.size(F.filter(bgs, lambda x: x == b))))
+    # Counting stage as an Arrow kernel (r15): the per-doc most-frequent-
+    # bigram count was an O(distinct x n) INTERPRETED nested HOF walk —
+    # a measured 1.6 s single-task stage at sf0.1 (the docstring's own
+    # 100 TB crossover note, now applied).  The kernel emits only EXACT
+    # integer stats (token/distinct/bigram counts); every double
+    # (fractions, round, keep) is still computed by the same JVM
+    # expressions as before from those integers, so results are
+    # bit-identical.  Tokenization matches textstats.tokens on the ASCII
+    # fixtures exactly as operators/dedup.shingle_array does.
+    from ..tables import spread_small_scan
+
+    d = (spread_small_scan(docs)
+         .select("doc_id",
+                 _repetition_stats_kernel()(F.col("text")).alias("st"))
+         .filter(F.col("st.n_tokens") >= 2))
+    n = F.col("st.n_tokens")
     dup_frac = (F.lit(1.0)
-                - F.size(F.array_distinct(toks)).cast("double") / n)
-    top_frac = top_bg.cast("double") / F.size(bgs)
+                - F.col("st.n_distinct").cast("double") / n)
+    top_frac = F.col("st.top_bg").cast("double") / F.col("st.n_bg")
     return d.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
@@ -578,8 +612,11 @@ def bigram_coherence_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     two shuffle joins back on (w1, w2) / (w1) — all key-partitioned, no
     broadcast of the (vocabulary-sized) LM, no driver collect.
     """
+    from ..tables import spread_small_scan
+
     docs = load_table(spark, sf_dir, "documents")
-    d = (docs.withColumn("toks", textstats.tokens(F.col("text")))
+    d = (spread_small_scan(docs)
+         .withColumn("toks", textstats.tokens(F.col("text")))
          .filter(F.size("toks") >= 2))
     bg = d.select(
         "doc_id",
@@ -588,10 +625,18 @@ def bigram_coherence_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))")).alias("b")
     ).select("doc_id", "b.w1", "b.w2")
     bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    uc = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    # Prefix counts DERIVED from the bigram counts (r15): c(w1·) =
+    # sum of c(w1, w2) over w2 — an exact integer identity — so the
+    # unigram LM aggregates |distinct bigrams| rows instead of
+    # re-exploding the corpus, and the bigram stream is generated once:
+    # bc's (w1, w2) exchange is reused by the instance join below
+    # (ReusedExchange in the plan), where the old shape scanned and
+    # exploded the corpus three times.
+    uc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    lm = bc.join(uc, ["w1"])
     q = F.round((F.col("c2").cast("double") / F.col("c1")) * 1e9) \
         .cast("long")
-    s = (bg.join(bc, ["w1", "w2"]).join(uc, ["w1"])
+    s = (bg.join(lm, ["w1", "w2"])
          .select("doc_id", q.alias("q")))
     return (s.groupBy("doc_id")
             .agg(F.count("*").alias("n_bigrams"),

@@ -28,6 +28,32 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """GUARDED round-robin spread of an under-parallelized scan — the
+    parquet twin of the corpus reader's X1 spread (sources/text.py).
+
+    The fixture tables are single-row-group parquet files, so every scan
+    is ONE task and any CPU-heavy per-row stage planned into it
+    (tokenize + gram generation, Arrow kernels) serializes on one core
+    (measured: 1.5-2.3 s single-task stages dominating the warm times of
+    the whole doc-dedup family at sf0.1).  Spreading the rows first puts
+    that work on every core for one tiny local exchange (the doc table
+    is < 1 MB here).
+
+    Guarded exactly like X1: only when the scan yields fewer partitions
+    than cores.  At 100 TB the scan arrives as >> cores splits and this
+    is a plan-time no-op — no exchange is added, nothing scale-dependent
+    is hard-coded.  Round-robin repartition is retry-safe (Spark sorts
+    before round-robin since SPARK-23207) and callers only hang exact
+    computations (string grams, integer hashes, counts, min/max) off the
+    spread side, so results are partitioning-independent.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; normalizes timestamp encodings.
 
