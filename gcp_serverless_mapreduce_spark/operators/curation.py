@@ -162,8 +162,17 @@ def word_ngrams(docs: DataFrame, n: int,
     dedup happens IN-ROW (``array_distinct`` over the gram array before
     the explode — the anagram pipeline's P4 trick), so building the
     distinct (doc, gram) stream costs ZERO exchanges; downstream
-    consumers shuffle only for their own aggregation."""
-    toked = (docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    consumers shuffle only for their own aggregation.
+
+    The scan is spread first (guarded, tables.spread_small_scan): the
+    tokenize + gram transform is the CPU-heavy stage of every consumer
+    (contamination, overlap, novelty) and must not serialize on an
+    under-parallelized single-row-group scan; grams are exact strings,
+    so the spread cannot perturb results."""
+    from ..tables import spread_small_scan
+
+    toked = (spread_small_scan(docs)
+             .select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
              .filter(F.size("toks") >= n))
     grams = F.array_distinct(F.transform(
         F.sequence(F.lit(1), F.size("toks") - (n - 1)),
@@ -224,8 +233,14 @@ def _positioned_ngrams(docs: DataFrame, n: int,
                       text_col: str = "text") -> DataFrame:
     """-> (id_col, s, gram): every word n-gram WITH its 0-based start
     token position (the positioned sibling of :func:`word_ngrams` —
-    no per-doc dedup, since span manifests need every occurrence)."""
-    toked = (docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    no per-doc dedup, since span manifests need every occurrence).
+
+    Spread before the tokenize + positioned-gram explode (the CPU-heavy
+    stage of the span-manifest family) — see :func:`word_ngrams`."""
+    from ..tables import spread_small_scan
+
+    toked = (spread_small_scan(docs)
+             .select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
              .filter(F.size("toks") >= n))
     return toked.select(
         id_col,

@@ -320,7 +320,15 @@ def learn_bpe_merges(docs: DataFrame, rounds: int = BPE_LEARN_ROUNDS,
     codegen'd and cheaper than materializing per-round frames — commit
     f8bef46), bounded by ``rounds × batch`` replaces at fixed depth.
     """
-    cur = docs.select(
+    # Spread the scan first (guarded, tables.spread_small_scan): the
+    # checkpointed symbol frame inherits the scan's partitioning, so an
+    # unspread single-row-group fixture scan would serialize EVERY
+    # round's explode+count on one core.  Pair counts are exact integers
+    # and the candidate order is a deterministic total order, so the
+    # spread cannot perturb the learned merges.
+    from ..tables import spread_small_scan
+
+    cur = spread_small_scan(docs.select(F.col(text_col))).select(
         F.regexp_replace(bpe_escape(F.lower(F.trim(F.col(text_col)))),
                          _BPE_UNIT_RE, "<$1>").alias("s"))
     cur = cur.localCheckpoint()

@@ -264,9 +264,18 @@ def hilbert_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     day_no = F.datediff(F.col("o_orderdate").cast("date"),
                         F.lit(DATE_EPOCH).cast("date"))
-    h = orders.select(
-        "o_custkey", day_no.alias("day_no"),
-        layout.hilbert_key(F.col("o_custkey"), day_no).alias("hkey"))
+    # Project the two key inputs, then spread (guarded, no-op at scale):
+    # the Hilbert kernel is the CPU-heavy stage and the fixture scan is
+    # single-task; projecting first keeps the spread exchange narrow
+    # (guide §2.3) and integer keys are partitioning-independent.
+    from gcp_serverless_mapreduce_spark.tables import spread_small_scan
+
+    base = spread_small_scan(
+        orders.select("o_custkey", day_no.alias("day_no")))
+    h = base.select(
+        "o_custkey", "day_no",
+        layout.hilbert_key(F.col("o_custkey"), F.col("day_no"))
+        .alias("hkey"))
     return (h.groupBy(F.shiftright("hkey", BUCKET_SHIFT).cast("long")
                       .alias("hbucket"))
             .agg(F.count("*").alias("n_orders"),

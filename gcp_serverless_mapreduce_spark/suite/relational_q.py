@@ -272,6 +272,13 @@ def order_fill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outer join with NULL-group handling (count of a nullable side)."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # The fixture plan broadcasts lineitem (LeftOuter must build right),
+    # so the whole probe+agg lands on the single-task orders scan —
+    # spread the one probe column first (guarded; no-op at scale where
+    # the join is a shuffle join anyway).  Counts/decimal sums are exact.
+    from gcp_serverless_mapreduce_spark.tables import spread_small_scan
+
+    orders = spread_small_scan(orders.select("o_orderkey"))
     return (
         orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"), "left")
         .groupBy("o_orderkey")

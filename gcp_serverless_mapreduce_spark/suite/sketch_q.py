@@ -658,7 +658,13 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("o_orderkey").distinct())
     bitmap = sketches.bloom_bitmap(sketches.bloom_build(
         qualified.select(F.col("o_orderkey").cast("string").alias("key"))))
-    probe = (li.select("l_orderkey", "l_extendedprice")
+    from gcp_serverless_mapreduce_spark.tables import spread_small_scan
+
+    # Spread the projected probe columns (guarded, plan-time no-op at
+    # scale): the k md5 probes per row are the CPU-heavy stage and the
+    # fixture scan yields 3 tasks on 32 cores; projecting FIRST keeps the
+    # spread exchange to the two columns the probe needs (guide §2.3).
+    probe = (spread_small_scan(li.select("l_orderkey", "l_extendedprice"))
              .withColumn("bloom_pass", sketches.bloom_hit_expr(
                  F.col("l_orderkey").cast("string"), bitmap))
              .join(F.broadcast(qualified.withColumn("_m", F.lit(1))),
