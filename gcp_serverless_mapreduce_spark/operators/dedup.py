@@ -87,7 +87,8 @@ def shingle_array(k: int = 3, text_col: str = "text", arrow: bool = True):
 
 def word_shingles(docs: DataFrame, k: int = 3,
                   doc_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  spread: bool = True) -> DataFrame:
     """-> (doc, shingle) rows, distinct per doc (exploded shingle_array).
 
     The scan is spread first (guarded, tables.spread_small_scan): the
@@ -95,9 +96,20 @@ def word_shingles(docs: DataFrame, k: int = 3,
     (minhash/jaccard/containment/novelty) and must not serialize on an
     under-parallelized single-row-group scan.  All downstream folds are
     exact (string grams, md5 mins, counts), so the spread cannot perturb
-    results."""
-    from ..tables import spread_small_scan
-    return (spread_small_scan(docs)
+    results.
+
+    ``spread=False`` for callers that hash-repartition the shingle rows
+    immediately (the prefix-filter joins): there the heavy per-shingle
+    work already runs post-exchange on every core, so the extra
+    round-robin exchange is pure overhead — an alternated warm A/B at
+    sf0.1 measured it 0.3-0.6 s SLOWER per query on that family
+    (containment 2.31→1.71, jaccard_prefix 1.95→1.54, ngram_jaccard
+    1.87→1.29 min-of-3 without the spread) while the min-agg consumers
+    (minhash, novelty, simhash) keep their measured spread win."""
+    if spread:
+        from ..tables import spread_small_scan
+        docs = spread_small_scan(docs)
+    return (docs
             .select(F.col(doc_col).alias("doc"),
                     F.explode(shingle_array(k, text_col)).alias("shingle")))
 
@@ -374,7 +386,7 @@ def jaccard_pairs(docs: DataFrame, threshold: float, k: int = 3,
     # (whose distribution it already satisfies) and the size aggregate.
     # Without it each consumer would re-scan and re-shingle the corpus
     # (measured +40% at sf0.1).
-    shingles = (word_shingles(docs, k, doc_col, text_col)
+    shingles = (word_shingles(docs, k, doc_col, text_col, spread=False)
                 .repartition(F.col("shingle")))
     sizes = shingles.groupBy("doc").agg(F.count("*").alias("n"))
     capped = (shingles
@@ -442,7 +454,7 @@ def jaccard_pairs_prefix(docs: DataFrame, threshold: float, k: int = 3,
     fr = Fraction(str(threshold))
     num, den = fr.numerator, fr.denominator
 
-    shingles = (word_shingles(docs, k, doc_col, text_col)
+    shingles = (word_shingles(docs, k, doc_col, text_col, spread=False)
                 .repartition(F.col("shingle")))
     with_df = shingles.withColumn(
         "_df", F.count("*").over(Window.partitionBy("shingle")))
@@ -790,7 +802,7 @@ def containment_pairs(docs: DataFrame, threshold: float, k: int = 3,
     fr = Fraction(str(threshold))
     num, den = fr.numerator, fr.denominator
 
-    shingles = (word_shingles(docs, k, doc_col, text_col)
+    shingles = (word_shingles(docs, k, doc_col, text_col, spread=False)
                 .repartition(F.col("shingle")))
     with_df = shingles.withColumn(
         "_df", F.count("*").over(Window.partitionBy("shingle")))

@@ -16,12 +16,39 @@ stream-vs-batch equality on that same function.
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
+
+
+def _checkpoint_dir(name: str) -> str | None:
+    """Per-run checkpoint directory for the bounded-replay harness.
+
+    Structured Streaming commits offsets/WAL/state-store deltas through
+    rename-based atomic files every micro-batch; on the default
+    ``java.io.tmpdir`` (a disk-backed /tmp here) that file traffic is a
+    measurable fixed cost per batch (A/B at sf0.1, inner stream-stream
+    join, warm min-of-3: 2.42 s on /tmp vs 2.26 s on tmpfs; the state
+    commit is the dominant term).  ``SPARK_GRAFT_STREAM_CKPT`` overrides
+    the root (empty string = use Spark's default temp checkpoint); the
+    local default is tmpfs when available.  A production deployment
+    points this at durable shared storage — checkpoint durability is a
+    deployment property, not a plan property; the bounded replay
+    deletes its checkpoint after the run either way.
+
+    Every call returns a FRESH directory (uuid suffix): attempt 2 of a
+    bench pair must re-process the fixture, never resume attempt 1's
+    committed offsets."""
+    root = os.environ.get("SPARK_GRAFT_STREAM_CKPT", "/dev/shm")
+    if root and os.path.isdir(root) and os.access(root, os.W_OK):
+        return os.path.join(root, f"sgm-ckpt-{name}-{uuid.uuid4().hex}")
+    return None
 
 
 @contextmanager
@@ -357,19 +384,45 @@ def _record_progress(name: str, q) -> None:
 
 
 def run_available_now(result: DataFrame, name: str,
-                      mode: str = "complete") -> DataFrame:
+                      mode: str = "complete",
+                      no_data_batch: bool = True) -> DataFrame:
     """Execute a streaming query to completion (availableNow) into a
     memory sink; return the materialized result as a static DataFrame.
     ``mode="complete"`` for aggregates; ``mode="append"`` for
-    stream-stream joins and dedup (which don't support complete)."""
+    stream-stream joins and dedup (which don't support complete).
+
+    ``no_data_batch=False`` scopes
+    ``spark.sql.streaming.noDataMicroBatches.enabled=false`` to this
+    query (the conf is captured by the cloned session at ``.start()``,
+    same mechanism as :func:`stream_state_partitions`).  The no-data
+    finalization micro-batch exists to advance the watermark so that
+    EVICTION-DRIVEN OUTPUT can emit (outer-join null rows, append-mode
+    window closes); for queries whose every result row emits on
+    arrival — stateless routing, inner joins, first-sight dedup,
+    complete-mode aggregates — it runs a full extra micro-batch
+    (plan + state commit) that emits nothing: measured 0.8-1.0 s of
+    the inner join's 2.4 s wall at sf0.1.  Callers whose collected
+    result depends on the terminal watermark (left/full outer joins,
+    append windowed aggs) MUST keep the default."""
     spark = result.sparkSession
-    with stream_state_partitions(spark):
-        q = (result.writeStream
-             .format("memory")
-             .queryName(name)
-             .outputMode(mode)
-             .trigger(availableNow=True)
-             .start())
+    ckpt = _checkpoint_dir(name)
+    prev_ndb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    try:
+        with stream_state_partitions(spark):
+            spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                           str(no_data_batch).lower())
+            writer = (result.writeStream
+                      .format("memory")
+                      .queryName(name)
+                      .outputMode(mode)
+                      .trigger(availableNow=True))
+            if ckpt is not None:
+                writer = writer.option("checkpointLocation", ckpt)
+            q = writer.start()
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                       prev_ndb)
     try:
         q.awaitTermination()
         out = spark.table(name).localCheckpoint()  # detach from sink table
@@ -381,6 +434,8 @@ def run_available_now(result: DataFrame, name: str,
         # success path _record_progress already drained the list.
         _PENDING_BATCH_SIDE_MS.clear()
         q.stop()
+        if ckpt is not None:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return out
 
 
@@ -401,12 +456,15 @@ def run_rate_replay(result: DataFrame, name: str, n_expected: int,
     import time
 
     spark = result.sparkSession
+    ckpt = _checkpoint_dir(name)
     with stream_state_partitions(spark):
-        q = (result.writeStream
-             .format("memory")
-             .queryName(name)
-             .outputMode("complete")
-             .start())
+        writer = (result.writeStream
+                  .format("memory")
+                  .queryName(name)
+                  .outputMode("complete"))
+        if ckpt is not None:
+            writer = writer.option("checkpointLocation", ckpt)
+        q = writer.start()
     try:
         done = 0
         deadline = time.time() + timeout_s
@@ -432,6 +490,8 @@ def run_rate_replay(result: DataFrame, name: str, n_expected: int,
         # path stops the query without recording, so drain here too.
         _PENDING_BATCH_SIDE_MS.clear()
         q.stop()
+        if ckpt is not None:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return out
 
 

@@ -1007,7 +1007,8 @@ def stream_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     routed = dedup.incremental_dedup_route(
         new_stream, old_h, ob, NUM_PERM, BANDS, ROWS_PER_BAND)
     rows = pipeline.run_available_now(
-        routed, "stream_dedup_new_docs_sink", mode="append")
+        routed, "stream_dedup_new_docs_sink", mode="append",
+        no_data_batch=False)
     return dedup.incremental_dedup_finalize(rows)
 
 

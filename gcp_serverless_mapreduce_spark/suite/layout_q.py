@@ -378,7 +378,8 @@ def stream_file_compaction_plan(spark: SparkSession,
                .select("source", "doc_id", "n_chars")
                .filter(F.col("n_chars") < COMPACT_TARGET))
     rows = pipeline.run_available_now(
-        listing, "stream_compaction_listing_sink", mode="append")
+        listing, "stream_compaction_listing_sink", mode="append",
+        no_data_batch=False)
     binned = layout.compaction_bins(rows, COMPACT_TARGET)
     return (binned
             .groupBy("source", "bin_id")

@@ -1210,7 +1210,8 @@ def stream_snapshot_diff_customers(spark: SparkSession,
                     .agg(F.count("*").alias("n_after"),
                          spend.alias("spend_after")))
     after = pipeline.run_available_now(
-        after_stream, "stream_snapshot_diff_sink", mode="complete")
+        after_stream, "stream_snapshot_diff_sink", mode="complete",
+        no_data_batch=False)
     ak, bk = F.col("custkey_a"), F.col("custkey_b")
     return (before.join(after, ak == bk, "full_outer")
             .select(F.coalesce(ak, bk).alias("custkey"),

@@ -497,7 +497,8 @@ def stream_ivf_cell_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(similarity._probe_cells_udf(centers, 1)(arr), 1)
         .cast("long").alias("cell"))
     rows = pipeline.run_available_now(
-        routed, "stream_ivf_cell_routing_sink", mode="append")
+        routed, "stream_ivf_cell_routing_sink", mode="append",
+        no_data_batch=False)
     spine = spark.range(N_CELLS).select(F.col("id").alias("cell"))
     counts = (rows.groupBy("cell")
               .agg(F.count(F.lit(1)).cast("long").alias("n_new")))

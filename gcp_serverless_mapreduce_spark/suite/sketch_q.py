@@ -312,7 +312,8 @@ def stream_contamination_spans(spark: SparkSession,
                      curation.inline_bloom_spans(bitmap, NGRAM_N)
                      .alias("_spans")))
     rows = pipeline.run_available_now(
-        spans, "stream_contamination_spans_sink", mode="append")
+        spans, "stream_contamination_spans_sink", mode="append",
+        no_data_batch=False)
     return (rows.select("doc_id", F.explode("_spans").alias("r"))
             .select("doc_id",
                     F.col("r.s").alias("range_start"),

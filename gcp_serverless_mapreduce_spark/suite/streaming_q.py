@@ -30,7 +30,8 @@ def stream_windowed_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window × event_type counts + exact sums, executed
     through readStream/writeStream (availableNow)."""
     stats = pipeline.windowed_event_stats(pipeline.stream_events(spark, sf_dir))
-    return pipeline.run_available_now(stats, "windowed_event_stats_sink")
+    return pipeline.run_available_now(stats, "windowed_event_stats_sink",
+                                      no_data_batch=False)
 
 
 @register("stream_windowed_event_stats_rate", """
@@ -71,7 +72,7 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = pipeline.stream_events(spark, sf_dir)
     return pipeline.run_available_now(
         pipeline.click_purchase_join(ev), "click_purchase_join_sink",
-        mode="append")
+        mode="append", no_data_batch=False)
 
 
 @register("stream_distinct_user_event_pairs", """
@@ -84,7 +85,8 @@ def stream_distinct_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     ev = pipeline.stream_events(spark, sf_dir)
     return pipeline.run_available_now(
         pipeline.distinct_user_event_pairs(ev),
-        "distinct_user_event_pairs_sink", mode="append")
+        "distinct_user_event_pairs_sink", mode="append",
+        no_data_batch=False)
 
 
 @register("stream_dedup_replayed_events", """
@@ -107,7 +109,7 @@ def stream_dedup_replayed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = (ev.withWatermark("ts", "1 hour")
                .dropDuplicatesWithinWatermark(["event_id"]))
     rows = pipeline.run_available_now(
-        deduped, "dedup_replay_sink", mode="append")
+        deduped, "dedup_replay_sink", mode="append", no_data_batch=False)
     return (rows.groupBy("event_type")
             .agg(F.count("*").alias("n_events"),
                  F.countDistinct("user_id").cast("long").alias("n_users"),
@@ -133,7 +135,7 @@ def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = pipeline.stream_events(spark, sf_dir)
     updates = pipeline.run_available_now(
         stateful.running_user_totals(ev), "user_totals_stateful_sink",
-        mode="update")
+        mode="update", no_data_batch=False)
     return (updates.groupBy("user_id")
             .agg(F.max("n_events").alias("n_events"),
                  F.max_by("total_value", "n_events").alias("total_value")))
@@ -246,7 +248,8 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                .alias("session_end"),
                "user_id", "n_events",
                F.col("_total").cast("double").alias("total_value")))
-    return pipeline.run_available_now(agg, "session_stats_sink")
+    return pipeline.run_available_now(agg, "session_stats_sink",
+                                      no_data_batch=False)
 
 
 @register("multires_event_rollup", """
@@ -366,7 +369,8 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.col("c_mktsegment").alias("mktsegment"),
                       "event_type", "user_id", "value"))
     rows = pipeline.run_available_now(
-        joined, "stream_static_enrich_sink", mode="append")
+        joined, "stream_static_enrich_sink", mode="append",
+        no_data_batch=False)
     return (rows.groupBy("mktsegment", "event_type")
             .agg(F.count("*").alias("n_events"),
                  F.countDistinct("user_id").cast("long").alias("n_users"),
@@ -471,7 +475,8 @@ def stream_hourly_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count desc, event_type) keeps the oracle exact."""
     stats = pipeline.windowed_event_stats(
         pipeline.stream_events(spark, sf_dir))
-    done = pipeline.run_available_now(stats, "hourly_topk_sink")
+    done = pipeline.run_available_now(stats, "hourly_topk_sink",
+                                      no_data_batch=False)
     w = Window.partitionBy("window_start").orderBy(
         F.col("n_events").desc(), F.col("event_type"))
     return (done.select("window_start", "event_type", "n_events")
@@ -549,7 +554,8 @@ def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "u")
     regs = proj.groupBy("grp", "idx").agg(F.max("rho").alias("r"))
     state = pipeline.run_available_now(
-        regs, "hll_stream_registers", mode="complete")
+        regs, "hll_stream_registers", mode="complete",
+        no_data_batch=False)
     est = sketches.hll_estimate(state, "event_type")
     exact = (load_table(spark, sf_dir, "events")
              .groupBy("event_type")
