@@ -678,11 +678,21 @@ def dup_clusters(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
               .select(F.col("src").alias("doc"),
                       F.least("src", "lbl").alias("lbl"))
               .localCheckpoint())
+    # One aggregate fetches BOTH the node count (for the adaptive cap)
+    # and — for integral doc ids — the exact label sum that drives the
+    # convergence check below (DECIMAL(38,0): n_nodes * max(long) stays
+    # well inside 38 digits, so the sum is exact at any corpus size).
+    # Non-integral ids keep the join-based check (a string->decimal cast
+    # would throw under ANSI).
+    from pyspark.sql.types import IntegralType
+    numeric_lbl = isinstance(labels.schema["lbl"].dataType, IntegralType)
+    lbl_sum = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    aggs = [F.count("*")] + ([lbl_sum] if numeric_lbl else [])
+    head = labels.agg(*aggs).collect()[0]
+    n_nodes = head[0]
+    prev_sum = head[1] if numeric_lbl else None
     if max_iter is None:
-        n_nodes = labels.count()
         max_iter = math.ceil(math.log2(max(n_nodes, 2))) + 8
-    else:
-        n_nodes = -1  # caller-pinned cap; node count not needed
     converged = False
     rounds = 0
     for _ in range(max_iter):
@@ -707,11 +717,22 @@ def dup_clusters(pairs: DataFrame, max_iter: int | None = None) -> DataFrame:
                      "lbl")
                .select("doc", F.least("lbl", "lbl2").alias("lbl"))
                .localCheckpoint())
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), "doc")
-                   .filter(F.col("n.lbl") < F.col("o.lbl")).count())
+        # Convergence check.  Labels are monotone non-increasing per doc
+        # and the doc set is round-invariant, so for integral ids the
+        # exact decimal label sum is stationary IFF no label changed —
+        # one scalar aggregate over the checkpointed frame instead of a
+        # third join per round.
+        if numeric_lbl:
+            new_sum = new.agg(lbl_sum).collect()[0][0]
+            changed = new_sum != prev_sum
+            prev_sum = new_sum
+        else:
+            changed = (new.alias("n")
+                       .join(labels.alias("o"), "doc")
+                       .filter(F.col("n.lbl") < F.col("o.lbl"))
+                       .count()) > 0
         labels = new
-        if changed == 0:
+        if not changed:
             converged = True
             break
     CC_STATS.clear()

@@ -1657,31 +1657,36 @@ def kcenter_coreset(emb: DataFrame, k: int, pool: int,
     the coverage-radius curve a labeling-budget decision reads.
 
     Scale shape: one corpus-wide TakeOrdered picks the pool (no global
-    sort), the pool self-join computes pool^2 pairwise sims with the
-    audited Arrow fold kernel, and the greedy itself runs driver-side
-    over the COLLECTED pool^2 frame — a sketch-sized collect (bounded
-    by pool^2, never by corpus rows; the pc1_trajectory budget).  The
-    sequential traversal is inherently tiny: k and pool are selection
-    constants, the corpus only feeds the sample."""
-    pair_dot = _pair_dot_udf()
+    sort) and is the ONLY distributed work; the pool^2 pairwise sims
+    are computed driver-side from the collected pool x dim unit
+    vectors with the SAME per-dimension left-to-right IEEE fold as
+    ``_pair_dot_udf`` (acc[i,j] += U[i,d]*U[j,d] in ascending d —
+    elementwise numpy doubles, bit-identical per pair; pinned by
+    tests/test_r15_batch5.py against the Arrow kernel).  That replaces
+    the old pool^2 self-join + Arrow stage + pool^2-row collect with
+    one pool-row collect — fewer jobs, and the collect shrinks from
+    pool^2 rows to pool x dim doubles.  The sequential traversal is
+    inherently tiny: k and pool are selection constants, the corpus
+    only feeds the sample."""
+    import numpy as np
+
     units = (unit_vectors(emb).select(F.col(id_col), F.col("unit"))
              .filter(F.col("unit").isNotNull()))
-    pool_df = (units
-               .withColumn("ph", F.md5(F.col(id_col).cast("string")))
-               .orderBy("ph", id_col).limit(pool)
-               .select(F.col(id_col).alias("pid"), "ph", "unit")
-               .localCheckpoint())  # one corpus scan; reused twice
-    a = pool_df.select(F.col("pid").alias("ca"),
-                       F.col("unit").alias("ua"))
-    b = pool_df.select(F.col("pid").alias("cb"),
-                       F.col("unit").alias("ub"))
-    prows = (a.join(b, F.col("ca") != F.col("cb"))
-             .select("ca", "cb",
-                     pair_dot(F.col("ua"), F.col("ub")).alias("psim"))
-             .collect())
-    order = [(r["ph"], r["pid"]) for r in
-             pool_df.select("ph", "pid").collect()]
-    psim = {(r["ca"], r["cb"]): r["psim"] for r in prows}
+    pool_rows = (units
+                 .withColumn("ph", F.md5(F.col(id_col).cast("string")))
+                 .orderBy("ph", id_col).limit(pool)
+                 .select(F.col(id_col).alias("pid"), "ph", "unit")
+                 .collect())  # ONE corpus TakeOrdered, pool rows
+    order = [(r["ph"], r["pid"]) for r in pool_rows]
+    ids = [r["pid"] for r in pool_rows]
+    psim: dict = {}
+    if pool_rows:
+        U = np.array([r["unit"] for r in pool_rows], dtype=np.float64)
+        acc = np.zeros((len(ids), len(ids)))
+        for d in range(U.shape[1]):
+            acc += U[:, d, None] * U[None, :, d]
+        psim = {(ids[i], ids[j]): float(acc[i, j])
+                for i in range(len(ids)) for j in range(len(ids)) if i != j}
     members = [pid for _, pid in sorted(order)]
     if not members:      # empty / all-zero-vector corpus: no coreset
         return emb.sparkSession.createDataFrame(
