@@ -105,13 +105,31 @@ def word_shingles(docs: DataFrame, k: int = 3,
     sf0.1 measured it 0.3-0.6 s SLOWER per query on that family
     (containment 2.31→1.71, jaccard_prefix 1.95→1.54, ngram_jaccard
     1.87→1.29 min-of-3 without the spread) while the min-agg consumers
-    (minhash, novelty, simhash) keep their measured spread win."""
+    (minhash, novelty, simhash) keep their measured spread win.
+
+    The explicit null filter on the doc id makes AQE EXCHANGE REUSE
+    fire (r15): consumers that later join on the doc id get
+    ``isnotnull(doc_id)`` pushed into their scan while window/self-join
+    consumers don't, so the otherwise-identical shingle subtrees
+    canonicalize DIFFERENTLY and the kernel + exchange materialize once
+    per consumer (measured: jaccard_pairs ran the shingle pass twice,
+    minhash_estimate_error four times — 3.60 s → 1.77 s warm at sf0.1
+    from this one line).  Doc ids are non-null keys by fixture/contract
+    and every pair-producing consumer is null-rejecting anyway (joins
+    and ``doc_a < doc_b`` comparisons), so results are unchanged."""
+    docs = docs.filter(F.col(doc_col).isNotNull())
     if spread:
         from ..tables import spread_small_scan
         docs = spread_small_scan(docs)
+    # The shingle null filter exists for the same reuse reason: join
+    # consumers infer ``isnotnull(shingle)`` from their equi-join key,
+    # aggregate consumers don't, and the mismatched Filter node above
+    # the kernel blocks stage reuse.  Kernel-built shingles are never
+    # null, so this is a data no-op.
     return (docs
             .select(F.col(doc_col).alias("doc"),
-                    F.explode(shingle_array(k, text_col)).alias("shingle")))
+                    F.explode(shingle_array(k, text_col)).alias("shingle"))
+            .filter(F.col("shingle").isNotNull()))
 
 
 def _toks_sql(text_col: str) -> str:
@@ -1015,8 +1033,22 @@ def max_shared_span_exact(docs: DataFrame, ns: tuple[int, ...] = SPAN_NS,
             out.append(lo)
         return pd.Series(out, dtype="int64")
 
+    # Spread the bounded pair frame across the cluster BEFORE the
+    # Python refinement: the pair agg's exchange output is a few hundred
+    # KB, so AQE's byte model coalesces it to 1-2 partitions — but the
+    # per-pair cost here is CPU-bound Python (log(len) rolling-hash
+    # probes), invisible to byte-based coalescing (measured: a 1.05 s
+    # single-task ArrowEvalPython stage dominating the query).  An
+    # explicit partition count pins one wave of tasks at any scale; the
+    # frame is df-cap bounded, never corpus-sized.  Keyed on doc_a ONLY:
+    # (doc_a, doc_b) would match the pair agg's own exchange keys and be
+    # optimized away as redundant (putting the AQE-coalescible agg
+    # exchange back in charge), while hashpartitioning(doc_a, N) both
+    # survives and co-partitions the at-scale token-array join.
+    n_spread = docs.sparkSession.sparkContext.defaultParallelism
     return (
         cand
+        .repartition(n_spread, "doc_a")
         .join(toked.select(F.col("doc").alias("doc_a"),
                            F.col("toks").alias("ta")), "doc_a")
         .join(toked.select(F.col("doc").alias("doc_b"),

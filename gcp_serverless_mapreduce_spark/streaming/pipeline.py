@@ -439,6 +439,79 @@ def run_available_now(result: DataFrame, name: str,
     return out
 
 
+def run_available_now_mapped(source: DataFrame, transform, name: str,
+                             no_data_batch: bool = True) -> DataFrame:
+    """availableNow via ``foreachBatch``: apply ``transform`` — a pure
+    ROW-LOCAL DataFrame→DataFrame function — to every micro-batch after
+    a GUARDED round-robin spread (tables.spread_small_scan), and return
+    the union of the materialized batch outputs.
+
+    Why this exists (r15): a stateless map-only streaming stage plans
+    NO exchange, so its parallelism is exactly the source's — and a
+    micro-batch arriving as one small file executes the entire per-row
+    compute as ONE task (measured: stream_contamination_spans' 5 s wall
+    was a single-task 2.5-3 s bloom-probe stage on a 32-core box).
+    Inside ``foreachBatch`` each batch is a regular DataFrame, so the
+    SAME guard the batch operators use applies: spread only when the
+    scan yields fewer partitions than ``defaultParallelism``.  At scale
+    a trigger's files >> cores and the spread is a plan-time no-op —
+    nothing here changes the stateless/no-state scale story, and the
+    sink-side contract (one output row per transformed input row) is
+    unchanged from the memory-sink path.
+
+    ``transform`` MUST be row-local (no aggregation across batches —
+    output mode semantics are the caller's responsibility, matching
+    ``mode="append"`` of :func:`run_available_now`)."""
+    from ..tables import spread_small_scan
+
+    spark = source.sparkSession
+    ckpt = _checkpoint_dir(name)
+    out_frames: list[DataFrame] = []
+
+    def _fb(batch_df: DataFrame, _bid: int) -> None:
+        # localCheckpoint materializes the transformed batch INSIDE the
+        # micro-batch (so triggerExecution keeps timing the compute) and
+        # detaches it from the source, which is gone after q.stop().
+        # No pre-check scan: every action on the batch frame re-reads
+        # the trigger's files, so the one materialization is the one
+        # pass (an empty no-data batch just yields an empty frame).
+        out_frames.append(
+            transform(spread_small_scan(batch_df)).localCheckpoint())
+
+    prev_ndb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    try:
+        with stream_state_partitions(spark):
+            spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                           str(no_data_batch).lower())
+            writer = (source.writeStream
+                      .queryName(name)
+                      .foreachBatch(_fb)
+                      .trigger(availableNow=True))
+            if ckpt is not None:
+                writer = writer.option("checkpointLocation", ckpt)
+            q = writer.start()
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                       prev_ndb)
+    try:
+        q.awaitTermination()
+        _record_progress(name, q)
+    finally:
+        _PENDING_BATCH_SIDE_MS.clear()
+        q.stop()
+        if ckpt is not None:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    if not out_frames:
+        # empty source: derive the output schema from an empty batch
+        empty = spark.createDataFrame([], source.schema)
+        return transform(empty)
+    out = out_frames[0]
+    for f in out_frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def run_rate_replay(result: DataFrame, name: str, n_expected: int,
                     count_col: str = "n_events",
                     timeout_s: float = 180.0) -> DataFrame:

@@ -306,14 +306,20 @@ def stream_contamination_spans(spark: SparkSession,
     # preceding projection the way the batch planner does (measured
     # 15.5 s vs 5.2 s at sf0.1 for the identical expression), so the
     # cheap row-per-range projection runs batch-side over the sink.
-    spans = (pipeline.stream_documents(spark, sf_dir)
-             .filter(F.col("doc_id") % EVAL_MOD != 0)
-             .select("doc_id",
-                     curation.inline_bloom_spans(bitmap, NGRAM_N)
-                     .alias("_spans")))
-    rows = pipeline.run_available_now(
-        spans, "stream_contamination_spans_sink", mode="append",
-        no_data_batch=False)
+    # The per-document probe+merge fold is applied INSIDE foreachBatch
+    # (run_available_now_mapped) behind the guarded spread: the fixture
+    # batch arrives as one file = one task, which serialized the whole
+    # 2.5-3 s codegen'd fold on a single core of 32 (r15 event-log
+    # measurement); at scale a trigger's files >> cores and the spread
+    # no-ops.  The fold is row-local, so batch-parallelism cannot
+    # change any row.
+    rows = pipeline.run_available_now_mapped(
+        pipeline.stream_documents(spark, sf_dir)
+        .filter(F.col("doc_id") % EVAL_MOD != 0),
+        lambda b: b.select("doc_id",
+                           curation.inline_bloom_spans(bitmap, NGRAM_N)
+                           .alias("_spans")),
+        "stream_contamination_spans_sink", no_data_batch=False)
     return (rows.select("doc_id", F.explode("_spans").alias("r"))
             .select("doc_id",
                     F.col("r.s").alias("range_start"),
