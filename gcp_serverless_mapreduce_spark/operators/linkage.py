@@ -93,13 +93,31 @@ def sorted_neighborhood_pairs(docs: DataFrame,
     successors as structs — each doc emits at most ``window``
     comparisons, so the stage is O(n*w) with no self-join.
     """
-    keyed = docs.select(
+    from ..tables import spread_small_scan
+
+    # Guarded spread BEFORE the key build: tokenize + tokset run in the
+    # scan stage, which for a single-file fixture is one task (two
+    # measured 0.45 s single-task stages per multipass query, one per
+    # pass); at scale the guard no-ops.
+    keyed = spread_small_scan(docs).select(
         F.col(id_col).alias("id"),
         _tokset(F.col(text_col)).alias("ts"),
         F.concat_ws(" ", F.slice(tokens(F.col(text_col)),
                                  1 + token_offset, 3))
          .alias("sortkey"),
     ).withColumn("blk", F.split(F.col("sortkey"), " ").getItem(0))
+    # Explicit-width block exchange: the per-block window + interpreted
+    # token-set jaccard is the CPU-heavy stage (measured 6 s of task CPU
+    # at sf0.1), but its input is ~2 MB, so AQE's byte model coalesced
+    # it to 6 tasks.  An explicit partition count opts this one exchange
+    # out of byte-based coalescing; sized from the session's shuffle
+    # parallelism so cluster configs keep scaling it, never below the
+    # core count.  Also makes the cnts-agg and join subtrees share ONE
+    # materialized exchange (same canonical child).
+    sess = docs.sparkSession
+    n_blk = max(sess.sparkContext.defaultParallelism,
+                int(sess.conf.get("spark.sql.shuffle.partitions", "200")))
+    keyed = keyed.repartition(n_blk, "blk")
     cnts = keyed.groupBy("blk").agg(F.count(F.lit(1)).alias("_bn"))
     stride = F.ceil(F.col("_bn") / F.lit(max_block)).cast("long")
     h = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 13),

@@ -155,10 +155,14 @@ def bloom_hit_expr(key: Column, bitmap: list[int]) -> Column:
     # evaluation (ruinous inside a higher-order-function lambda, where
     # each array element re-evaluates the predicate) and its codegen
     # emits per-element stores that bloat the generated method; a
-    # Literal is a single stored ArrayData reference either way.  The
-    # cast to bigint is constant-folded, so the runtime plan carries
-    # just the literal.
-    lit_map = F.lit(bitmap).cast("array<bigint>")
+    # Literal is a single stored ArrayData reference either way.
+    # Built via ONE parsed SQL string (r15): ``F.lit(list)`` expands
+    # Python-side into 1024 individual ``lit`` py4j calls (~0.6 s of
+    # socket round-trips PER QUERY BUILD, profiled); the parser builds
+    # the same bigint CreateArray JVM-side in one call and constant
+    # folding collapses it to the same runtime literal either way.
+    lit_map = F.expr(
+        "array(" + ",".join(f"{w}L" for w in bitmap) + ")")
     checks = []
     for s in range(BLOOM_K):
         p = bloom_pos(key, s)
