@@ -67,7 +67,15 @@ ROUND14 = [
     "bloom_span_manifest", "stream_contamination_spans",
     "bpe_aligned_contamination_spans",
 ]
-QUERIES = SCALE_SENSITIVE + ANN_DEDUP + ROUND13 + ROUND14
+# Round-15 additions (r14 verdict task 4): the CDC/snapshot-diff
+# streaming face (state rows bounded by ACTIVE-CUSTOMER cardinality —
+# the row counts below verify the bound empirically) and the CC
+# diagnostics row (should track dup_clusters' ratio — it re-runs the
+# same LSH+CC pipeline to emit one telemetry row).
+ROUND15 = [
+    "stream_snapshot_diff_customers", "dup_clusters_diagnostics",
+]
+QUERIES = SCALE_SENSITIVE + ANN_DEDUP + ROUND13 + ROUND14 + ROUND15
 
 
 def time_queries(spark, qs, sf_dir: str) -> dict:
