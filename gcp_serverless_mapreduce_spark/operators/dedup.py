@@ -883,6 +883,68 @@ def containment_pairs(docs: DataFrame, threshold: float, k: int = 3,
 SPAN_NS = (3, 5, 8, 13)
 
 
+def ladder_tagged_grams(ns: tuple[int, ...], text_col: str = "text"):
+    """array<struct<span:int,gram:string>>: per rung n in ``ns``, the
+    doc's distinct n-grams in first-occurrence order, rungs
+    concatenated in ``ns`` order — the Arrow-kernel twin of
+    :func:`ladder_tagged_grams_expr` (pinned element-identical by
+    tests/test_r15_batch8.py).  Docs shorter than a rung contribute no
+    grams for that rung; shorter than min(ns), an empty array (the old
+    pre-explode size filter, folded in).  Token semantics are the
+    shingle-kernel convention: ``str.split()`` on lowered+stripped text
+    matches ``split(trim(lower(text)), '\\s+')`` on the fixtures'
+    ASCII."""
+    lo = min(ns)
+
+    @pandas_udf("array<struct<span:int,gram:string>>")
+    def _ladder(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").strip().lower().split()
+            if len(toks) < lo:
+                out.append([])
+                continue
+            row = []
+            for n in ns:
+                m = len(toks) - n + 1
+                if m <= 0:
+                    continue
+                seen = set()
+                for i in range(m):
+                    g = " ".join(toks[i:i + n])
+                    if g not in seen:
+                        seen.add(g)
+                        row.append((n, g))
+            out.append(row)
+        return pd.Series(out)
+
+    return _ladder(text_col)
+
+
+def ladder_tagged_grams_expr(ns: tuple[int, ...], text_col: str = "text"):
+    """The original interpreted-expression form of
+    :func:`ladder_tagged_grams` — kept as the kernel's bit-equality
+    reference (and for JVM-only contexts).  NB: transform() lambdas
+    must stay single-parameter — a second parameter is interpreted as
+    the ELEMENT INDEX by Spark."""
+    toks = tokens_col(text_col)
+
+    def _tagged(n: int):
+        grams_n = F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(grams_n,
+                        lambda g: F.struct(
+                            F.lit(n).alias("span"), g.alias("gram")))
+        ).otherwise(F.array().cast("array<struct<span:int,gram:string>>"))
+
+    ladder = F.flatten(F.array(*[_tagged(n) for n in ns]))
+    return F.when(F.size(toks) >= min(ns), ladder).otherwise(
+        F.array().cast("array<struct<span:int,gram:string>>"))
+
+
 def max_shared_span(docs: DataFrame, ns: tuple[int, ...] = SPAN_NS,
                     df_max: int = 128,
                     doc_col: str = "doc_id",
@@ -907,28 +969,15 @@ def max_shared_span(docs: DataFrame, ns: tuple[int, ...] = SPAN_NS,
 
     from ..tables import spread_small_scan
 
-    # Spread before the tokenize + per-ladder gram transforms (the
-    # CPU-heavy interpreted stage); grams/spans are exact strings/ints.
-    toked = (spread_small_scan(docs)
-             .select(F.col(doc_col).alias("doc"),
-                     tokens_col(text_col).alias("toks"))
-             .filter(F.size("toks") >= min(ns)))
-    # NB: transform() lambdas must stay single-parameter — a second
-    # parameter is interpreted as the ELEMENT INDEX by Spark.
-    def _tagged_grams(n: int):
-        grams_n = F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n))))
-        return F.when(
-            F.size("toks") >= n,
-            F.transform(grams_n,
-                        lambda g: F.struct(
-                            F.lit(n).alias("span"), g.alias("gram")))
-        ).otherwise(F.array().cast("array<struct<span:int,gram:string>>"))
-
-    tagged = [_tagged_grams(n) for n in ns]
-    exploded = (toked
-                .select("doc", F.explode(F.flatten(F.array(*tagged)))
+    # Spread before the gram kernel (the CPU-heavy stage); grams/spans
+    # are exact strings/ints, so partitioning cannot perturb results.
+    # The ladder explode itself is the Arrow kernel (guide §4.2): the
+    # interpreted transform/array_distinct/concat_ws chain measured
+    # ~10.5 s of task CPU at sf0.1 (the dominant stage of this query
+    # AND of substring_discard_manifest's discovery phase).
+    exploded = (spread_small_scan(docs)
+                .select(F.col(doc_col).alias("doc"),
+                        F.explode(ladder_tagged_grams(ns, text_col))
                         .alias("sg"))
                 .select("doc", F.col("sg.span").alias("span"),
                         F.col("sg.gram").alias("gram"))
@@ -1197,8 +1246,16 @@ def substring_discard_manifest(docs: DataFrame, min_len: int = 8,
             out.append(ranges)
         return pd.Series(out)
 
+    # Same CPU-bound-refinement spread as max_shared_span_exact: the
+    # pair frame's exchange is a few hundred KB, AQE coalesces it to
+    # one task, and the diagonal-run kernel is Python CPU invisible to
+    # the byte model.  doc_a-keyed so the repartition survives (the
+    # (doc_a, doc_b) keys match the upstream agg and would be removed
+    # as redundant) and co-partitions the at-scale token-array join.
+    n_spread = docs.sparkSession.sparkContext.defaultParallelism
     pair_ranges = (
         cand.select("doc_a", "doc_b")
+        .repartition(n_spread, "doc_a")
         .join(toked.select(F.col("doc").alias("doc_a"),
                            F.col("toks").alias("ta")), "doc_a")
         .join(toked.select(F.col("doc").alias("doc_b"),
