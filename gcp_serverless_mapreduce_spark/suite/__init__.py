@@ -40,89 +40,81 @@ from . import sketch_q  # noqa: F401, E402
 from . import linkage_q  # noqa: F401, E402
 from . import profiling_q  # noqa: F401, E402
 
-# Round-14 window head (the driver checks the FIRST ~50 registered).
-# Composition, per VERDICT r13 task 2 + the rotation invariant (ages
-# recomputed from CORRECTNESS_r01..r13 at the start of this round):
-# 1) the 3 queries NEVER driver-attested — new this round:
-#    bpe_aligned_contamination_spans (tokenizer-aware decontamination:
-#    the span manifest's word ranges mapped to exact BPE piece ranges
-#    via per-doc piece-offset prefix sums — r13 verdict task 7a),
-#    stream_snapshot_diff_customers (CDC streaming face of the
-#    snapshot-diff reconciliation: after-period orders stream into a
-#    stateful per-customer aggregate, reconciled against the stored
-#    before-snapshot batch-side; shares snapshot_diff_customers'
-#    oracle — r13 verdict task 7b), and
-#    dup_clusters_diagnostics (the CC fixpoint's one-row run telemetry:
-#    n_nodes/adaptive cap/postcondition flags, oracle-exact from the
-#    pair graph — r13 verdict task 6);
-# 2) stream_contamination_spans — its operator (inline_bloom_spans) was
-#    REWRITTEN this round: the O(hits^2) accumulator-concat fold became
-#    an O(hits) span-break-flag derivation with let-bound arrays (r13
-#    watch-item 3 / verdict task 4);
-# 3) ALL 46 queries last driver-attested in round 9 — attestation age 5
-#    this round, so they take the remaining 46 slots en bloc; after
-#    this round no attestation predates round 10.
-# Not in the window (no room; 3+1+46 fills all 50): the other three
-# bloom-probe queries whose PLAN changed when bloom_hit_expr's bitmap
-# became a true array literal (bloom_span_manifest, bloom_decontamination,
-# bloom_semijoin_reduction — all age 1, value-identical change) — they
-# are re-proven by this round's full-suite parity stamp at HEAD across
-# all three scales plus bloom_semijoin_reduction's standalone low-load
-# rerun (verdict task 3).  The 45 age-4 queries rotate next round.
+# Round-15 window head (the driver checks the FIRST ~50 registered).
+# Composition, per VERDICT r14 task 1 + the rotation invariant: the 45
+# queries last driver-attested in round 11 — attestation age 4 this
+# round, so they take 45 slots en bloc (after this round no attestation
+# predates round 12) — plus the 5 queries whose OPERATOR INTERNALS this
+# optimization round restructured most deeply, so the driver's oracle
+# re-attests exactly the code that changed:
+#   stream_contamination_spans (foreachBatch+guarded-spread harness,
+#     r15 batch 6; one-call bitmap literal, batch 7),
+#   max_shared_span_pairs (ladder-gram Arrow kernel, batch 8; doc_a
+#     refinement spread, batch 6),
+#   exact_substring_discard_manifest (shares the ladder kernel +
+#     refinement spread, batch 8),
+#   sorted_neighborhood_multipass (guarded spread + explicit-width blk
+#     exchange, batch 7),
+#   dup_clusters (per-round convergence join -> DECIMAL sum check,
+#     batch 5).
+# Every other query this round touched (bloom family, jaccard/minhash
+# eval pair, containment, kcenter, simhash, hilbert, streaming harness
+# users) is re-proven by the full-suite 238/238 parity sweeps at sf0.01
+# stamped after every batch (PARITY_SUMMARY.json) plus the focused
+# per-batch parity runs recorded in OPTIMIZATION_r15.md.
 promote([
-    # -- never driver-attested (3, new this round) --
-    "bpe_aligned_contamination_spans",
-    "stream_snapshot_diff_customers",
-    "dup_clusters_diagnostics",
-    # -- operator rewritten this round (1) --
+    # -- r15 restructured operators (5) --
     "stream_contamination_spans",
-    # -- round-9-era re-attestation (all 46) --
-    "asof_click_before_purchase",
-    "bpe_learn_merges",
-    "bpe_piece_stats",
-    "bucket_histogram",
-    "chunk_dedup_docs",
-    "clicks_within_1h_of_error",
-    "cms_heavy_hitter_words",
-    "containment_dups",
-    "contrastive_negatives",
-    "corpus_prep_pipeline_v2",
-    "customer_record_linkage",
-    "daily_orders_gapfilled",
-    "doc_token_entropy",
-    "doc_token_ids_fingerprint",
-    "dsir_importance_weights",
-    "embedding_dim_stats",
-    "epoch_shuffle_plan",
-    "event_pattern_matches",
-    "events_csv_roundtrip_fingerprint",
-    "events_json_roundtrip_fingerprint",
-    "events_orc_roundtrip_fingerprint",
-    "gopher_rule_filter",
-    "hot_key_join_aqe",
-    "image_resize_plan",
-    "locf_hourly_event_values",
-    "media_feature_summary",
-    "ngram_contamination",
-    "orders_by_month",
-    "part_string_functions",
-    "pii_redaction_stats",
-    "pivot_priority_by_status",
-    "pq_adc_topk",
-    "pq_code_stats",
-    "price_quantiles_by_flag",
-    "pyds_click_user_stats",
-    "setops_customer_segments",
-    "stream_click_purchase_full_join",
-    "stream_click_purchase_join",
-    "stream_click_purchase_left_join",
-    "stream_hourly_topk_events",
-    "stream_session_stats",
-    "stream_user_totals_stateful",
-    "stream_windowed_event_stats",
-    "top20_lineitems_by_price",
-    "udaf_geomean_by_status",
-    "video_frame_samples",
+    "max_shared_span_pairs",
+    "exact_substring_discard_manifest",
+    "sorted_neighborhood_multipass",
+    "dup_clusters",
+    # -- round-11-era re-attestation (all 45, age 4) --
+    "approx_stats_parts",
+    "audio_fingerprint_groups",
+    "badwords_filter_rates",
+    "bigram_coherence_score",
+    "bm25_doc_scores",
+    "cosine_topk_bruteforce",
+    "dataset_split_counts",
+    "doc_overlapping_chunks",
+    "domain_capped_corpus",
+    "erasure_rewrite_plan",
+    "funnel_signup_click_purchase",
+    "hilbert_layout_keys",
+    "ivf_ann_topk",
+    "ivf_capped_train_topk",
+    "ivf_fixed_cells_topk",
+    "join_key_skew_profile",
+    "k_anonymity_audit",
+    "kcenter_coreset_sample",
+    "knn_label_consistency",
+    "label_centroid_distances",
+    "latest_event_per_user",
+    "length_bucketed_batches",
+    "lpa_word_communities",
+    "m4_downsample_hourly",
+    "minhash_lsh_candidates",
+    "minhash_signatures",
+    "pc1_projection_buckets",
+    "pq_trained_adc_topk",
+    "quality_percentile_filter",
+    "regression_price_vs_quantity",
+    "sequence_packing_plan",
+    "shingle_novelty_scores",
+    "sq8_ann_topk",
+    "srp_ann_topk",
+    "stream_distinct_user_event_pairs",
+    "symspell_handle_match",
+    "table_quality_audit",
+    "temperature_mixed_sample",
+    "time_weighted_avg_value",
+    "touch_attribution_revenue",
+    "user_retention_cohorts",
+    "video_keyframe_selection",
+    "watermark_delay_advisor",
+    "weighted_sample_bychars",
+    "zorder_layout_keys",
 ])
 
 
