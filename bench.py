@@ -152,9 +152,13 @@ def main() -> int:
     # capture WHOLE (round 1's full dict overflowed it -> "parsed": null).
     # Slowest queries first, dict truncated to the budget; headline fields
     # lead so the line is self-describing even in a narrower window.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as fh:
-        json.dump({"metric": "suite_wall_clock", "value": total,
+    # r16 (verdict task 6, additions-only): the SAME detail dict is also
+    # written to BENCH_DETAIL_c{cpus}.json so the driver's second
+    # (low-core) scaling run stops clobbering the 32-core per-attempt
+    # detail.  BENCH_DETAIL.json keeps its existing semantics (last run
+    # wins) for every current consumer; the stdout contract and timing
+    # methodology are untouched.
+    detail = {"metric": "suite_wall_clock", "value": total,
                    "unit": "sec", "sf": sf,
                    "value_compute_adjusted": total_compute_adj,
                    # ADVICE r12: the adjustment swaps each streaming
@@ -183,7 +187,12 @@ def main() -> int:
                    "queries": timings,
                    "spread": spreads,
                    "streaming_breakdown": streaming_breakdown,
-                   "runs": runs}, fh, indent=1)
+                   "runs": runs}
+    here = os.path.dirname(os.path.abspath(__file__))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count())
+    for fname in ("BENCH_DETAIL.json", f"BENCH_DETAIL_c{cpus}.json"):
+        with open(os.path.join(here, fname), "w") as fh:
+            json.dump(detail, fh, indent=1)
 
     ok_spreads = sorted(v for v in spreads.values() if v >= 0)
     spread_total = round(sum(ok_spreads), 2)

@@ -25,6 +25,8 @@ Scale design:
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -37,6 +39,31 @@ HEX = "0123456789abcdef"
 def tokens_col(text_col: str = "text"):
     """Lowered whitespace tokens as array<string> (P2+P3 generalized)."""
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+# Java/RE2 '\s' is the ASCII whitespace class [ \t\n\x0b\f\r] — NOT
+# Python str.split()'s Unicode whitespace set (U+00A0, U+2028, ...).
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def py_tokens(text: str | None) -> list[str]:
+    """EXACT Python twin of :func:`tokens_col` =
+    ``split(trim(lower(text)), '\\s+')`` — the tokenization the oracle
+    SQL declares (DuckDB ``string_split_regex(trim(lower(text)),
+    '\\s+')``; RE2 and Java agree on the ASCII ``\\s`` class).
+
+    Semantics reproduced exactly, not just on ASCII (r15 verdict task 4
+    / ADVICE): lowercase first; trim strips SPACES only (Spark/DuckDB
+    ``trim`` default); the split KEEPS empty tokens, so leading/trailing
+    non-space whitespace yields the same empty first/last token the JVM
+    expression emits, and Unicode whitespace does NOT split.  The
+    previous ``str.strip().lower().split()`` silently diverged on
+    leading tabs, trailing newlines and NBSP — fine on the fixtures'
+    ASCII, wrong at 100 TB of real text.  Callers that need the
+    empty-filtered variant (textstats.tokens) filter the result.
+    NULL text is the CALLER's branch: the expression twins all route
+    NULL through ``size(NULL) = -1`` guards to an empty array."""
+    return _JAVA_WS.split((text or "").lower().strip(" "))
 
 
 def shingle_array(k: int = 3, text_col: str = "text", arrow: bool = True):
@@ -60,16 +87,19 @@ def shingle_array(k: int = 3, text_col: str = "text", arrow: bool = True):
       DESCENDS when n < 1, so short docs need the explicit empty array
       (DuckDB's generate_series is empty there).
 
-    Token semantics match on ASCII text (the fixtures): Python
-    ``str.split()`` splits on whitespace runs like ``split('\\s+')`` +
-    trim; both lowercase first.
+    Token semantics are EXACT (:func:`py_tokens` == ``tokens_col``,
+    empty tokens kept), not merely ASCII-equivalent; NULL text takes the
+    expression twin's ``size(NULL)``-guard branch to an empty array.
     """
     if arrow:
         @pandas_udf("array<string>")
         def _shingles(texts: pd.Series) -> pd.Series:
             out = []
             for t in texts:
-                toks = (t or "").strip().lower().split()
+                if t is None:
+                    out.append([])
+                    continue
+                toks = py_tokens(t)
                 out.append(list({" ".join(toks[i:i + k])
                                  for i in range(len(toks) - k + 1)}))
             return pd.Series(out)
@@ -231,7 +261,10 @@ def inline_band_hashes(num_perm: int = 8, bands: int = 4,
         def _bands(texts: pd.Series) -> pd.Series:
             out = []
             for t in texts:
-                toks = (t or "").strip().lower().split()
+                if t is None:
+                    out.append([])
+                    continue
+                toks = py_tokens(t)
                 sh = {" ".join(toks[i:i + k])
                       for i in range(len(toks) - k + 1)}
                 if not sh:
@@ -890,17 +923,17 @@ def ladder_tagged_grams(ns: tuple[int, ...], text_col: str = "text"):
     :func:`ladder_tagged_grams_expr` (pinned element-identical by
     tests/test_r15_batch8.py).  Docs shorter than a rung contribute no
     grams for that rung; shorter than min(ns), an empty array (the old
-    pre-explode size filter, folded in).  Token semantics are the
-    shingle-kernel convention: ``str.split()`` on lowered+stripped text
-    matches ``split(trim(lower(text)), '\\s+')`` on the fixtures'
-    ASCII."""
+    pre-explode size filter, folded in).  Token semantics are EXACT
+    (:func:`py_tokens` == the twin's ``tokens_col``, empty tokens kept
+    — not just ASCII-equivalent; r15 verdict task 4 / ADVICE); NULL
+    text takes the twin's ``size(NULL)``-guard branch to []."""
     lo = min(ns)
 
     @pandas_udf("array<struct<span:int,gram:string>>")
     def _ladder(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = (t or "").strip().lower().split()
+            toks = [] if t is None else py_tokens(t)
             if len(toks) < lo:
                 out.append([])
                 continue

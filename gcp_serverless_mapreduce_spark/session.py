@@ -83,6 +83,19 @@ def get_spark(app_name: str = "gcp-serverless-mapreduce-spark",
         # compile cache (driver + executors), not data memory.
         .config("spark.sql.codegen.cache.maxEntries",
                 os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
+        # PySpark call-site capture for error context (Spark 4,
+        # spark.python.sql.dataFrameDebugging.enabled, STATIC conf,
+        # default true): every wrapped DataFrame/Column API call pays a
+        # conf read + PySparkCurrentOrigin.set/clear (3-4 py4j round
+        # trips) + a Python stack walk.  cProfile on the r16 build-cost
+        # sweep attributes ~0.2-0.3 s per query BUILD to this wrapper
+        # at zero execution benefit; the suite runs ~238 query builds
+        # per bench pass.  Driver-side Python only — nothing about the
+        # executed plan or its scale behavior changes; flip the env for
+        # interactive debugging sessions where call-site context in
+        # error messages matters more than build latency.
+        .config("spark.python.sql.dataFrameDebugging.enabled",
+                os.environ.get("SPARK_GRAFT_DF_DEBUGGING", "false"))
         # AQE coalescing floor.  With parallelismFirst (default on) the
         # coalesce target is max(shuffleBytes/parallelism, THIS); the
         # 1 MB default collapses any sub-32 MB shuffle to a handful of

@@ -40,81 +40,86 @@ from . import sketch_q  # noqa: F401, E402
 from . import linkage_q  # noqa: F401, E402
 from . import profiling_q  # noqa: F401, E402
 
-# Round-15 window head (the driver checks the FIRST ~50 registered).
-# Composition, per VERDICT r14 task 1 + the rotation invariant: the 45
-# queries last driver-attested in round 11 — attestation age 4 this
-# round, so they take 45 slots en bloc (after this round no attestation
-# predates round 12) — plus the 5 queries whose OPERATOR INTERNALS this
-# optimization round restructured most deeply, so the driver's oracle
-# re-attests exactly the code that changed:
-#   stream_contamination_spans (foreachBatch+guarded-spread harness,
-#     r15 batch 6; one-call bitmap literal, batch 7),
-#   max_shared_span_pairs (ladder-gram Arrow kernel, batch 8; doc_a
-#     refinement spread, batch 6),
-#   exact_substring_discard_manifest (shares the ladder kernel +
-#     refinement spread, batch 8),
-#   sorted_neighborhood_multipass (guarded spread + explicit-width blk
-#     exchange, batch 7),
-#   dup_clusters (per-round convergence join -> DECIMAL sum check,
-#     batch 5).
-# Every other query this round touched (bloom family, jaccard/minhash
-# eval pair, containment, kcenter, simhash, hilbert, streaming harness
-# users) is re-proven by the full-suite 238/238 parity sweeps at sf0.01
-# stamped after every batch (PARITY_SUMMARY.json) plus the focused
-# per-batch parity runs recorded in OPTIMIZATION_r15.md.
+# Round-16 window head (the driver checks the FIRST ~50 registered).
+# Composition, per the VERDICT r15 rotation invariant, recomputed from
+# the actual CORRECTNESS_r*.json history at round start (the verdict's
+# "49 attested in round 12" count was off: the true frontier is 44
+# queries whose LAST attestation is round 10 — age 6 — plus 47 at
+# round 12): the 44 oldest take their slots en bloc, and the remaining
+# 6 go to the queries whose OPERATOR INTERNALS this optimization round
+# restructured most deeply, so the driver's oracle re-attests exactly
+# the code that changed:
+#   stream_windowed_event_stats_pyds / stream_windowed_event_stats_rate
+#     (run_rate_replay completion detection moved from per-poll sink
+#     aggregation jobs to StreamingQueryProgress row counts; both last
+#     attested r12),
+#   repetition_quality_filter (rep-stats kernel tokenization made
+#     JVM-exact, r12),
+#   stream_dedup_new_docs / incremental_dedup_new_docs
+#     (inline_band_hashes kernel tokenization made JVM-exact, r12),
+#   max_shared_span_pairs (ladder-gram kernel tokenization made
+#     JVM-exact; r15-attested but the deepest kernel retouch).
+# Everything else this round touched (shingle kernel consumers,
+# pagerank — itself in the 44 —, word_bigram_freq_udtf, the load_table/
+# spread-probe memos that touch every query build) is re-proven by the
+# full-suite 238/238 parity sweeps at sf0.001/sf0.01/sf0.1 stamped in
+# PARITY_SUMMARY.json and the per-batch parity runs recorded in
+# OPTIMIZATION_r16.md.  After this round no attestation predates
+# round 12 (the r12 cohort is age 4 — at the window bound, first in
+# line for round 17).
 promote([
-    # -- r15 restructured operators (5) --
-    "stream_contamination_spans",
+    # -- r16 restructured operators (6) --
+    "stream_windowed_event_stats_pyds",
+    "stream_windowed_event_stats_rate",
+    "repetition_quality_filter",
+    "stream_dedup_new_docs",
+    "incremental_dedup_new_docs",
     "max_shared_span_pairs",
-    "exact_substring_discard_manifest",
-    "sorted_neighborhood_multipass",
-    "dup_clusters",
-    # -- round-11-era re-attestation (all 45, age 4) --
-    "approx_stats_parts",
-    "audio_fingerprint_groups",
-    "badwords_filter_rates",
-    "bigram_coherence_score",
-    "bm25_doc_scores",
-    "cosine_topk_bruteforce",
-    "dataset_split_counts",
-    "doc_overlapping_chunks",
-    "domain_capped_corpus",
-    "erasure_rewrite_plan",
-    "funnel_signup_click_purchase",
-    "hilbert_layout_keys",
-    "ivf_ann_topk",
-    "ivf_capped_train_topk",
-    "ivf_fixed_cells_topk",
-    "join_key_skew_profile",
-    "k_anonymity_audit",
-    "kcenter_coreset_sample",
-    "knn_label_consistency",
-    "label_centroid_distances",
-    "latest_event_per_user",
-    "length_bucketed_batches",
-    "lpa_word_communities",
-    "m4_downsample_hourly",
-    "minhash_lsh_candidates",
-    "minhash_signatures",
-    "pc1_projection_buckets",
-    "pq_trained_adc_topk",
-    "quality_percentile_filter",
-    "regression_price_vs_quantity",
-    "sequence_packing_plan",
-    "shingle_novelty_scores",
-    "sq8_ann_topk",
-    "srp_ann_topk",
-    "stream_distinct_user_event_pairs",
-    "symspell_handle_match",
-    "table_quality_audit",
-    "temperature_mixed_sample",
-    "time_weighted_avg_value",
-    "touch_attribution_revenue",
-    "user_retention_cohorts",
-    "video_keyframe_selection",
-    "watermark_delay_advisor",
-    "weighted_sample_bychars",
-    "zorder_layout_keys",
+    # -- round-10-era re-attestation (all 44, age 6) --
+    "anagram_groups",
+    "anagram_pairs",
+    "ann_recall_eval",
+    "bloom_decontamination",
+    "event_transition_matrix",
+    "events_json_corrupt_routing",
+    "exact_dedup_groups",
+    "hourly_event_anomalies",
+    "hybrid_rrf_topk",
+    "image_phash_groups",
+    "incremental_order_totals",
+    "jaccard_prefix_dups",
+    "kmv_distinct_users",
+    "kmv_merge_equivalence",
+    "lang_mixture_reweight",
+    "logistic_gd_train",
+    "lsh_candidate_precision",
+    "matryoshka_recall_eval",
+    "minhash_estimate_error",
+    "mmr_diverse_topk",
+    "ngram_jaccard_dups",
+    "pagerank_customer_supplier",
+    "pmi_graph_triangles",
+    "power_iteration_pc1",
+    "quality_logit_scores",
+    "scd2_customer_order_versions",
+    "semdedup_discards",
+    "sessionize_user_events",
+    "snapshot_diff_customers",
+    "sorted_neighborhood_dups",
+    "source_drift_psi",
+    "source_overlap_jaccard",
+    "source_token_kl",
+    "srp_multiprobe_topk",
+    "stream_dedup_replayed_events",
+    "stream_dedup_windowed_stats",
+    "stream_static_enrich",
+    "user_error_purchase_overlap",
+    "value_histogram_quantiles",
+    "vocab_top_words",
+    "walkforward_fold_counts",
+    "weighted_sample_per_source",
+    "window_event_value_delta",
+    "word_cooccurrence_pmi",
 ])
 
 

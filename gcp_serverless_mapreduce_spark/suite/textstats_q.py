@@ -442,9 +442,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _repetition_stats_kernel():
     """Arrow kernel emitting the EXACT integer repetition stats per doc:
     (n_tokens, n_distinct, top_bg = most-frequent-bigram count, n_bg).
-    Tokenization is ``strip().lower().split()`` — identical to
-    textstats.tokens on ASCII input (same whitespace class, same case
-    fold); pinned vs the old HOF pipeline in tests/test_r15_batch2.py."""
+    Tokenization is EXACT vs textstats.tokens (dedup.py_tokens with
+    empties filtered — the Java/RE2 ASCII whitespace class, space-only
+    trim, JVM-identical on non-ASCII text too; r15 verdict task 4);
+    pinned vs the old HOF pipeline in tests/test_r15_batch2.py and on
+    non-ASCII rows in tests/test_r16_unicode_tokens.py."""
     from collections import Counter
 
     from pyspark.sql.functions import pandas_udf
@@ -453,7 +455,7 @@ def _repetition_stats_kernel():
     def rep_stats(texts: pd.Series) -> pd.DataFrame:
         rows = []
         for t in texts:
-            toks = (t or "").strip().lower().split()
+            toks = [w for w in dedup.py_tokens(t) if w]
             n = len(toks)
             if n >= 2:
                 bigrams = [toks[i] + " " + toks[i + 1]

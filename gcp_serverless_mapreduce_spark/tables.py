@@ -47,11 +47,35 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     before round-robin since SPARK-23207) and callers only hang exact
     computations (string grams, integer hashes, counts, min/max) off the
     spread side, so results are partitioning-independent.
+
+    The partition probe is MEMOIZED per (canonical plan, parallelism)
+    (r16, verdict task 2): ``df.rdd.getNumPartitions()`` runs full
+    physical planning + a plan→RDD conversion on the driver — measured
+    ~120 ms per fresh DataFrame at ~12 call sites per suite pass, while
+    ``analyzed().semanticHash()`` costs ~1 ms.  Same-table consumers
+    (every shingle/gram caller probes the identical scan plan) share
+    one probe per process.  The memo stores plan METADATA (a partition
+    count), never data — every action still recomputes from parquet.
+    A semanticHash collision could at worst mis-skip/mis-add the
+    round-robin spread — a performance decision on a data no-op, never
+    a correctness one.
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    try:
+        key = (df._jdf.queryExecution().analyzed().semanticHash(),
+               parallelism)
+        n = _SCAN_WIDTH_CACHE.get(key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            _SCAN_WIDTH_CACHE[key] = n
+    except Exception:
+        n = df.rdd.getNumPartitions()
+    if n < parallelism:
         return df.repartition(parallelism)
     return df
+
+
+_SCAN_WIDTH_CACHE: dict[tuple[int, int], int] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -66,9 +90,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     place.  The NTZ→TIMESTAMP cast is value-preserving because the
     session TZ is pinned to UTC (session.RUNTIME_CONFS) and the fixture
     epochs are naive/UTC.
+
+    The resolved DataFrame is MEMOIZED per (application, path, file
+    mtime) — the no-catalog analogue of a metastore (r16 verdict task
+    2): Spark resolves ``spark.table("t")`` once per session, while a
+    bare-path ``spark.read.parquet`` re-lists the directory, re-reads
+    footer schema and re-runs the dtype-normalization py4j chatter on
+    EVERY call (measured ~70 ms; the suite makes hundreds of load_table
+    calls per bench pass).  The memo holds a PLAN (scan + timestamp-
+    normalization projections), never data — every action on it still
+    scans parquet, so no result is ever cached; a regenerated fixture
+    file invalidates its entry via the mtime key, and entries never
+    leak across Spark applications.
     """
     apply_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    key = (spark.sparkContext.applicationId, path, mtime)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # Integer division: `/` would go through double and lose precision
@@ -85,7 +129,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise TypeError(
             f"load_table({name!r}): unnormalized timestamp columns {bad}; "
             f"dtypes={df.dtypes}")
+    _TABLE_CACHE[key] = df
     return df
+
+
+# load_table's resolved-plan memo (see its docstring).
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def table_row_count(sf_dir: str, name: str) -> int:
