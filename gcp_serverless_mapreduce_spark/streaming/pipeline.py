@@ -52,7 +52,7 @@ def _checkpoint_dir(name: str) -> str | None:
 
 
 @contextmanager
-def stream_state_partitions(spark: SparkSession, n: int = 8):
+def stream_state_partitions(spark: SparkSession, n: int | None = None):
     """Scope ``spark.sql.shuffle.partitions`` for a stateful streaming
     query start.
 
@@ -60,9 +60,19 @@ def stream_state_partitions(spark: SparkSession, n: int = 8):
     checkpoint files), so the shuffle-partition count is a *state-store*
     count here — 32 stores for a bounded fixture stream is pure overhead
     (measured 6.1 s -> 2.3 s on the stream-stream join at sf0.1 going
-    32 -> 8).  A production deployment sizes this to keyspace x executor
-    count instead; the conf is captured at stream START, so scoping it to
+    32 -> 8; r15 verdict task 5's A/B then took 8 -> 4: the
+    stream-stream joins gain another 0.3-0.5 s warm min-of-3 each —
+    inner 1.81 -> 1.32 s, left 2.45 -> 2.11 s — with aggregations
+    neutral, and a RocksDB-provider leg measured consistently SLOWER
+    at this state size, e.g. inner join 1.86/2.00 s vs HDFS 1.81/1.32,
+    retiring the 'heavier at this size' assumption with numbers; full
+    table in TUNING.md).  A production deployment sizes this to
+    keyspace x executor count instead — env
+    ``SPARK_GRAFT_STREAM_STATE_PARTITIONS`` parameterizes the local
+    default; the conf is captured at stream START, so scoping it to
     the ``.start()`` call leaves the batch suite's 32 untouched."""
+    if n is None:
+        n = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4"))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
@@ -461,7 +471,17 @@ def run_available_now_mapped(source: DataFrame, transform, name: str,
 
     ``transform`` MUST be row-local (no aggregation across batches —
     output mode semantics are the caller's responsibility, matching
-    ``mode="append"`` of :func:`run_available_now`)."""
+    ``mode="append"`` of :func:`run_available_now`).
+
+    BOUNDED-BATCH-COUNT ASSUMPTION (ADVICE r15): each micro-batch's
+    transformed output is localCheckpoint-ed into a driver-held list
+    and unioned at the end — O(batches) non-replicated block-manager
+    storage and plan depth, and localCheckpoint blocks are lost on
+    executor failure.  Correct for availableNow over a fixture
+    directory (a handful of batches); a many-file/long-lived source
+    must NOT use this runner as-is — cap batches via
+    ``maxFilesPerTrigger`` or write each batch to a real sink and read
+    that back instead of chaining unions."""
     from ..tables import spread_small_scan
 
     spark = source.sparkSession
@@ -520,12 +540,28 @@ def run_rate_replay(result: DataFrame, name: str, n_expected: int,
 
     A rate source never ends (ticks keep coming; past the fixture they
     join to nothing), so availableNow can't bound it — completion is
-    instead observed from the result itself: for a windowed aggregate,
-    ``sum(n_events)`` equals the number of fixture rows absorbed, so the
-    poll is a tiny driver-side read of the in-memory sink, not an action
-    over the source.  This is purely a replay-adapter harness; a real
-    Kafka/Pub/Sub deployment runs the same transform with a normal
-    long-lived trigger and no completion probe."""
+    instead observed from the query's OWN progress log:
+    ``sum(numInputRows over recentProgress) >= n_expected``, a
+    driver-side read of retained StreamingQueryProgress objects that
+    runs NO Spark job.  Both replay transports deliver the fixture in
+    source order (rate tick k stream-static-joins to fixture row k;
+    the PyDS reader's offsets are row positions), so input counts are
+    sequential from 0 and the batch that brings the total to
+    ``n_expected`` is the one that absorbed the last fixture row; its
+    memory-sink commit precedes its progress entry, so the sink is
+    complete when the probe fires — the same moment the previous
+    sink-aggregation poll (``sum(count_col) == n_expected``) observed.
+
+    r16 (verdict task 1): the old probe ran a ~70 ms Spark
+    job over the sink every 50 ms — decomposing the pyds row showed
+    25-47 poll jobs RACING the micro-batches for cores, 1.8-6.2 s of
+    a 3-6 s wall, and all of its core-count anti-scaling and attempt
+    spread.  ``count_col`` is kept for API stability (the sink column
+    a manual probe would read; unused by the progress probe).
+
+    This is purely a replay-adapter harness; a real Kafka/Pub/Sub
+    deployment runs the same transform with a normal long-lived
+    trigger and no completion probe."""
     import time
 
     spark = result.sparkSession
@@ -542,16 +578,13 @@ def run_rate_replay(result: DataFrame, name: str, n_expected: int,
         done = 0
         deadline = time.time() + timeout_s
         while time.time() < deadline:
-            done = (spark.table(name)
-                    .agg(F.sum(count_col)).collect()[0][0] or 0)
+            done = int(sum(p.numInputRows for p in q.recentProgress))
             if done >= n_expected:
                 break
-            # 50 ms poll: the probe is a driver-side read of a tiny
-            # in-memory agg result, so fine-grained polling is ~free and
-            # shaves up to a quarter-second of completion-detection
-            # latency per query off the old 250 ms interval (profiled
-            # round 12 — part of the PyDS wall-vs-compute gap).
-            time.sleep(0.05)
+            # 20 ms poll: the probe parses the driver-side progress
+            # JSON only (no job), so fine-grained polling is free and
+            # minimizes completion-detection latency.
+            time.sleep(0.02)
         else:
             raise TimeoutError(
                 f"rate replay {name!r} absorbed {done}/{n_expected} rows "
